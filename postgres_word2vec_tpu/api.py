@@ -1,0 +1,691 @@
+"""FREDDY-compatible API surface — the framework's L2.
+
+Replaces the reference's plpgsql layer (freddy_extension/freddy--0.0.1.sql,
+1538 LoC): the generic façades ``knn`` / ``knn_in`` / ``knn_batch`` /
+``knn_join`` / ``analogy`` / ``analogy_in`` / ``groups`` / ``cluster`` /
+``tokenize`` (sql:204-332), the pluggable implementation registry
+(``set_knn_function`` … ``set_cluster_function``, sql:78-132), the runtime
+parameter store (``set_pvf`` / ``set_w`` / ``set_alpha`` /
+``set_method_flag`` / ``set_use_targetlist`` / ``set_confidence_value`` /
+``set_long_codes_threshold`` / ``set_statistics_table``, sql:21-75 with
+defaults sql:188-202), statistics creation (sql:150-171), and online
+insertion (``insert_batch``, freddy.c:1403-1658).
+
+The SQL catalog-function config trick becomes a plain dataclass; dynamic
+``EXECUTE format(…)`` dispatch becomes a dict of bound methods. Results are
+returned as Python lists of tuples shaped like the reference's result sets:
+``(word, similarity)`` rows for kNN, ``(query, target, similarity)`` for
+batch/join, ``(token, grouptoken)`` for grouping, ``(word, cluster)`` for
+clustering. Similarities are cosine (= 1 − d²/2 on normalized vectors,
+sql:511).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from postgres_word2vec_tpu.models.exact import ExactIndex
+from postgres_word2vec_tpu.models.ivfadc import IVFADCIndex
+from postgres_word2vec_tpu.models.ivpq import (EXACT_CALC, IVPQIndex, PQ_CALC,
+                                               PQ_PV_CALC, build_statistics)
+from postgres_word2vec_tpu.models.pq import PQIndex
+from postgres_word2vec_tpu.ops import vector_ops as vo
+from postgres_word2vec_tpu.store import VectorStore
+from postgres_word2vec_tpu.utils.tracker import GLOBAL_TRACKER
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class RuntimeParams:
+    """Runtime-settable parameters with the reference defaults (sql:188-202)."""
+
+    pvf: int = 20                       # post-verification factor
+    w: int = 3                          # IVFADC probe width (PARAM_W)
+    alpha: int = 3                      # IVPQ selectivity
+    method: int = PQ_CALC               # IVPQ distance method flag
+    use_targetlist: bool = True
+    confidence: float = 0.8
+    long_codes_threshold: float = 1e7
+    statistics_table: str | None = None
+
+
+#: Default dispatch registry (sql:188-202).
+DEFAULT_DISPATCH = {
+    "knn": "k_nearest_neighbour",
+    "knn_in": "knn_in_exact",
+    "knn_batch": "k_nearest_neighbour_ivfadc_batch",
+    "knn_join": "knn_search_in_batch",
+    "analogy": "analogy_3cosadd",
+    "analogy_in": "analogy_3cosadd_in",
+    "groups": "grouping_func",
+    "cluster": "cluster_exact",
+}
+
+
+class Freddy:
+    """The engine: vocabulary + vector store + index family + config.
+
+    Equivalent of ``CREATE EXTENSION freddy`` + ``init(…)`` (sql:5-19): all
+    "tables" are constructor arguments; indexes may be omitted and built
+    later (methods raise a clear error when a required index is missing).
+    """
+
+    def __init__(self, store: VectorStore, *, pq: PQIndex | None = None,
+                 ivfadc: IVFADCIndex | None = None,
+                 ivpq: IVPQIndex | None = None,
+                 params: RuntimeParams | None = None) -> None:
+        self.store = store
+        self.pq = pq
+        self.ivfadc = ivfadc
+        self.ivpq = ivpq
+        self.params = params or RuntimeParams()
+        self.dispatch = dict(DEFAULT_DISPATCH)
+        self.statistics: dict[str, Array] = {}
+        self.tracker = GLOBAL_TRACKER
+        self.exact = ExactIndex(store.vectors_norm)
+
+    # ------------------------------------------------------------- builders
+    @classmethod
+    def build(cls, store: VectorStore, *, seed: int = 0,
+              with_pq: bool = True, with_ivfadc: bool = True,
+              with_ivpq: bool = True, pq_m: int = 12, pq_k: int = 256,
+              ivfadc_m: int = 12, ivfadc_k: int = 256, k_coarse: int = 1000,
+              ivpq_m: int = 30, ivpq_k: int = 32, ivpq_k_coarse: int = 32,
+              train_size: int | None = 100_000, iters: int = 10) -> "Freddy":
+        """Train every requested index family on the store's normalized
+        vectors (build drivers pq_index.py / ivfadc.py / ivpq.py parity;
+        hyperparameter defaults from index_creation/config/*.json)."""
+        key = jax.random.PRNGKey(seed)
+        kp, ki, kv = jax.random.split(key, 3)
+        vecs = store.vectors_norm
+        n = vecs.shape[0]
+        eff_train = None if train_size is None else min(train_size, n)
+        pq = PQIndex.build(kp, vecs, m=pq_m, k=pq_k, train_size=eff_train,
+                           iters=iters) if with_pq else None
+        ivf = IVFADCIndex.build(
+            ki, vecs, m=ivfadc_m, k=ivfadc_k,
+            k_coarse=min(k_coarse, max(n // 2, 1)), train_size=eff_train,
+            iters=iters) if with_ivfadc else None
+        ivpq = IVPQIndex.build(
+            kv, vecs, m=ivpq_m, k=ivpq_k, k_coarse=ivpq_k_coarse,
+            train_size=eff_train, iters=iters) if with_ivpq else None
+        return cls(store, pq=pq, ivfadc=ivf, ivpq=ivpq)
+
+    # ----------------------------------------------------- config setters
+    # (sql:21-75 — each one-liner regenerated a SQL getter; here they are
+    # plain attribute writes kept as methods for API parity.)
+    def set_pvf(self, pvf: int) -> None:
+        self.params.pvf = int(pvf)
+
+    def set_w(self, w: int) -> None:
+        self.params.w = int(w)
+
+    def set_alpha(self, alpha: int) -> None:
+        self.params.alpha = int(alpha)
+
+    def set_method_flag(self, method: int) -> None:
+        self.params.method = int(method)
+
+    def set_use_targetlist(self, flag: bool) -> None:
+        self.params.use_targetlist = bool(flag)
+
+    def set_confidence_value(self, confidence: float) -> None:
+        self.params.confidence = float(confidence)
+
+    def set_long_codes_threshold(self, threshold: float) -> None:
+        self.params.long_codes_threshold = float(threshold)
+
+    def set_statistics_table(self, name: str | None) -> None:
+        if name is not None and name not in self.statistics:
+            raise KeyError(f"no statistics table {name!r}; call "
+                           "create_statistics first")
+        self.params.statistics_table = name
+
+    # -------------------------------------------------- dispatch setters
+    # (sql:78-132)
+    def _set_dispatch(self, op: str, impl_name: str) -> None:
+        if not hasattr(self, impl_name):
+            raise KeyError(f"unknown implementation {impl_name!r}")
+        self.dispatch[op] = impl_name
+
+    def set_knn_function(self, name: str) -> None:
+        self._set_dispatch("knn", name)
+
+    def set_knn_in_function(self, name: str) -> None:
+        self._set_dispatch("knn_in", name)
+
+    def set_knn_batch_function(self, name: str) -> None:
+        self._set_dispatch("knn_batch", name)
+
+    def set_knn_join_function(self, name: str) -> None:
+        self._set_dispatch("knn_join", name)
+
+    def set_analogy_function(self, name: str) -> None:
+        self._set_dispatch("analogy", name)
+
+    def set_analogy_in_function(self, name: str) -> None:
+        self._set_dispatch("analogy_in", name)
+
+    def set_groups_function(self, name: str) -> None:
+        self._set_dispatch("groups", name)
+
+    def set_cluster_function(self, name: str) -> None:
+        self._set_dispatch("cluster", name)
+
+    # ------------------------------------------------------------ helpers
+    def _query_matrix(self, query) -> Array:
+        """Token / vector / batch → normalized (B, d) query matrix."""
+        if isinstance(query, str):
+            return self.store.vector_for(query)[None, :]
+        if isinstance(query, (list, tuple)) and query and isinstance(
+                query[0], str):
+            return self.store.vectors_for(list(query))
+        q = jnp.asarray(np.asarray(query, np.float32))
+        if q.ndim == 1:
+            q = q[None, :]
+        return vo.vec_normalize(q)
+
+    def _target_ids(self, targets) -> tuple[Array, Array]:
+        """Word set / id set → padded (ids, mask)."""
+        if len(targets) == 0:
+            raise ValueError("empty target set")
+        if isinstance(targets[0], str):
+            ids = self.store.get_ids(targets, strict=False)
+        else:
+            ids = [int(t) for t in targets]
+        arr = jnp.asarray(ids, jnp.int32)
+        return arr, jnp.ones((len(ids),), bool)
+
+    def _format_knn(self, dists: Array, ids: Array) -> list[list[tuple]]:
+        """(B, k) device results → per-query [(word, similarity), …]."""
+        sims = np.asarray(vo.sim_from_sqdist(dists))
+        ids_np = np.asarray(ids)
+        out = []
+        for b in range(ids_np.shape[0]):
+            rows = [(self.store.words[i], float(s))
+                    for i, s in zip(ids_np[b], sims[b]) if i >= 0]
+            out.append(rows)
+        return out
+
+    def _format_join(self, queries: Sequence[str], dists: Array,
+                     ids: Array) -> list[tuple]:
+        per_query = self._format_knn(dists, ids)
+        return [(q, w, s) for q, rows in zip(queries, per_query)
+                for (w, s) in rows]
+
+    def _require(self, index, name: str):
+        if index is None:
+            raise RuntimeError(f"{name} index not built — pass it to the "
+                               f"constructor or use Freddy.build()")
+        return index
+
+    def _active_statistics(self) -> Array | None:
+        if self.params.statistics_table is None:
+            return None
+        return self.statistics[self.params.statistics_table]
+
+    # ========================================================== kNN family
+    def knn(self, query, k: int) -> list[tuple]:
+        """Generic kNN façade (sql:204-214) → [(word, similarity), …]."""
+        return getattr(self, self.dispatch["knn"])(query, k)
+
+    def k_nearest_neighbour(self, query, k: int) -> list[tuple]:
+        """Exact full-scan kNN (sql:426-454)."""
+        q = self._query_matrix(query)
+        with self.tracker.stage("total_time"):
+            d, i = self.exact.search(q, k)
+        return self._format_knn(d, i)[0]
+
+    def k_nearest_neighbour_pq(self, query, k: int) -> list[tuple]:
+        """PQ ADC kNN (sql:593-622 → pq_search)."""
+        pq = self._require(self.pq, "PQ")
+        q = self._query_matrix(query)
+        with self.tracker.stage("total_time"):
+            d, i = pq.search(q, k)
+        return self._format_knn(d, i)[0]
+
+    def k_nearest_neighbour_pq_pv(self, query, k: int) -> list[tuple]:
+        """PQ + post-verification (sql:625-662)."""
+        pq = self._require(self.pq, "PQ")
+        q = self._query_matrix(query)
+        with self.tracker.stage("total_time"):
+            d, i = pq.search_pv(q, k, self.params.pvf,
+                                self.store.vectors_norm)
+        return self._format_knn(d, i)[0]
+
+    def k_nearest_neighbour_ivfadc(self, query, k: int) -> list[tuple]:
+        """IVFADC kNN with widening semantics (sql:503-532 → ivfadc_search)."""
+        ivf = self._require(self.ivfadc, "IVFADC")
+        q = self._query_matrix(query)
+        with self.tracker.stage("total_time"):
+            d, i = ivf.search_adaptive(q, k, w=self.params.w)
+        return self._format_knn(d, i)[0]
+
+    def k_nearest_neighbour_ivfadc_pv(self, query, k: int) -> list[tuple]:
+        """IVFADC + post-verification (sql:556-591)."""
+        ivf = self._require(self.ivfadc, "IVFADC")
+        q = self._query_matrix(query)
+        with self.tracker.stage("total_time"):
+            d, i = ivf.search_pv(q, k, self.params.pvf,
+                                 self.store.vectors_norm, w=self.params.w)
+        return self._format_knn(d, i)[0]
+
+    # ------------------------------------------------------------- batches
+    def knn_batch(self, queries: Sequence[str], k: int) -> list[tuple]:
+        """Generic batch façade (sql:216-230) → [(query, word, sim), …]."""
+        return getattr(self, self.dispatch["knn_batch"])(queries, k)
+
+    def k_nearest_neighbour_ivfadc_batch(self, queries: Sequence[str],
+                                         k: int) -> list[tuple]:
+        """Batched IVFADC (sql:535-554 → ivfadc_batch_search)."""
+        ivf = self._require(self.ivfadc, "IVFADC")
+        q = self._query_matrix(list(queries))
+        with self.tracker.stage("total_time"):
+            d, i = ivf.search_adaptive(q, k, w=self.params.w)
+        return self._format_join(list(queries), d, i)
+
+    def knn_batch_exact(self, queries: Sequence[str], k: int) -> list[tuple]:
+        """Exact batch (the plpgsql loop of knn_search_in_batch over the full
+        table, done as one matmul)."""
+        q = self._query_matrix(list(queries))
+        with self.tracker.stage("total_time"):
+            d, i = self.exact.search(q, k)
+        return self._format_join(list(queries), d, i)
+
+    # -------------------------------------------------------------- in-set
+    def knn_in(self, query, k: int, targets) -> list[tuple]:
+        """Generic restricted façade (sql:232-246)."""
+        return getattr(self, self.dispatch["knn_in"])(query, k, targets)
+
+    def knn_in_exact(self, query, k: int, targets) -> list[tuple]:
+        """Exact in-set kNN — all 4 reference overloads (token|vector ×
+        words|ids), sql:991-1084."""
+        q = self._query_matrix(query)
+        tids, tmask = self._target_ids(targets)
+        with self.tracker.stage("total_time"):
+            d, i = self.exact.search_in(q, k, tids, tmask)
+        return self._format_knn(d, i)[0]
+
+    def knn_in_pq(self, query, k: int, targets) -> list[tuple]:
+        """PQ in-set kNN (sql:664-680 → pq_search_in)."""
+        pq = self._require(self.pq, "PQ")
+        q = self._query_matrix(query)
+        tids, tmask = self._target_ids(targets)
+        with self.tracker.stage("total_time"):
+            d, i = pq.search_in(q, k, tids, tmask)
+        return self._format_knn(d, i)[0]
+
+    def knn_in_ivpq(self, query, k: int, targets) -> list[tuple]:
+        """IVPQ in-set kNN (sql:682-718 → ivpq_search_in, B=1)."""
+        rows = self.knn_in_ivpq_batch([query] if isinstance(query, str)
+                                      else query, k, targets)
+        return [(w, s) for (_q, w, s) in rows]
+
+    # --------------------------------------------------------------- joins
+    def knn_join(self, queries: Sequence[str], k: int,
+                 targets) -> list[tuple]:
+        """Generic kNN-join façade (sql:248-266) → [(query, target, sim)]."""
+        return getattr(self, self.dispatch["knn_join"])(queries, k, targets)
+
+    def knn_search_in_batch(self, queries: Sequence[str], k: int,
+                            targets) -> list[tuple]:
+        """Exact kNN-join (sql:456-501) — one batched masked matmul instead
+        of a plpgsql loop over knn_in_exact."""
+        q = self._query_matrix(list(queries))
+        tids, tmask = self._target_ids(targets)
+        with self.tracker.stage("total_time"):
+            d, i = self.exact.search_in(q, k, tids, tmask)
+        return self._format_join(list(queries), d, i)
+
+    def knn_in_pq_batch(self, queries: Sequence[str], k: int,
+                        targets) -> list[tuple]:
+        """PQ kNN-join baseline (sql:846-901 → pq_search_in_batch)."""
+        pq = self._require(self.pq, "PQ")
+        q = self._query_matrix(list(queries))
+        tids, tmask = self._target_ids(targets)
+        with self.tracker.stage("total_time"):
+            d, i = pq.search_in(q, k, tids, tmask)
+        return self._format_join(list(queries), d, i)
+
+    def knn_in_ivpq_batch(self, queries, k: int, targets) -> list[tuple]:
+        """IVPQ kNN-join (sql:797-828 → ivpq_search_in) — the flagship batch
+        path, honoring alpha/pvf/method/confidence/targetlist params."""
+        ivpq = self._require(self.ivpq, "IVPQ")
+        if isinstance(queries, (list, tuple)) and queries and isinstance(
+                queries[0], str):
+            names = list(queries)
+        else:
+            names = [f"q{i}" for i in range(np.asarray(queries).shape[0]
+                                            if np.asarray(queries).ndim > 1
+                                            else 1)]
+        q = self._query_matrix(queries)
+        tids, tmask = self._target_ids(targets)
+        p = self.params
+        with self.tracker.stage("total_time"):
+            d, i = ivpq.search_join(
+                q, k, tids, target_mask=tmask,
+                vectors=self.store.vectors_norm,
+                statistics=self._active_statistics(),
+                alpha=p.alpha, pvf=p.pvf, method=p.method,
+                confidence=p.confidence,
+                long_codes_threshold=p.long_codes_threshold,
+                use_targetlists=p.use_targetlist)
+        return self._format_join(names, d, i)
+
+    # ============================================================= analogy
+    def analogy(self, w1: str, w2: str, w3: str) -> str:
+        """Generic analogy façade (sql:268-280)."""
+        return getattr(self, self.dispatch["analogy"])(w1, w2, w3)
+
+    def analogy_in(self, w1: str, w2: str, w3: str, targets) -> str:
+        """Generic in-set analogy façade (sql:282-296)."""
+        return getattr(self, self.dispatch["analogy_in"])(w1, w2, w3, targets)
+
+    def _exclude(self, scores: Array, words: Sequence[str]) -> Array:
+        ids = self.store.get_ids(words, strict=False)
+        return scores.at[jnp.asarray(ids, jnp.int32)].set(-jnp.inf) \
+            if ids else scores
+
+    def _analogy_vec(self, w1: str, w2: str, w3: str) -> Array:
+        """3CosAdd query vector v3 − v1 + v2 on normalized vectors
+        (sql:1270-1288, comment "w3 - w1 + w2")."""
+        v1, v2, v3 = (self.store.vector_for(w) for w in (w1, w2, w3))
+        return (v3 - v1 + v2)
+
+    def analogy_3cosadd(self, w1: str, w2: str, w3: str) -> str:
+        """Default analogy: argmax cos(v3−v1+v2, v), inputs excluded
+        (sql:1270-1288)."""
+        q = self._analogy_vec(w1, w2, w3)
+        scores = jnp.dot(self.store.vectors_norm, q,
+                         preferred_element_type=jnp.float32)
+        scores = self._exclude(scores, (w1, w2, w3))
+        return self.store.words[int(jnp.argmax(scores))]
+
+    def analogy_3cosadd_in(self, w1: str, w2: str, w3: str, targets) -> str:
+        """In-set 3CosAdd (sql:1290-1314)."""
+        q = self._analogy_vec(w1, w2, w3)
+        tids, _ = self._target_ids(targets)
+        tv = jnp.take(self.store.vectors_norm, tids, axis=0)
+        scores = jnp.dot(tv, q, preferred_element_type=jnp.float32)
+        words = self.store.get_words(np.asarray(tids))
+        banned = {w1, w2, w3}
+        order = np.argsort(-np.asarray(scores))
+        for j in order:
+            if words[j] not in banned:
+                return words[j]
+        raise ValueError("no admissible analogy result in target set")
+
+    def analogy_3cosmul(self, w1: str, w2: str, w3: str) -> str:
+        """3CosMul with the reference's shifted-cosine form
+        ((cos+1)/2 ratios, ε=0.001; sql:1231-1248)."""
+        v = self.store.vectors_norm
+        c1, c2, c3 = (jnp.dot(v, self.store.vector_for(w),
+                              preferred_element_type=jnp.float32)
+                      for w in (w1, w2, w3))
+        scores = (((c3 + 1.0) / 2.0) * ((c2 + 1.0) / 2.0)) / (
+            ((c1 + 1.0) / 2.0) + 0.001)
+        scores = self._exclude(scores, (w1, w2, w3))
+        return self.store.words[int(jnp.argmax(scores))]
+
+    def analogy_pair_direction(self, w1: str, w2: str, w3: str) -> str:
+        """argmax cos(norm(v1−v2), norm(v3−v4)) over v4, on RAW vectors
+        (sql:1212-1229)."""
+        raw = self.store.vectors
+        v1, v2, v3 = (self.store.vector_for(w, normalized=False)
+                      for w in (w1, w2, w3))
+        dir_q = vo.vec_normalize(v1 - v2)
+        diffs = vo.vec_normalize(v3[None, :] - raw)
+        scores = jnp.dot(diffs, dir_q, preferred_element_type=jnp.float32)
+        scores = self._exclude(scores, (w1, w2, w3))
+        return self.store.words[int(jnp.argmax(scores))]
+
+    def analogy_3cosadd_pq(self, w1: str, w2: str, w3: str) -> str:
+        """PQ-accelerated 3CosAdd: ADC shortlist of pvf+3 then exact re-rank
+        (sql:1317-1346)."""
+        pq = self._require(self.pq, "PQ")
+        q = vo.vec_normalize(self._analogy_vec(w1, w2, w3))[None, :]
+        d, i = pq.search_pv(q, self.params.pvf + 3, 1,
+                            self.store.vectors_norm)
+        return self._pick_not_banned(i[0], (w1, w2, w3))
+
+    def analogy_3cosadd_ivfadc(self, w1: str, w2: str, w3: str) -> str:
+        """IVFADC-accelerated 3CosAdd (sql:1428-1459)."""
+        ivf = self._require(self.ivfadc, "IVFADC")
+        q = vo.vec_normalize(self._analogy_vec(w1, w2, w3))[None, :]
+        d, i = ivf.search_pv(q, self.params.pvf + 3, 1,
+                             self.store.vectors_norm, w=self.params.w)
+        return self._pick_not_banned(i[0], (w1, w2, w3))
+
+    def analogy_3cosadd_in_pq(self, w1: str, w2: str, w3: str,
+                              targets) -> str:
+        """In-set PQ-accelerated 3CosAdd (sql:1348-1381)."""
+        pq = self._require(self.pq, "PQ")
+        q = vo.vec_normalize(self._analogy_vec(w1, w2, w3))[None, :]
+        tids, tmask = self._target_ids(targets)
+        d, i = pq.search_in(q, min(self.params.pvf + 3, tids.shape[0]),
+                            tids, tmask)
+        return self._pick_not_banned(i[0], (w1, w2, w3))
+
+    def analogy_3cosadd_in_ivpq(self, w1: str, w2: str, w3: str,
+                                targets) -> str:
+        """In-set IVPQ-accelerated 3CosAdd (sql:1383-1425)."""
+        ivpq = self._require(self.ivpq, "IVPQ")
+        q = vo.vec_normalize(self._analogy_vec(w1, w2, w3))[None, :]
+        tids, tmask = self._target_ids(targets)
+        p = self.params
+        d, i = ivpq.search_join(
+            q, min(p.pvf + 3, tids.shape[0]), tids, target_mask=tmask,
+            vectors=self.store.vectors_norm,
+            statistics=self._active_statistics(), alpha=p.alpha, pvf=p.pvf,
+            method=p.method, confidence=p.confidence,
+            long_codes_threshold=p.long_codes_threshold)
+        return self._pick_not_banned(i[0], (w1, w2, w3))
+
+    def _pick_not_banned(self, ids: Array, banned_words) -> str:
+        banned = set(banned_words)
+        for i in np.asarray(ids):
+            if i >= 0 and self.store.words[int(i)] not in banned:
+                return self.store.words[int(i)]
+        raise ValueError("analogy shortlist exhausted — raise pvf")
+
+    # ============================================================ grouping
+    def groups(self, tokens: Sequence[str],
+               group_tokens: Sequence[str]) -> list[tuple]:
+        """Generic grouping façade (sql:298-312)."""
+        return getattr(self, self.dispatch["groups"])(tokens, group_tokens)
+
+    def grouping_func(self, tokens: Sequence[str],
+                      group_tokens: Sequence[str]) -> list[tuple]:
+        """Exact grouping: each token → nearest group token (sql:1462-1484,
+        a loop of knn_in(token, 1, groups); one batched matmul here)."""
+        toks = [t for t in tokens if t in self.store]
+        q = self.store.vectors_for(toks)
+        tids, tmask = self._target_ids(list(group_tokens))
+        d, i = self.exact.search_in(q, 1, tids, tmask)
+        ids = np.asarray(i)[:, 0]
+        return [(t, self.store.words[int(g)]) for t, g in zip(toks, ids)
+                if g >= 0]
+
+    def grouping_func_pq(self, tokens: Sequence[str],
+                         group_tokens: Sequence[str]) -> list[tuple]:
+        """PQ-code grouping (sql:1487-1509 → grouping_pq, freddy.c:1176-1401):
+        distances computed on the tokens' PQ codes against per-group LUTs."""
+        pq = self._require(self.pq, "PQ")
+        toks = [t for t in tokens if t in self.store]
+        token_ids = jnp.asarray(self.store.get_ids(toks), jnp.int32)
+        gids, gmask = self._target_ids(list(group_tokens))
+        gq = jnp.take(self.store.vectors_norm, gids, axis=0)
+        # LUTs for each group vector; ADC over token code rows; argmin group.
+        from postgres_word2vec_tpu.ops import adc, lut
+        luts = lut.build_luts(gq, pq.codebook.centroids)       # (G, m, k)
+        token_codes = jnp.take(pq.codes, token_ids, axis=0)    # (T, m)
+        dists = adc.adc_distances(luts, token_codes)           # (G, T)
+        dists = jnp.where(gmask[:, None], dists, jnp.inf)
+        best = np.asarray(jnp.argmin(dists, axis=0))
+        gids_np = np.asarray(gids)
+        return [(t, self.store.words[int(gids_np[g])])
+                for t, g in zip(toks, best)]
+
+    # ========================================================== clustering
+    def cluster(self, tokens: Sequence[str], k: int) -> list[tuple]:
+        """Generic clustering façade (sql:314-332) → [(word, cluster), …]."""
+        return getattr(self, self.dispatch["cluster"])(tokens, k)
+
+    def _generic_cluster(self, tokens: Sequence[str], k: int,
+                         join_fn: Callable, *, seed: int = 0,
+                         iters: int = 10) -> list[tuple]:
+        """k-means over a token set (``generic_cluster``, sql:1086-1170):
+        k random token vectors as initial centroids, 10 rounds of
+        assign-via-kNN-join + centroid-of-≤10-sampled-members; empty
+        clusters keep their centroid; cluster ids are 1-based."""
+        toks = [t for t in tokens if t in self.store]
+        vecs = np.asarray(self.store.vectors_for(toks))
+        rng = np.random.default_rng(seed)
+        centroids = vecs[rng.integers(0, len(toks), size=k)]
+        assign = np.zeros(len(toks), np.int64)
+        for it in range(iters):
+            d, i = join_fn(jnp.asarray(centroids), len(toks))
+            # token → its best (most similar) centroid, reference's greedy
+            # first-hit over a similarity-sorted stream.
+            dists = np.asarray(d)       # (k, T) sqdists over token ids local
+            ids = np.asarray(i)
+            best = np.full(len(toks), np.inf)
+            for c in range(k):
+                for dj, tj in zip(dists[c], ids[c]):
+                    if tj >= 0 and dj < best[tj]:
+                        best[tj] = dj
+                        assign[tj] = c
+            if it < iters - 1:
+                for c in range(k):
+                    members = np.flatnonzero(assign == c)
+                    if len(members) == 0:
+                        continue
+                    sample = members[rng.integers(0, len(members),
+                                                  size=min(10, 10))]
+                    centroids[c] = vecs[sample].mean(0)
+        return [(t, int(c) + 1) for t, c in zip(toks, assign)]
+
+    def _make_join_fn(self, impl: str, toks: list[str]):
+        local_ids = jnp.arange(len(toks), dtype=jnp.int32)
+        tvecs = self.store.vectors_for(toks)
+
+        def exact_join(centroids: Array, kk: int):
+            idx = ExactIndex(tvecs, self.exact.compute_dtype)
+            return idx.search(vo.vec_normalize(centroids), kk)
+
+        def pq_join(centroids: Array, kk: int):
+            pq = self._require(self.pq, "PQ")
+            tids = jnp.asarray(self.store.get_ids(toks), jnp.int32)
+            d, i = pq.search_in(vo.vec_normalize(centroids), kk, tids)
+            return d, _globals_to_locals(i, tids)
+
+        def ivpq_join(centroids: Array, kk: int):
+            ivpq = self._require(self.ivpq, "IVPQ")
+            tids = jnp.asarray(self.store.get_ids(toks), jnp.int32)
+            p = self.params
+            d, i = ivpq.search_join(
+                vo.vec_normalize(centroids), kk, tids,
+                vectors=self.store.vectors_norm,
+                statistics=self._active_statistics(), alpha=p.alpha,
+                pvf=p.pvf, method=p.method, confidence=p.confidence,
+                long_codes_threshold=p.long_codes_threshold)
+            return d, _globals_to_locals(i, tids)
+
+        return {"exact": exact_join, "pq": pq_join, "ivpq": ivpq_join}[impl]
+
+    def cluster_exact(self, tokens: Sequence[str], k: int) -> list[tuple]:
+        """(sql:1172-1182)"""
+        toks = [t for t in tokens if t in self.store]
+        return self._generic_cluster(toks, k, self._make_join_fn("exact",
+                                                                 toks))
+
+    def cluster_pq(self, tokens: Sequence[str], k: int) -> list[tuple]:
+        """(sql:1198-1209)"""
+        toks = [t for t in tokens if t in self.store]
+        return self._generic_cluster(toks, k, self._make_join_fn("pq", toks))
+
+    def cluster_ivpq(self, tokens: Sequence[str], k: int) -> list[tuple]:
+        """(sql:1185-1196)"""
+        toks = [t for t in tokens if t in self.store]
+        return self._generic_cluster(toks, k, self._make_join_fn("ivpq",
+                                                                 toks))
+
+    # ============================================================ tokenize
+    def tokenize(self, text: str) -> np.ndarray | None:
+        """Normalized centroid of the known words' normalized vectors
+        (sql:1513-1524). None when no word is known (SQL returns NULL)."""
+        words = [w for w in text.split(" ") if w in self.store]
+        if not words:
+            return None
+        c = vo.centroid(self.store.vectors_for(words))
+        return np.asarray(vo.vec_normalize(c))
+
+    def tokenize_raw(self, text: str) -> np.ndarray | None:
+        """Unnormalized centroid of RAW vectors (sql:1527-1536)."""
+        words = [w for w in text.split(" ") if w in self.store]
+        if not words:
+            return None
+        return np.asarray(vo.centroid(
+            self.store.vectors_for(words, normalized=False)))
+
+    # ========================================================== statistics
+    def create_statistics(self, name: str, domain_words: Sequence[str]
+                          ) -> None:
+        """Build a named per-cell frequency table for a word domain
+        (sql:150-171 ``create_statistics``; consumed by IVPQ probing).
+        Also activates it (the reference's auto-set DO block, sql:173-186).
+        """
+        ivpq = self._require(self.ivpq, "IVPQ")
+        ids = jnp.asarray(self.store.get_ids(domain_words, strict=False),
+                          jnp.int32)
+        self.statistics[name] = build_statistics(ivpq.cell_of, ids,
+                                                 ivpq.num_cells)
+        self.params.statistics_table = name
+
+    # ============================================================== insert
+    def insert_batch(self, terms: Sequence[str]) -> int:
+        """Online insertion (freddy.c:1403-1658): tokenize unseen terms,
+        skip existing words and all-OOV terms, append vectors, update every
+        built index's codebooks incrementally (running-mean k-means step).
+        Returns the number of inserted terms."""
+        new_words, norm_rows, raw_rows = [], [], []
+        for term in terms:
+            if term in self.store or term in new_words:
+                continue  # freddy.c:1498-1514 skips existing words
+            v_norm = self.tokenize(term)
+            if v_norm is None:
+                continue  # every word OOV → NULL vector in the reference
+            new_words.append(term)
+            norm_rows.append(v_norm)
+            raw_rows.append(self.tokenize_raw(term))
+        if not new_words:
+            return 0
+        norm_new = jnp.asarray(np.stack(norm_rows))
+        self.store = self.store.extend(new_words, np.stack(raw_rows))
+        self.exact = ExactIndex(self.store.vectors_norm,
+                                self.exact.compute_dtype)
+        if self.pq is not None:
+            self.pq = self.pq.add(norm_new)
+        if self.ivfadc is not None:
+            self.ivfadc = self.ivfadc.add(norm_new)
+        if self.ivpq is not None:
+            self.ivpq = self.ivpq.add(norm_new)
+        return len(new_words)
+
+
+def _globals_to_locals(ids: Array, tids: Array) -> Array:
+    """Map global row ids back to positions within ``tids`` (−1 passthrough)."""
+    tids_np = np.asarray(tids)
+    lookup = {int(t): j for j, t in enumerate(tids_np)}
+    ids_np = np.asarray(ids)
+    out = np.full_like(ids_np, -1)
+    for idx, val in np.ndenumerate(ids_np):
+        if val >= 0:
+            out[idx] = lookup.get(int(val), -1)
+    return jnp.asarray(out)

@@ -1,0 +1,112 @@
+"""Exact brute-force k-NN — the ground-truth path and the MXU speed demon.
+
+Parity targets: ``k_nearest_neighbour`` (freddy--0.0.1.sql:426-454 — full
+table ORDER BY cosine), the 4 ``knn_in_exact`` overloads (sql:991-1084) and
+``knn_search_in_batch`` (sql:456-501 — a plpgsql loop over queries).
+
+On TPU this is the op the hardware was built for: one ``(B, d) × (d, N)``
+matmul on the MXU with a chunked running top-k. A 3M×300 bf16 scan is ~1.8 GB
+of HBM traffic; the reference needs 8.79 s for one exact query — a single
+chip does a whole query batch in milliseconds. Distances are squared L2
+(similarity = 1 − d²/2 on normalized vectors, sql:511).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from postgres_word2vec_tpu.ops import topk as topk_ops
+
+Array = jax.Array
+
+
+def _sqdist_block(q: Array, v_chunk: Array, compute_dtype) -> Array:
+    """Squared L2 ``(B, d) × (C, d) → (B, C)``; matmul in ``compute_dtype``
+    with float32 accumulation."""
+    qf = q.astype(jnp.float32)
+    vf = v_chunk.astype(jnp.float32)
+    qq = jnp.sum(qf * qf, axis=-1, keepdims=True)
+    vv = jnp.sum(vf * vf, axis=-1)
+    qv = jnp.dot(q.astype(compute_dtype), v_chunk.astype(compute_dtype).T,
+                 preferred_element_type=jnp.float32,
+                 precision=lax.Precision.HIGHEST)
+    return jnp.maximum(qq - 2.0 * qv + vv[None, :], 0.0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "chunk_size", "approx", "dtype"))
+def exact_top_k(queries: Array, vectors: Array, k: int, *,
+                chunk_size: int = 262144, approx: bool = False,
+                dtype: str = "float32") -> tuple[Array, Array]:
+    """Full-scan exact top-k: → ``(B, k)`` (squared L2 dists, row ids)."""
+    compute_dtype = jnp.dtype(dtype)
+    n, d = vectors.shape
+    B = queries.shape[0]
+    if n <= chunk_size:
+        dists = _sqdist_block(queries, vectors, compute_dtype)
+        return topk_ops.top_k_smallest(dists, min(k, n), approx=approx)
+    pad = (-n) % chunk_size
+    vp = jnp.pad(vectors, ((0, pad), (0, 0)))
+
+    def score_chunk(start):
+        chunk = lax.dynamic_slice(vp, (start, 0), (chunk_size, d))
+        dists = _sqdist_block(queries, chunk, compute_dtype)
+        valid = (jnp.arange(chunk_size) + start) < n
+        return jnp.where(valid[None, :], dists, jnp.inf)
+
+    return topk_ops.chunked_top_k_smallest(score_chunk, n + pad, chunk_size,
+                                           k, (B,), approx=approx)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "dtype"))
+def exact_top_k_in(queries: Array, vectors: Array, target_ids: Array,
+                   target_mask: Array, k: int, *,
+                   dtype: str = "float32") -> tuple[Array, Array]:
+    """Exact top-k restricted to a padded target-id set; ids are global.
+
+    Parity: ``knn_in_exact`` (sql:991-1084) — the SQL ``WHERE id IN``
+    becomes one device gather + masked matmul.
+    """
+    compute_dtype = jnp.dtype(dtype)
+    tv = jnp.take(vectors, jnp.maximum(target_ids, 0), axis=0)
+    d = _sqdist_block(queries, tv, compute_dtype)
+    d = jnp.where(target_mask[None, :], d, jnp.inf)
+    k_eff = min(k, target_ids.shape[0])
+    vals, pos = topk_ops.top_k_smallest(d, k_eff)
+    ids = jnp.where(jnp.isfinite(vals),
+                    jnp.take(target_ids, pos), -1).astype(jnp.int32)
+    if k_eff < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)),
+                       constant_values=jnp.inf)
+        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    return vals, ids
+
+
+@dataclasses.dataclass
+class ExactIndex:
+    """Brute-force index over an HBM-resident ``(N, d)`` table.
+
+    ``compute_dtype``: "float32" for bit-faithful ground truth (tests),
+    "bfloat16" for the production fast path (MXU at 2× rate; float32
+    accumulation keeps ranking error negligible at 300-d).
+    """
+
+    vectors: Array
+    compute_dtype: str = "float32"
+
+    def search(self, queries: Array, k: int, *, approx: bool = False
+               ) -> tuple[Array, Array]:
+        return exact_top_k(queries, self.vectors, k, approx=approx,
+                           dtype=self.compute_dtype)
+
+    def search_in(self, queries: Array, k: int, target_ids: Array,
+                  target_mask: Array | None = None) -> tuple[Array, Array]:
+        if target_mask is None:
+            target_mask = jnp.ones(target_ids.shape, dtype=bool)
+        return exact_top_k_in(queries, self.vectors, target_ids, target_mask,
+                              k, dtype=self.compute_dtype)

@@ -1,0 +1,424 @@
+"""IVPQ — inverted multi-index PQ for batched kNN-joins.
+
+Parity targets:
+- build driver ivpq.py (multi-index coarse quantizer: product quantizer with
+  2 positions × k_c=32 centroids over vector halves, cell id
+  ``c0 + c1·k_c`` — ``combine_centroids``, ivpq.py:18; fine PQ codebook
+  m=30, k=32 over the *raw* vectors; defaults from ivpq_config.json),
+- the join kernel ``ivpq_search_in`` (ivpq_search_in.c:21-721) with its
+  tuning surface: ``alpha`` (selectivity), ``pvf`` (post-verification
+  factor), ``method`` ∈ {0: ADC, 1: exact, 2: ADC+PV}
+  (index_utils.h:103), ``confidence``, ``use_targetlists``,
+  ``long_codes_threshold`` (fused-pair LUTs),
+- statistics-driven adaptive probing
+  (``determineCoarseIdsMultiWithStatisticsMulti``, index_utils.c:252-443)
+  with the hypergeometric-tail confidence model ``getConfidenceHyp``
+  (index_utils.c:673-682),
+- ``create_statistics`` (freddy--0.0.1.sql:150-171).
+
+TPU shape: the reference walks a Multi-Sequence priority queue per query and
+issues one SQL fetch per round. Here each query sorts all k_c² cell
+distances (one broadcast add + sort of 1024 floats), the confidence rule
+picks a probe prefix via prefix sums — fully vectorized over the query batch
+— and cell probing is a boolean mask over the dense target axis, so the
+distance phase stays one MXU/gather kernel regardless of which cells each
+query probes. Alpha escalation (``alpha += alpha`` until every query has k
+results, ivpq_search_in.c:639-684) is a host-side loop over fixed-shape
+rounds with per-query retirement masks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from pathlib import Path
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from postgres_word2vec_tpu.models.pq import PQCodebook, online_codebook_update
+from postgres_word2vec_tpu.ops import adc, kmeans, lut
+from postgres_word2vec_tpu.ops import topk as topk_ops
+
+Array = jax.Array
+
+# Distance-phase method flags (parity: index_utils.h:103).
+PQ_CALC = 0
+EXACT_CALC = 1
+PQ_PV_CALC = 2
+
+
+def confidence_hyp(expect: Array, size: Array, p: Array,
+                   stat_size: Array) -> Array:
+    """P[#targets in probed cells ≥ expect] — normal approximation of the
+    hypergeometric tail (parity: ``getConfidenceHyp``, index_utils.c:673-682,
+    including its finite-population correction factor).
+    """
+    expect = jnp.asarray(expect, jnp.float32)
+    size = jnp.asarray(size, jnp.float32)
+    p = jnp.asarray(p, jnp.float32)
+    stat_size = jnp.asarray(stat_size, jnp.float32)
+    mu = size * p
+    fpc = (stat_size - size) / jnp.maximum(stat_size - 1.0, 1.0)
+    sig = jnp.sqrt(jnp.maximum(size * p * (1.0 - p), 0.0)) * fpc
+    num = expect - 0.5 - mu
+    z = num / jnp.maximum(sig, 1e-30) / jnp.sqrt(2.0)
+    conf = 1.0 - 0.5 * (1.0 + jax.scipy.special.erf(z))
+    # Degenerate spread: the tail is a step function at mu.
+    conf = jnp.where(sig <= 0.0, jnp.where(num <= 0.0, 1.0, 0.0), conf)
+    return jnp.where(expect > size, 0.0, conf)
+
+
+class MultiIndexQuantizer(NamedTuple):
+    """2-position product coarse quantizer → k_c² virtual cells
+    (parity: ``coarse_quantization_ivpq`` + ``_counts`` tables)."""
+    centroids: Array   # (positions, k_c, d/positions) float32
+    cell_counts: Array  # (k_c**positions,) int32
+
+    @property
+    def num_cells(self) -> int:
+        p, kc, _ = self.centroids.shape
+        return int(kc) ** int(p)
+
+
+def assign_cells(vectors: Array, coarse_centroids: Array) -> Array:
+    """Multi-index coarse assignment: per-position argmin → combined cell id
+    ``Σ cᵢ·k_cⁱ`` (parity: ``combine_centroids`` ivpq.py:18 and the C-side
+    multi assignment, freddy.c:1590-1609)."""
+    p, kc, dsub = coarse_centroids.shape
+    sub = kmeans.split_subspaces(vectors, p)       # (p, n, dsub)
+    codes = jax.vmap(kmeans.assign)(sub, coarse_centroids)  # (p, n)
+    weights = kc ** jnp.arange(p, dtype=jnp.int32)
+    return jnp.sum(codes.astype(jnp.int32) * weights[:, None],
+                   axis=0).astype(jnp.int32)
+
+
+def cell_distances(queries: Array, coarse_centroids: Array) -> Array:
+    """All-cell squared distances ``(B, d) → (B, k_c**positions)``, with the
+    flat index matching :func:`assign_cells`'s combination order.
+
+    Replaces the reference's Multi-Sequence pqueue walk (index_utils.c:322-395,
+    "ONLY IMPLEMENTED FOR cbPositions == 2") — at k_c=32 the full 1024-cell
+    table is two tiny matmuls and one broadcast add, and generalizes to any
+    position count the same way.
+    """
+    p, kc, dsub = coarse_centroids.shape
+    subd = lut.build_luts(queries, coarse_centroids)   # (B, p, kc)
+    total = subd[:, 0, :]                              # (B, kc): position 0
+    for i in range(1, p):
+        # new flat index = old + c_i · kc^i  ⇒  append axis on the left.
+        total = (subd[:, i, :, None] + total[:, None, :]).reshape(
+            total.shape[0], kc ** (i + 1))
+    return total
+
+
+def build_statistics(cell_assignments: Array, domain_ids: Array,
+                     num_cells: int) -> Array:
+    """Per-cell relative frequency of a word domain + absolute total.
+
+    Returns ``(num_cells + 1,)``: entries 0..C−1 are the fraction of the
+    domain assigned to each cell, entry C is the absolute domain size — the
+    exact layout the C kernel reads (``statistics[cqSize]`` as total,
+    index_utils.c:632-665; built by SQL ``create_statistics``,
+    freddy--0.0.1.sql:150-171).
+    """
+    cells = jnp.take(cell_assignments, domain_ids)
+    counts = jnp.bincount(cells, length=num_cells).astype(jnp.float32)
+    total = jnp.maximum(jnp.sum(counts), 1.0)
+    return jnp.concatenate([counts / total, total[None]])
+
+
+def uniform_statistics(cell_counts: Array) -> Array:
+    """Fallback statistics from the full-table cell occupancy (used when no
+    domain statistics table was created — the reference then probes with the
+    global distribution)."""
+    c = cell_counts.astype(jnp.float32)
+    total = jnp.maximum(jnp.sum(c), 1.0)
+    return jnp.concatenate([c / total, total[None]])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "alpha", "pvf", "method", "use_double"))
+def _ivpq_round(queries: Array, coarse_centroids: Array, codebook_cent: Array,
+                target_codes: Array, target_cells: Array, target_ids: Array,
+                target_mask: Array, statistics: Array, raw_target_vectors,
+                k: int, alpha: int, pvf: int, method: int,
+                confidence: Array, use_double: bool
+                ) -> tuple[Array, Array, Array, Array]:
+    """One fixed-shape probe round at a given alpha.
+
+    Returns (sqdists (B,k), global ids (B,k), retrieved (B,), exhausted (B,))
+    where ``retrieved`` counts real candidates seen (the reference's
+    retirement signal) and ``exhausted`` marks queries that probed every
+    cell (the reference's ``lastIteration``).
+    """
+    B = queries.shape[0]
+    num_cells = statistics.shape[0] - 1
+    t_real = jnp.sum(target_mask.astype(jnp.int32))
+
+    # --- adaptive cell selection (index_utils.c:252-443, vectorized) ------
+    cd = cell_distances(queries, coarse_centroids)          # (B, C)
+    order = jnp.argsort(cd, axis=-1)                        # (B, C)
+    probs = statistics[:num_cells]
+    stat_total = statistics[num_cells]
+    p_sorted = jnp.take(probs, order)                       # (B, C)
+    cum_p = jnp.cumsum(p_sorted, axis=-1)
+    conf = confidence_hyp(float(k * alpha), t_real, cum_p, stat_total)
+    satisfied = conf >= confidence
+    any_sat = jnp.any(satisfied, axis=-1)
+    first = jnp.argmax(satisfied, axis=-1) + 1              # κ = index + 1
+    n_sel = jnp.where(any_sat, first, num_cells)            # (B,)
+    exhausted = n_sel >= num_cells
+
+    # rank of each cell in each query's distance order → selection mask.
+    ranks = jnp.argsort(order, axis=-1)                     # inverse perm
+    sel_cell = ranks < n_sel[:, None]                       # (B, C)
+
+    # --- candidate mask over the dense target axis ------------------------
+    probe = jnp.take_along_axis(
+        sel_cell, jnp.broadcast_to(target_cells[None, :],
+                                   (B, target_cells.shape[0])), axis=-1)
+    cand = probe & target_mask[None, :]                     # (B, T)
+    retrieved = jnp.sum(cand.astype(jnp.int32), axis=-1)
+
+    # --- distance phase (ivpq_search_in.c:459-543) ------------------------
+    if method == EXACT_CALC:
+        qf = queries.astype(jnp.float32)
+        tv = raw_target_vectors.astype(jnp.float32)
+        qq = jnp.sum(qf * qf, axis=-1, keepdims=True)
+        tt = jnp.sum(tv * tv, axis=-1)
+        qt = jnp.dot(qf, tv.T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        dists = jnp.maximum(qq - 2.0 * qt + tt[None, :], 0.0)
+    else:
+        luts = lut.build_luts(queries, codebook_cent)
+        if use_double:
+            # "short codes": fused-pair LUTs (ivpq_search_in.c:262-291).
+            kcb = codebook_cent.shape[1]
+            dl = lut.build_double_luts(luts)
+            fc = lut.fuse_codes(target_codes, kcb)
+            dists = adc.adc_distances(dl, fc)
+        else:
+            dists = adc.adc_distances(luts, target_codes)
+
+    dists = jnp.where(cand, dists, jnp.inf)
+
+    if method == PQ_PV_CALC:
+        kk = min(k * pvf, dists.shape[1])
+        cvals, cpos = topk_ops.top_k_smallest(dists, kk)
+        cids = jnp.where(jnp.isfinite(cvals),
+                         jnp.take(target_ids, cpos), -1).astype(jnp.int32)
+        vals, ids = adc.post_verify(queries, cids, cvals,
+                                    raw_target_vectors_full(
+                                        raw_target_vectors, target_ids), k)
+        # post_verify gathered within the target-local table; map to global.
+        return vals, ids, retrieved, exhausted
+
+    k_eff = min(k, dists.shape[1])
+    vals, pos = topk_ops.top_k_smallest(dists, k_eff)
+    ids = jnp.where(jnp.isfinite(vals),
+                    jnp.take(target_ids, pos), -1).astype(jnp.int32)
+    if k_eff < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)),
+                       constant_values=jnp.inf)
+        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    return vals, ids, retrieved, exhausted
+
+
+def raw_target_vectors_full(target_vectors: Array, target_ids: Array):
+    """Scatter target-local raw vectors into a gatherable table keyed by
+    *local* position; post_verify then receives local candidate positions.
+
+    (Helper so method 2 re-ranks against the already-gathered (T, d) block
+    instead of the full N-row store.)
+    """
+    return target_vectors
+
+
+@dataclasses.dataclass
+class IVPQIndex:
+    """Multi-index PQ join index, all HBM-resident."""
+
+    coarse: MultiIndexQuantizer
+    codebook: PQCodebook        # (m, k, dsub) over raw vectors
+    codes: Array                # (n, m) uint8 — original row order
+    cell_of: Array              # (n,) int32 coarse cell per row
+
+    @property
+    def size(self) -> int:
+        return int(self.codes.shape[0])
+
+    @property
+    def num_cells(self) -> int:
+        return self.coarse.num_cells
+
+    # ------------------------------------------------------------ building
+    @classmethod
+    def build(cls, key: Array, vectors: Array, *, m: int = 30, k: int = 32,
+              k_coarse: int = 32, coarse_positions: int = 2,
+              train_size: int | None = 100_000,
+              iters: int = 10) -> "IVPQIndex":
+        """Multi-index coarse + raw-vector PQ codebook + codes
+        (``create_index_data`` parity, ivpq.py; config ivpq_config.json:
+        m=30, k=32, k_coarse=32)."""
+        n = vectors.shape[0]
+        ck, fk, sk = jax.random.split(key, 3)
+        if train_size is not None and train_size < n:
+            idx = jax.random.choice(sk, n, shape=(train_size,),
+                                    replace=False)
+            train = jnp.take(vectors, idx, axis=0)
+        else:
+            train = vectors
+        csub = kmeans.split_subspaces(train, coarse_positions)
+        cres = kmeans.kmeans_subspaces(ck, csub, k=k_coarse, iters=iters)
+        cell_of = assign_cells(vectors, cres.centroids)
+        cell_counts = jnp.bincount(
+            cell_of, length=k_coarse ** coarse_positions).astype(jnp.int32)
+
+        fsub = kmeans.split_subspaces(train, m)
+        fres = kmeans.kmeans_subspaces(fk, fsub, k=k, iters=iters)
+        codes = kmeans.encode_subspaces(vectors, fres.centroids)
+        return cls(MultiIndexQuantizer(cres.centroids, cell_counts),
+                   PQCodebook(fres.centroids, fres.counts), codes, cell_of)
+
+    # ------------------------------------------------------------- search
+    def search_join(self, queries: Array, k: int, target_ids: Array, *,
+                    target_mask: Array | None = None,
+                    vectors: Array | None = None,
+                    statistics: Array | None = None,
+                    alpha: int = 3, pvf: int = 20, method: int = PQ_CALC,
+                    confidence: float = 0.8,
+                    long_codes_threshold: float = 1e7,
+                    use_targetlists: bool = True,
+                    max_rounds: int = 8,
+                    query_chunk: int = 1024) -> tuple[Array, Array]:
+        """Batched kNN-join (``ivpq_search_in`` parity) → (sqdists, ids).
+
+        ``use_targetlists`` is accepted for parity; the reference uses it to
+        switch candidate buffering strategies (ivpq_search_in.c:462-479) —
+        here the target-major dense layout *is* the target list, so it is a
+        no-op.
+        """
+        del use_targetlists
+        if target_mask is None:
+            target_mask = jnp.ones(target_ids.shape, dtype=bool)
+        if statistics is None:
+            statistics = uniform_statistics(self.coarse.cell_counts)
+        if method in (EXACT_CALC, PQ_PV_CALC) and vectors is None:
+            raise ValueError("methods 1/2 need raw vectors for exact "
+                             "distances")
+
+        t_ids = jnp.maximum(target_ids, 0)
+        target_codes = jnp.take(self.codes, t_ids, axis=0)
+        target_cells = jnp.take(self.cell_of, t_ids)
+        target_vecs = (jnp.take(vectors, t_ids, axis=0)
+                       if vectors is not None else
+                       jnp.zeros((target_ids.shape[0], queries.shape[1]),
+                                 jnp.float32))
+
+        B = queries.shape[0]
+        out_vals = []
+        out_ids = []
+        for start in range(0, B, query_chunk):
+            qc = queries[start:start + query_chunk]
+            vals, ids = self._join_chunk(
+                qc, target_codes, target_cells, target_ids, target_mask,
+                target_vecs, statistics, k, alpha, pvf, method, confidence,
+                long_codes_threshold, max_rounds)
+            out_vals.append(vals)
+            out_ids.append(ids)
+        return jnp.concatenate(out_vals, 0), jnp.concatenate(out_ids, 0)
+
+    def _join_chunk(self, queries, target_codes, target_cells, target_ids,
+                    target_mask, target_vecs, statistics, k, alpha, pvf,
+                    method, confidence, long_codes_threshold, max_rounds):
+        """Alpha-escalation loop over fixed-shape rounds
+        (ivpq_search_in.c:639-684)."""
+        conf_arr = jnp.float32(confidence)
+        cur_alpha = int(alpha)
+        use_double = (cur_alpha * self.codebook.centroids.shape[1]
+                      > long_codes_threshold)
+        if method == PQ_PV_CALC:
+            # method-2 rounds re-rank against the gathered target block and
+            # return target-LOCAL candidate ids; remap below.
+            pass
+        vals, ids, retrieved, exhausted = self._run_round(
+            queries, target_codes, target_cells, target_ids, target_mask,
+            target_vecs, statistics, k, cur_alpha, pvf, method, conf_arr,
+            use_double)
+        best_vals, best_ids = vals, ids
+        resolved = retrieved >= k
+        for _ in range(max_rounds - 1):
+            if bool(jnp.all(resolved | exhausted)):
+                break
+            cur_alpha += cur_alpha  # alpha += alpha (ivpq_search_in.c:682)
+            use_double = (cur_alpha * self.codebook.centroids.shape[1]
+                          > long_codes_threshold)
+            vals, ids, retrieved, exhausted = self._run_round(
+                queries, target_codes, target_cells, target_ids, target_mask,
+                target_vecs, statistics, k, cur_alpha, pvf, method, conf_arr,
+                use_double)
+            upd = ~resolved
+            best_vals = jnp.where(upd[:, None], vals, best_vals)
+            best_ids = jnp.where(upd[:, None], ids, best_ids)
+            resolved = resolved | (retrieved >= k)
+        return best_vals, best_ids
+
+    def _run_round(self, queries, target_codes, target_cells, target_ids,
+                   target_mask, target_vecs, statistics, k, alpha, pvf,
+                   method, confidence, use_double):
+        if method == PQ_PV_CALC:
+            # run with local ids 0..T-1 so post_verify gathers the (T, d)
+            # target block, then map back to global ids.
+            local_ids = jnp.arange(target_ids.shape[0], dtype=jnp.int32)
+            vals, lids, retrieved, exhausted = _ivpq_round(
+                queries, self.coarse.centroids, self.codebook.centroids,
+                target_codes, target_cells, local_ids, target_mask,
+                statistics, target_vecs, k, alpha, pvf, method, confidence,
+                use_double)
+            ids = jnp.where(lids >= 0,
+                            jnp.take(target_ids, jnp.maximum(lids, 0)),
+                            -1).astype(jnp.int32)
+            return vals, ids, retrieved, exhausted
+        return _ivpq_round(
+            queries, self.coarse.centroids, self.codebook.centroids,
+            target_codes, target_cells, target_ids, target_mask, statistics,
+            target_vecs, k, alpha, pvf, method, confidence, use_double)
+
+    # ------------------------------------------------------------ mutation
+    def add(self, new_vectors: Array) -> "IVPQIndex":
+        """Online insert (``insert_batch``'s IVPQ leg, freddy.c:1590-1609):
+        multi-index assignment + running-mean fine-codebook update."""
+        new_cells = assign_cells(new_vectors, self.coarse.centroids)
+        cb, new_codes = online_codebook_update(self.codebook, new_vectors)
+        cell_counts = self.coarse.cell_counts + jnp.bincount(
+            new_cells, length=self.num_cells).astype(jnp.int32)
+        return IVPQIndex(
+            MultiIndexQuantizer(self.coarse.centroids, cell_counts), cb,
+            jnp.concatenate([self.codes,
+                             new_codes.astype(self.codes.dtype)], 0),
+            jnp.concatenate([self.cell_of, new_cells.astype(jnp.int32)], 0))
+
+    # --------------------------------------------------------- persistence
+    def save(self, path: str | Path) -> None:
+        np.savez_compressed(
+            path,
+            coarse_centroids=np.asarray(self.coarse.centroids),
+            cell_counts=np.asarray(self.coarse.cell_counts),
+            centroids=np.asarray(self.codebook.centroids),
+            counts=np.asarray(self.codebook.counts),
+            codes=np.asarray(self.codes),
+            cell_of=np.asarray(self.cell_of))
+
+    @classmethod
+    def load(cls, path: str | Path) -> "IVPQIndex":
+        with np.load(path) as f:
+            return cls(
+                MultiIndexQuantizer(jnp.asarray(f["coarse_centroids"]),
+                                    jnp.asarray(f["cell_counts"])),
+                PQCodebook(jnp.asarray(f["centroids"]),
+                           jnp.asarray(f["counts"])),
+                jnp.asarray(f["codes"]), jnp.asarray(f["cell_of"]))

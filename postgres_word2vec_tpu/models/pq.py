@@ -1,0 +1,180 @@
+"""Product-quantization index: training, encoding, ADC search, online update.
+
+Parity targets:
+- build driver pq_index.py (codebook k-means + faiss encode + counts →
+  ``pq_codebook`` / ``pq_quantization`` tables),
+- search kernels ``pq_search`` (freddy.c:26-170), ``pq_search_in``
+  (freddy.c:1026-1174), ``pq_search_in_batch`` (freddy.c:412-675),
+- post-verified wrappers ``k_nearest_neighbour_pq_pv`` (sql:625-662),
+- online codebook maintenance ``updateCodebook`` (index_utils.c:908-957,
+  reimplemented without the reference's ``pos + code`` indexing bug —
+  SURVEY §"quirks not to replicate").
+
+Defaults follow the shipped configs (m=12, k=256 → uint8 codes,
+pq_config.json) rather than the README's 1024-centroid claim; both noted in
+BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from postgres_word2vec_tpu.ops import adc, kmeans, lut
+
+Array = jax.Array
+
+
+class PQCodebook(NamedTuple):
+    """``(m, k, dsub)`` centroids + ``(m, k)`` assignment counts.
+
+    The counts back the running-mean online update (parity:
+    ``getCodebookWithCounts``, index_utils.c:684-736; counts computed at
+    build by ``determine_counts``, pq_index.py:141-151).
+    """
+    centroids: Array  # (m, k, dsub) float32
+    counts: Array     # (m, k) int32
+
+
+def train_codebook(key: Array, vectors: Array, m: int, k: int, *,
+                   train_size: int | None = None,
+                   iters: int = 10) -> PQCodebook:
+    """Train an m×k product codebook on a (sampled) training set."""
+    n = vectors.shape[0]
+    if train_size is not None and train_size < n:
+        sel_key, key = jax.random.split(key)
+        idx = jax.random.choice(sel_key, n, shape=(train_size,),
+                                replace=False)
+        train = jnp.take(vectors, idx, axis=0)
+    else:
+        train = vectors
+    sub = kmeans.split_subspaces(train, m)
+    res = kmeans.kmeans_subspaces(key, sub, k=k, iters=iters)
+    return PQCodebook(res.centroids, res.counts)
+
+
+def recount(codebook: PQCodebook, codes: Array) -> PQCodebook:
+    """Recompute counts from a full code table (determine_counts parity)."""
+    m, k, _ = codebook.centroids.shape
+    one = jnp.ones((codes.shape[0],), jnp.int32)
+    counts = jax.vmap(
+        lambda cj: jax.ops.segment_sum(one, cj.astype(jnp.int32),
+                                       num_segments=k))(codes.T)
+    return PQCodebook(codebook.centroids, counts)
+
+
+@jax.jit
+def online_codebook_update(codebook: PQCodebook,
+                           new_vectors: Array) -> tuple[PQCodebook, Array]:
+    """Sequential running-mean update for a batch of inserted vectors.
+
+    For each vector, per subspace: assign nearest centroid, ``count += 1``,
+    ``c += (x − c)/count`` — the reference's incremental k-means semantics
+    (index_utils.c:908-957), scanned over the batch so later vectors see
+    earlier updates, exactly like the reference's per-row loop.
+
+    Returns the updated codebook and the ``(n_new, m)`` assigned codes.
+    """
+    m, k, dsub = codebook.centroids.shape
+    x_sub = new_vectors.astype(jnp.float32).reshape(-1, m, dsub)
+
+    def step(carry, x):
+        cents, counts = carry          # (m,k,dsub), (m,k)
+        d = jnp.sum((x[:, None, :] - cents) ** 2, axis=-1)   # (m, k)
+        code = jnp.argmin(d, axis=-1)                        # (m,)
+        sel = jax.nn.one_hot(code, k, dtype=jnp.float32)     # (m, k)
+        new_counts = counts + sel.astype(jnp.int32)
+        inv = sel / jnp.maximum(new_counts.astype(jnp.float32), 1.0)
+        cents = cents + inv[:, :, None] * (x[:, None, :] - cents)
+        return (cents, new_counts), code.astype(jnp.int32)
+
+    (cents, counts), codes = lax.scan(
+        step, (codebook.centroids.astype(jnp.float32),
+               codebook.counts.astype(jnp.int32)), x_sub)
+    return PQCodebook(cents, counts), codes
+
+
+@dataclasses.dataclass
+class PQIndex:
+    """Exhaustive-scan PQ index: packed codes + codebook, all HBM-resident."""
+
+    codebook: PQCodebook
+    codes: Array          # (n, m) uint8 (k ≤ 256) or int16
+
+    @property
+    def size(self) -> int:
+        return int(self.codes.shape[0])
+
+    @property
+    def m(self) -> int:
+        return int(self.codebook.centroids.shape[0])
+
+    @property
+    def k(self) -> int:
+        return int(self.codebook.centroids.shape[1])
+
+    # ------------------------------------------------------------ building
+    @classmethod
+    def build(cls, key: Array, vectors: Array, *, m: int = 12, k: int = 256,
+              train_size: int | None = 100_000, iters: int = 10) -> "PQIndex":
+        """Train + encode (pq_index.py ``main`` parity; defaults from
+        pq_config.json: m=12, k=256, train_size=100k)."""
+        cb = train_codebook(key, vectors, m, k, train_size=train_size,
+                            iters=iters)
+        codes = kmeans.encode_subspaces(vectors, cb.centroids)
+        return cls(recount(cb, codes), codes)
+
+    def encode(self, vectors: Array) -> Array:
+        return kmeans.encode_subspaces(vectors, self.codebook.centroids)
+
+    # ------------------------------------------------------------- search
+    def search(self, queries: Array, k: int, *, approx: bool = False
+               ) -> tuple[Array, Array]:
+        """Exhaustive ADC top-k (``pq_search`` parity) → (sqdists, ids)."""
+        luts = lut.build_luts(queries, self.codebook.centroids)
+        return adc.adc_top_k(luts, self.codes, k, approx=approx)
+
+    def search_pv(self, queries: Array, k: int, pvf: int,
+                  vectors: Array) -> tuple[Array, Array]:
+        """ADC shortlist of k·pvf then exact re-rank
+        (``k_nearest_neighbour_pq_pv`` parity, sql:625-662)."""
+        luts = lut.build_luts(queries, self.codebook.centroids)
+        cd, ci = adc.adc_top_k(luts, self.codes, k * pvf)
+        return adc.post_verify(queries, ci, cd, vectors, k)
+
+    def search_in(self, queries: Array, k: int, target_ids: Array,
+                  target_mask: Array | None = None) -> tuple[Array, Array]:
+        """Target-restricted ADC (``pq_search_in``/``pq_search_in_batch``
+        parity — the kNN-join baseline)."""
+        if target_mask is None:
+            target_mask = jnp.ones(target_ids.shape, dtype=bool)
+        luts = lut.build_luts(queries, self.codebook.centroids)
+        return adc.adc_top_k_in(luts, self.codes, target_ids, target_mask, k)
+
+    # ------------------------------------------------------------ mutation
+    def add(self, new_vectors: Array) -> "PQIndex":
+        """Online insert: running-mean codebook update + append codes
+        (``insert_batch``'s PQ leg, freddy.c:1616-1629)."""
+        cb, new_codes = online_codebook_update(self.codebook, new_vectors)
+        codes = jnp.concatenate(
+            [self.codes, new_codes.astype(self.codes.dtype)], axis=0)
+        return PQIndex(cb, codes)
+
+    # --------------------------------------------------------- persistence
+    def save(self, path: str | Path) -> None:
+        np.savez_compressed(path, centroids=np.asarray(self.codebook.centroids),
+                            counts=np.asarray(self.codebook.counts),
+                            codes=np.asarray(self.codes))
+
+    @classmethod
+    def load(cls, path: str | Path) -> "PQIndex":
+        with np.load(path) as f:
+            return cls(PQCodebook(jnp.asarray(f["centroids"]),
+                                  jnp.asarray(f["counts"])),
+                       jnp.asarray(f["codes"]))

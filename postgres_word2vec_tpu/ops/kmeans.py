@@ -1,0 +1,147 @@
+"""k-means on TPU — codebook training for all three index families.
+
+The reference trains codebooks off-device with scipy/faiss
+(``create_quantizer`` — scipy kmeans per subspace, quantizer_creation.py:13-29;
+``create_coarse_quantizer`` quantizer_creation.py:31-33; residual variant
+35-52) and encodes vectors with faiss 1-NN in micro-batches of 18
+(pq_index.py:31-63). Here training and encoding are batched Lloyd iterations
+on the MXU:
+
+- assignment is one matmul + argmin per chunk (``x·cᵀ`` dominates; the
+  ``||x||²`` term is assignment-invariant and dropped),
+- the update step is a ``segment_sum`` (a scatter-add XLA handles natively),
+- the per-subspace product-quantizer trains all ``m`` subspaces at once via
+  ``vmap`` — one (m·n·dsub × k) batched matmul per iteration instead of m
+  sequential scipy runs.
+
+Deterministic under a fixed PRNG key. All shapes static; the n axis is
+chunked with ``lax.scan`` (or map) so 3M-row encodes never materialize an
+(n, k) score matrix.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+
+
+class KMeansResult(NamedTuple):
+    centroids: Array  # (k, d) float32
+    counts: Array     # (k,) int32 — cluster sizes at the final assignment
+
+
+def pairwise_sqdist(x: Array, c: Array) -> Array:
+    """Squared L2 distances ``(n, d) × (k, d) → (n, k)`` in float32.
+
+    One MXU matmul plus rank-1 corrections; clamped at 0 against cancellation.
+    """
+    x = x.astype(jnp.float32)
+    c = c.astype(jnp.float32)
+    xx = jnp.sum(x * x, axis=-1, keepdims=True)          # (n, 1)
+    cc = jnp.sum(c * c, axis=-1)                          # (k,)
+    xc = jnp.dot(x, c.T, preferred_element_type=jnp.float32,
+                 precision=lax.Precision.HIGHEST)
+    return jnp.maximum(xx - 2.0 * xc + cc[None, :], 0.0)
+
+
+def assign(x: Array, centroids: Array, *, chunk_size: int = 65536) -> Array:
+    """Nearest-centroid assignment ``(n, d) → (n,) int32``, chunked over n.
+
+    The ``||x||²`` term doesn't affect the argmin, so the chunk body is a
+    single matmul + bias + argmin.
+    """
+    n = x.shape[0]
+    c = centroids.astype(jnp.float32)
+    cc = jnp.sum(c * c, axis=-1)
+
+    def chunk_fn(xc_chunk: Array) -> Array:
+        scores = jnp.dot(xc_chunk.astype(jnp.float32), c.T,
+                         preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST)
+        return jnp.argmin(cc[None, :] - 2.0 * scores, axis=-1).astype(jnp.int32)
+
+    if n <= chunk_size:
+        return chunk_fn(x)
+    pad = (-n) % chunk_size
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    xp = xp.reshape(-1, chunk_size, x.shape[1])
+    out = lax.map(chunk_fn, xp)
+    return out.reshape(-1)[:n]
+
+
+def _lloyd_step(x: Array, centroids: Array) -> tuple[Array, Array]:
+    k = centroids.shape[0]
+    a = assign(x, centroids)
+    sums = jax.ops.segment_sum(x.astype(jnp.float32), a, num_segments=k)
+    counts = jax.ops.segment_sum(jnp.ones((x.shape[0],), jnp.float32), a,
+                                 num_segments=k)
+    # Empty clusters keep their previous centroid (deterministic; matches the
+    # effective behavior of repeated Lloyd passes over a fixed sample).
+    new_c = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None],
+                                                              1.0), centroids)
+    return new_c, counts.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def kmeans(key: Array, x: Array, k: int, iters: int = 10) -> KMeansResult:
+    """Lloyd's k-means: ``(n, d) → (k, d)`` with final-assignment counts.
+
+    Parity: ``scipy.cluster.vq.kmeans(…, iter=10)`` as used by
+    quantizer_creation.py:25; 10 iterations is the reference default.
+    Initialization: k distinct rows sampled without replacement.
+    """
+    n = x.shape[0]
+    init_idx = jax.random.choice(key, n, shape=(k,), replace=False)
+    init = x[init_idx].astype(jnp.float32)
+
+    def body(c, _):
+        new_c, counts = _lloyd_step(x, c)
+        return new_c, counts
+
+    centroids, counts_hist = lax.scan(body, init, None, length=iters)
+    return KMeansResult(centroids, counts_hist[-1])
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def kmeans_subspaces(key: Array, x_sub: Array, k: int,
+                     iters: int = 10) -> KMeansResult:
+    """Product-quantizer training: ``(m, n, dsub) → (m, k, dsub)``.
+
+    All m subspace k-means runs execute as one vmapped batch — parity with
+    ``create_quantizer``'s per-subspace loop (quantizer_creation.py:13-29).
+    """
+    m = x_sub.shape[0]
+    keys = jax.random.split(key, m)
+    return jax.vmap(lambda kk, xs: kmeans(kk, xs, k=k, iters=iters))(keys,
+                                                                     x_sub)
+
+
+def split_subspaces(x: Array, m: int) -> Array:
+    """``(n, d) → (m, n, d/m)`` — subspace view used by PQ training/encoding."""
+    n, d = x.shape
+    if d % m != 0:
+        raise ValueError(f"dimension {d} not divisible by m={m}")
+    return jnp.moveaxis(x.reshape(n, m, d // m), 1, 0)
+
+
+def encode_subspaces(x: Array, codebooks: Array, *,
+                     chunk_size: int = 65536) -> Array:
+    """PQ-encode: ``(n, d) × (m, k, dsub) → (n, m)`` small-int codes.
+
+    Replaces the faiss per-subspace 1-NN encode loop (pq_index.py:31-63).
+    Code dtype is uint8 when k ≤ 256 (the shipped-config regime), else int16
+    — parity note: the reference stores int2 codes either way
+    (pq_index.py:106; SURVEY §2.3).
+    """
+    m, k, dsub = codebooks.shape
+    x_sub = split_subspaces(x, m)  # (m, n, dsub)
+    codes = jax.vmap(lambda xs, cb: assign(xs, cb, chunk_size=chunk_size))(
+        x_sub, codebooks)          # (m, n)
+    dtype = jnp.uint8 if k <= 256 else jnp.int16
+    return codes.T.astype(dtype)   # (n, m)

@@ -1,0 +1,98 @@
+"""Top-k maintenance, TPU-shaped.
+
+The reference maintains top-k with a branchy sorted-array insert executed per
+candidate (``updateTopK``, index_utils.c:19-33) and a "fast PV" variant that
+appends to a buffer and periodically qsorts (ivpq_search_in.c:40-57). Neither
+shape survives on TPU. Here:
+
+- dense score blocks go through ``jax.lax.top_k`` (exact) or
+  ``jax.lax.approx_max_k`` (the TPU-optimized two-stage bucketed reduction —
+  hardware-accelerated PartialReduce, the same op family as TPU-KNN), and
+- streaming over N happens as a ``lax.scan`` over fixed-size chunks with a
+  running top-k merged by concat + re-top-k — the functional analog of the
+  reference's append+qsort trick, with static shapes throughout.
+
+Distances are "smaller is better" everywhere in this module unless a function
+says otherwise; internally we negate and use max-k.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+
+
+def top_k_smallest(dists: Array, k: int, *, approx: bool = False,
+                   recall_target: float = 0.95) -> tuple[Array, Array]:
+    """Top-k smallest values along the last axis → (values, indices).
+
+    ``approx=True`` uses ``lax.approx_min_k`` which maps onto the TPU's
+    optimized partial-reduce top-k (falls back to exact on CPU).
+    """
+    if approx:
+        return lax.approx_min_k(dists, k=k, recall_target=recall_target)
+    neg, idx = lax.top_k(-dists, k)
+    return -neg, idx
+
+
+def top_k_largest(scores: Array, k: int, *, approx: bool = False,
+                  recall_target: float = 0.95) -> tuple[Array, Array]:
+    """Top-k largest values along the last axis → (values, indices)."""
+    if approx:
+        return lax.approx_max_k(scores, k=k, recall_target=recall_target)
+    return lax.top_k(scores, k)
+
+
+def merge_top_k_smallest(vals_a: Array, idx_a: Array, vals_b: Array,
+                         idx_b: Array, k: int) -> tuple[Array, Array]:
+    """Merge two (…, ka)/(…, kb) smallest-value top-k sets into top-k."""
+    vals = jnp.concatenate([vals_a, vals_b], axis=-1)
+    idx = jnp.concatenate([idx_a, idx_b], axis=-1)
+    neg, pos = lax.top_k(-vals, k)
+    return -neg, jnp.take_along_axis(idx, pos, axis=-1)
+
+
+def chunked_top_k_smallest(
+    score_chunk_fn: Callable[[int], Array],
+    num_items: int,
+    chunk_size: int,
+    k: int,
+    batch_shape: tuple[int, ...],
+    *,
+    approx: bool = False,
+) -> tuple[Array, Array]:
+    """Streaming top-k-smallest over an item axis computed chunk by chunk.
+
+    ``score_chunk_fn(start)`` must return distances of shape
+    ``(*batch_shape, chunk_size)`` for items ``[start, start+chunk_size)``;
+    out-of-range tail items must be scored ``+inf`` by the caller (or the
+    caller pads ``num_items`` up). Returns global (values, indices) of shape
+    ``(*batch_shape, k)``.
+
+    This replaces the reference's per-row ``updateTopK`` scan
+    (e.g. freddy.c:117-132) with a fixed-shape scan whose chunk body is one
+    dense kernel — candidates never leave the device.
+    """
+    num_chunks = -(-num_items // chunk_size)
+    init_vals = jnp.full((*batch_shape, k), jnp.inf, dtype=jnp.float32)
+    init_idx = jnp.full((*batch_shape, k), -1, dtype=jnp.int32)
+
+    def body(carry, c):
+        run_vals, run_idx = carry
+        start = c * chunk_size
+        d = score_chunk_fn(start).astype(jnp.float32)
+        c_vals, c_pos = top_k_smallest(d, min(k, chunk_size), approx=approx)
+        c_idx = (c_pos + start).astype(jnp.int32)
+        run_vals, run_idx = merge_top_k_smallest(run_vals, run_idx, c_vals,
+                                                 c_idx, k)
+        return (run_vals, run_idx), None
+
+    (vals, idx), _ = lax.scan(body, (init_vals, init_idx),
+                              jnp.arange(num_chunks))
+    return vals, idx

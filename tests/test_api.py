@@ -1,0 +1,203 @@
+import numpy as np
+import pytest
+
+from postgres_word2vec_tpu import Freddy, VectorStore
+from postgres_word2vec_tpu.models.ivpq import EXACT_CALC
+
+
+def _make_store(n=400, d=24, seed=11):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    # plant an analogy parallelogram: king - man + woman = queen
+    royal = rng.normal(size=d).astype(np.float32) * 2
+    g_m = rng.normal(size=d).astype(np.float32) * 2
+    g_f = rng.normal(size=d).astype(np.float32) * 2
+    vecs[0] = g_m                 # man
+    vecs[1] = g_f                 # woman
+    vecs[2] = royal + g_m         # king
+    vecs[3] = royal + g_f + 0.01  # queen
+    words = ["man", "woman", "king", "queen"] + [
+        f"w{i}" for i in range(4, n)]
+    return VectorStore.from_arrays(words, vecs)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    store = _make_store()
+    return Freddy.build(store, seed=0, pq_m=6, pq_k=16, ivfadc_m=6,
+                        ivfadc_k=16, k_coarse=10, ivpq_m=6, ivpq_k=8,
+                        ivpq_k_coarse=4, train_size=None, iters=8)
+
+
+def test_knn_exact_returns_self_first(engine):
+    res = engine.knn("w10", 5)
+    assert res[0][0] == "w10"
+    assert res[0][1] == pytest.approx(1.0, abs=1e-4)
+    sims = [s for _, s in res]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_knn_with_vector_query(engine):
+    v = np.asarray(engine.store.vector_for("w10"))
+    res = engine.knn(v, 3)
+    assert res[0][0] == "w10"
+
+
+def test_knn_dispatch_pq(engine):
+    engine.set_knn_function("k_nearest_neighbour_pq")
+    try:
+        res = engine.knn("w10", 5)
+        assert len(res) == 5
+    finally:
+        engine.set_knn_function("k_nearest_neighbour")
+
+
+def test_knn_pq_pv_close_to_exact(engine):
+    exact = {w for w, _ in engine.k_nearest_neighbour("w20", 10)}
+    pv = {w for w, _ in engine.k_nearest_neighbour_pq_pv("w20", 10)}
+    assert len(exact & pv) >= 6
+
+
+def test_knn_ivfadc(engine):
+    res = engine.k_nearest_neighbour_ivfadc("w30", 5)
+    assert res[0][0] == "w30"
+
+
+def test_knn_in(engine):
+    res = engine.knn_in("w10", 3, ["w20", "w30", "w40", "w50"])
+    assert len(res) == 3
+    assert {w for w, _ in res} <= {"w20", "w30", "w40", "w50"}
+
+
+def test_knn_in_with_ids(engine):
+    res = engine.knn_in("w10", 2, [20, 30, 40])
+    assert {w for w, _ in res} <= {"w20", "w30", "w40"}
+
+
+def test_knn_batch(engine):
+    rows = engine.knn_batch(["w10", "w20"], 3)
+    qs = {q for q, _, _ in rows}
+    assert qs == {"w10", "w20"}
+    assert len(rows) == 6
+
+
+def test_knn_join_exact(engine):
+    targets = [f"w{i}" for i in range(4, 104)]
+    rows = engine.knn_join(["w10", "w20", "w30"], 2, targets)
+    assert len(rows) == 6
+    for q, t, s in rows:
+        assert t in targets
+
+
+def test_knn_join_ivpq_matches_exact_with_method1(engine):
+    engine.set_method_flag(EXACT_CALC)
+    engine.set_alpha(10**6)
+    try:
+        targets = [f"w{i}" for i in range(4, 204)]
+        exact = engine.knn_search_in_batch(["w10", "w20"], 3, targets)
+        ivpq = engine.knn_in_ivpq_batch(["w10", "w20"], 3, targets)
+        assert {(q, t) for q, t, _ in exact} == {(q, t) for q, t, _ in ivpq}
+    finally:
+        engine.set_method_flag(0)
+        engine.set_alpha(3)
+
+
+def test_analogy_3cosadd(engine):
+    assert engine.analogy("man", "woman", "king") == "queen"
+
+
+def test_analogy_3cosmul(engine):
+    assert engine.analogy_3cosmul("man", "woman", "king") == "queen"
+
+
+def test_analogy_in(engine):
+    got = engine.analogy_in("man", "woman", "king",
+                            ["queen", "w10", "w20"])
+    assert got == "queen"
+
+
+def test_analogy_accelerated(engine):
+    assert engine.analogy_3cosadd_pq("man", "woman", "king") == "queen"
+    assert engine.analogy_3cosadd_ivfadc("man", "woman", "king") == "queen"
+    assert engine.analogy_3cosadd_in_pq(
+        "man", "woman", "king", ["queen", "w10", "w20", "w30"]) == "queen"
+    assert engine.analogy_3cosadd_in_ivpq(
+        "man", "woman", "king", ["queen", "w10", "w20", "w30"]) == "queen"
+
+
+def test_analogy_pair_direction_runs(engine):
+    res = engine.analogy_pair_direction("man", "woman", "king")
+    assert isinstance(res, str) and res not in {"man", "woman", "king"}
+
+
+def test_grouping(engine):
+    rows = engine.groups(["w10", "w20", "w30"], ["w40", "w50"])
+    assert len(rows) == 3
+    for tok, grp in rows:
+        assert grp in {"w40", "w50"}
+    # PQ variant agrees mostly with exact on an easy instance
+    rows_pq = engine.grouping_func_pq(["w10", "w20", "w30"], ["w40", "w50"])
+    assert len(rows_pq) == 3
+
+
+def test_cluster(engine):
+    tokens = [f"w{i}" for i in range(4, 44)]
+    rows = engine.cluster(tokens, 3)
+    assert len(rows) == 40
+    clusters = {c for _, c in rows}
+    assert clusters <= {1, 2, 3}
+    assert len(clusters) >= 2
+
+
+def test_tokenize(engine):
+    v = engine.tokenize("w10 w20")
+    assert v is not None
+    np.testing.assert_allclose(np.linalg.norm(v), 1.0, rtol=1e-5)
+    raw = engine.tokenize_raw("w10 w20")
+    want = (np.asarray(engine.store.vector_for("w10", normalized=False))
+            + np.asarray(engine.store.vector_for("w20",
+                                                 normalized=False))) / 2
+    np.testing.assert_allclose(raw, want, rtol=1e-5)
+    assert engine.tokenize("zzz_unknown") is None
+
+
+def test_create_statistics_and_use(engine):
+    domain = [f"w{i}" for i in range(4, 104)]
+    engine.create_statistics("stat_test", domain)
+    assert engine.params.statistics_table == "stat_test"
+    s = np.asarray(engine.statistics["stat_test"])
+    assert s.shape == (engine.ivpq.num_cells + 1,)
+    assert s[-1] == 100
+    rows = engine.knn_in_ivpq_batch(["w10"], 3, domain)
+    assert len(rows) == 3
+    engine.set_statistics_table(None)
+
+
+def test_set_statistics_table_unknown_raises(engine):
+    with pytest.raises(KeyError):
+        engine.set_statistics_table("nope")
+
+
+def test_insert_batch(engine):
+    n0 = engine.store.size
+    inserted = engine.insert_batch(["w10 w20", "w10", "totally unknown"])
+    # "w10" is an existing word?  No — terms are inserted as whole strings;
+    # "w10" exists in the vocab so it is skipped; "w10 w20" is new;
+    # "totally unknown" has no known words → skipped.
+    assert inserted == 1
+    assert engine.store.size == n0 + 1
+    assert "w10 w20" in engine.store
+    # the new term is searchable through every index
+    res = engine.knn("w10 w20", 3)
+    assert res[0][0] == "w10 w20"
+    res_pq = engine.k_nearest_neighbour_pq("w10 w20", 3)
+    assert len(res_pq) == 3
+
+
+def test_missing_index_raises():
+    store = _make_store(50)
+    f = Freddy(store)
+    with pytest.raises(RuntimeError):
+        f.k_nearest_neighbour_pq("w10", 3)
+    # exact paths still work
+    assert f.knn("w10", 2)[0][0] == "w10"

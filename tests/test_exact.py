@@ -1,0 +1,67 @@
+import jax.numpy as jnp
+import numpy as np
+
+from postgres_word2vec_tpu.models.exact import ExactIndex
+
+
+def _brute(q, v, k):
+    d = ((q[:, None, :] - v[None, :, :]) ** 2).sum(-1)
+    idx = np.argsort(d, -1)[:, :k]
+    return np.take_along_axis(d, idx, -1), idx
+
+
+def test_exact_search_small(rng):
+    v = rng.normal(size=(500, 16)).astype(np.float32)
+    q = rng.normal(size=(3, 16)).astype(np.float32)
+    idx = ExactIndex(jnp.asarray(v))
+    d, i = idx.search(jnp.asarray(q), 5)
+    wd, wi = _brute(q, v, 5)
+    np.testing.assert_allclose(np.asarray(d), wd, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), wi)
+
+
+def test_exact_search_chunked(rng):
+    # force the chunked path with a chunk smaller than n
+    from postgres_word2vec_tpu.models.exact import exact_top_k
+    v = rng.normal(size=(1000, 8)).astype(np.float32)
+    q = rng.normal(size=(2, 8)).astype(np.float32)
+    d, i = exact_top_k(jnp.asarray(q), jnp.asarray(v), 7, chunk_size=128)
+    wd, wi = _brute(q, v, 7)
+    np.testing.assert_allclose(np.asarray(d), wd, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), wi)
+
+
+def test_exact_search_in(rng):
+    v = rng.normal(size=(200, 8)).astype(np.float32)
+    q = rng.normal(size=(2, 8)).astype(np.float32)
+    idx = ExactIndex(jnp.asarray(v))
+    targets = np.array([3, 77, 150, 42, 9], np.int32)
+    d, i = idx.search_in(jnp.asarray(q), 3, jnp.asarray(targets))
+    dt = ((q[:, None, :] - v[targets][None, :, :]) ** 2).sum(-1)
+    order = np.argsort(dt, -1)[:, :3]
+    np.testing.assert_array_equal(np.asarray(i), targets[order])
+
+
+def test_exact_search_in_fewer_targets_than_k(rng):
+    v = rng.normal(size=(50, 8)).astype(np.float32)
+    q = rng.normal(size=(1, 8)).astype(np.float32)
+    idx = ExactIndex(jnp.asarray(v))
+    targets = np.array([3, 7], np.int32)
+    d, i = idx.search_in(jnp.asarray(q), 5, jnp.asarray(targets))
+    assert d.shape == (1, 5) and i.shape == (1, 5)
+    assert set(np.asarray(i)[0, :2].tolist()) == {3, 7}
+    assert (np.asarray(i)[0, 2:] == -1).all()
+
+
+def test_bfloat16_mode_close_to_f32(rng):
+    v = rng.normal(size=(400, 32)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    q = v[:2] + rng.normal(scale=0.01, size=(2, 32)).astype(np.float32)
+    f32 = ExactIndex(jnp.asarray(v), "float32")
+    bf16 = ExactIndex(jnp.asarray(v), "bfloat16")
+    _, i32 = f32.search(jnp.asarray(q), 10)
+    _, i16 = bf16.search(jnp.asarray(q), 10)
+    # top-1 must agree; top-10 heavy overlap
+    np.testing.assert_array_equal(np.asarray(i32)[:, 0], np.asarray(i16)[:, 0])
+    overlap = len(set(np.asarray(i32).ravel()) & set(np.asarray(i16).ravel()))
+    assert overlap >= 16

@@ -1,0 +1,178 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import stats as sps
+
+from postgres_word2vec_tpu.models import ivpq as ivpq_mod
+from postgres_word2vec_tpu.models.ivpq import (EXACT_CALC, IVPQIndex, PQ_CALC,
+                                               PQ_PV_CALC, confidence_hyp)
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=(4000, 24)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    return v
+
+
+@pytest.fixture(scope="module")
+def idx(dataset):
+    return IVPQIndex.build(jax.random.PRNGKey(2), jnp.asarray(dataset),
+                           m=6, k=16, k_coarse=8, coarse_positions=2,
+                           train_size=None, iters=8)
+
+
+def _exact_join(q, v, targets, k):
+    d = ((q[:, None, :] - v[targets][None, :, :]) ** 2).sum(-1)
+    order = np.argsort(d, -1)[:, :k]
+    return targets[order]
+
+
+def test_confidence_matches_closed_form():
+    # compare against the reference formula evaluated with scipy's erf-free
+    # normal CDF: conf = 1 - Phi((expect-0.5-mu)/sig)
+    for expect, size, p, stat in [(10, 1000, 0.05, 4000),
+                                  (5, 200, 0.5, 4000), (3, 50, 0.01, 4000)]:
+        mu = size * p
+        sig = np.sqrt(size * p * (1 - p)) * ((stat - size) / (stat - 1))
+        want = 1.0 - sps.norm.cdf((expect - 0.5 - mu) / sig)
+        got = float(confidence_hyp(expect, size, p, stat))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+    # expect > size → 0
+    assert float(confidence_hyp(100, 50, 0.5, 4000)) == 0.0
+    # p = 0 → sig 0, mu 0 → step: conf 0 for positive expect
+    assert float(confidence_hyp(5, 100, 0.0, 4000)) == 0.0
+
+
+def test_cell_assignment_combination(idx, dataset):
+    cells = np.asarray(idx.cell_of)
+    assert cells.min() >= 0 and cells.max() < idx.num_cells
+    # recompute by hand from the coarse centroids
+    c = np.asarray(idx.coarse.centroids)  # (2, 8, 12)
+    v = dataset
+    c0 = ((v[:, None, :12] - c[0][None]) ** 2).sum(-1).argmin(-1)
+    c1 = ((v[:, None, 12:] - c[1][None]) ** 2).sum(-1).argmin(-1)
+    np.testing.assert_array_equal(cells, c0 + 8 * c1)
+
+
+def test_cell_distances_ordering(idx, dataset):
+    q = jnp.asarray(dataset[:5])
+    cd = np.asarray(ivpq_mod.cell_distances(q, idx.coarse.centroids))
+    assert cd.shape == (5, 64)
+    # own cell should be among the nearest few for a db vector
+    own = np.asarray(idx.cell_of)[:5]
+    ranks = np.argsort(np.argsort(cd, -1), -1)
+    assert (ranks[np.arange(5), own] < 5).all()
+
+
+def test_method1_with_high_alpha_is_exact(idx, dataset):
+    """method=1 (exact distances) + huge alpha (select all cells) must equal
+    brute force within the target set — the reference's own ground-truth
+    recipe (ivpq_evaluation.py:33-43)."""
+    rng = np.random.default_rng(0)
+    q = dataset[:10]
+    targets = rng.choice(4000, size=500, replace=False).astype(np.int32)
+    d, i = idx.search_join(jnp.asarray(q), 5, jnp.asarray(targets),
+                           vectors=jnp.asarray(dataset), alpha=10**6,
+                           method=EXACT_CALC, confidence=0.99)
+    want = _exact_join(q, dataset, targets, 5)
+    np.testing.assert_array_equal(np.asarray(i), want)
+
+
+def test_methods_recall_ordering(idx, dataset):
+    rng = np.random.default_rng(1)
+    q = dataset[:40]
+    targets = rng.choice(4000, size=1000, replace=False).astype(np.int32)
+    want = _exact_join(q, dataset, targets, 5)
+
+    def recall(method, alpha, pvf=10):
+        d, i = idx.search_join(jnp.asarray(q), 5, jnp.asarray(targets),
+                               vectors=jnp.asarray(dataset), alpha=alpha,
+                               pvf=pvf, method=method, confidence=0.8)
+        return sum(len(set(a) & set(e))
+                   for a, e in zip(np.asarray(i), want)) / want.size
+
+    r_adc = recall(PQ_CALC, 100)
+    r_pv = recall(PQ_PV_CALC, 100)
+    r_exact = recall(EXACT_CALC, 100)
+    assert r_exact >= r_pv - 0.02
+    assert r_pv >= r_adc - 0.02
+    # random data has no cluster structure, so cell probing at moderate
+    # alpha caps recall well below 1.0 — these are sanity floors, the
+    # exact-parity guarantee is test_method1_with_high_alpha_is_exact.
+    assert r_exact > 0.6
+    assert r_pv > 0.45
+
+
+def test_alpha_increases_candidates(idx, dataset):
+    """larger alpha → more cells probed → recall must not drop."""
+    rng = np.random.default_rng(2)
+    q = dataset[:30]
+    targets = rng.choice(4000, size=800, replace=False).astype(np.int32)
+    want = _exact_join(q, dataset, targets, 5)
+
+    def recall(alpha):
+        _, i = idx.search_join(jnp.asarray(q), 5, jnp.asarray(targets),
+                               vectors=jnp.asarray(dataset), alpha=alpha,
+                               method=PQ_CALC, confidence=0.8, max_rounds=1)
+        return sum(len(set(a) & set(e))
+                   for a, e in zip(np.asarray(i), want)) / want.size
+
+    assert recall(100) >= recall(1) - 0.05
+
+
+def test_escalation_fills_k(idx, dataset):
+    """tiny alpha with escalation must still return k real neighbors."""
+    rng = np.random.default_rng(3)
+    q = dataset[:8]
+    targets = rng.choice(4000, size=100, replace=False).astype(np.int32)
+    d, i = idx.search_join(jnp.asarray(q), 5, jnp.asarray(targets),
+                           vectors=jnp.asarray(dataset), alpha=1,
+                           method=PQ_CALC, confidence=0.9)
+    assert (np.asarray(i) >= 0).all()
+
+
+def test_statistics_shape_and_usage(idx, dataset):
+    domain = jnp.arange(0, 4000, 3, dtype=jnp.int32)
+    stats = ivpq_mod.build_statistics(idx.cell_of, domain, idx.num_cells)
+    s = np.asarray(stats)
+    assert s.shape == (65,)
+    np.testing.assert_allclose(s[:64].sum(), 1.0, rtol=1e-5)
+    assert s[64] == len(domain)
+    # search works with explicit statistics
+    q = dataset[:4]
+    targets = np.arange(0, 4000, 3, dtype=np.int32)
+    d, i = idx.search_join(jnp.asarray(q), 3, jnp.asarray(targets),
+                           statistics=stats, alpha=20, method=PQ_CALC)
+    assert (np.asarray(i) >= 0).all()
+
+
+def test_double_codes_equal_normal(idx, dataset):
+    """long_codes_threshold=0 forces fused-pair LUTs; distances identical."""
+    rng = np.random.default_rng(4)
+    q = dataset[:6]
+    targets = rng.choice(4000, size=300, replace=False).astype(np.int32)
+    d1, i1 = idx.search_join(jnp.asarray(q), 5, jnp.asarray(targets),
+                             alpha=10**6, method=PQ_CALC,
+                             long_codes_threshold=1e12)
+    d2, i2 = idx.search_join(jnp.asarray(q), 5, jnp.asarray(targets),
+                             alpha=10**6, method=PQ_CALC,
+                             long_codes_threshold=0)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_add_and_roundtrip(idx, dataset, tmp_path):
+    rng = np.random.default_rng(6)
+    new = rng.normal(size=(4, 24)).astype(np.float32)
+    new /= np.linalg.norm(new, axis=-1, keepdims=True)
+    idx2 = idx.add(jnp.asarray(new))
+    assert idx2.size == idx.size + 4
+    assert np.asarray(idx2.coarse.cell_counts).sum() == 4004
+    p = tmp_path / "ivpq.npz"
+    idx2.save(p)
+    idx3 = IVPQIndex.load(p)
+    np.testing.assert_array_equal(np.asarray(idx3.codes),
+                                  np.asarray(idx2.codes))

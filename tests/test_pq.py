@@ -1,0 +1,112 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from postgres_word2vec_tpu.models.pq import PQIndex, online_codebook_update
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    rng = np.random.default_rng(42)
+    v = rng.normal(size=(2000, 24)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    return v
+
+
+@pytest.fixture(scope="module")
+def pq(dataset):
+    return PQIndex.build(jax.random.PRNGKey(0), jnp.asarray(dataset), m=6,
+                         k=16, train_size=None, iters=10)
+
+
+def _recall(approx_ids, exact_ids):
+    hits = sum(len(set(a) & set(e)) for a, e in zip(approx_ids, exact_ids))
+    return hits / exact_ids.size
+
+
+def _exact_ids(q, v, k):
+    d = ((q[:, None, :] - v[None, :, :]) ** 2).sum(-1)
+    return np.argsort(d, -1)[:, :k]
+
+
+def test_pq_shapes(pq, dataset):
+    assert pq.codes.shape == (2000, 6)
+    assert pq.codes.dtype == jnp.uint8
+    assert pq.codebook.centroids.shape == (6, 16, 4)
+    # counts sum to n per subspace
+    np.testing.assert_array_equal(np.asarray(pq.codebook.counts).sum(-1),
+                                  [2000] * 6)
+
+
+def test_pq_recall_reasonable(pq, dataset):
+    q = dataset[:20]
+    _, ids = pq.search(jnp.asarray(q), 10)
+    exact = _exact_ids(q, dataset, 10)
+    r = _recall(np.asarray(ids), exact)
+    assert r > 0.25, f"PQ recall@10 too low: {r}"
+    # self-match: query is in the DB; its code distance should rank it high
+    assert np.asarray(ids)[0, :10].tolist().count(0) <= 1
+
+
+def test_pq_pv_improves_recall(pq, dataset):
+    q = dataset[:20]
+    _, ids_plain = pq.search(jnp.asarray(q), 10)
+    _, ids_pv = pq.search_pv(jnp.asarray(q), 10, pvf=10,
+                             vectors=jnp.asarray(dataset))
+    exact = _exact_ids(q, dataset, 10)
+    r_plain = _recall(np.asarray(ids_plain), exact)
+    r_pv = _recall(np.asarray(ids_pv), exact)
+    assert r_pv >= r_plain
+    assert r_pv > 0.8, f"PQ+PV recall@10 too low: {r_pv}"
+
+
+def test_pq_search_in_matches_exhaustive_on_subset(pq, dataset):
+    q = dataset[:3]
+    targets = np.arange(0, 2000, 7, dtype=np.int32)
+    d_in, i_in = pq.search_in(jnp.asarray(q), 5, jnp.asarray(targets))
+    # exhaustive ADC distances restricted by hand
+    from postgres_word2vec_tpu.ops import adc, lut
+    luts = lut.build_luts(jnp.asarray(q), pq.codebook.centroids)
+    full = np.asarray(adc.adc_distances(luts, pq.codes))
+    sub = full[:, targets]
+    order = np.argsort(sub, -1)[:, :5]
+    np.testing.assert_allclose(np.asarray(d_in),
+                               np.take_along_axis(sub, order, -1), rtol=1e-5)
+
+
+def test_online_add_updates_codebook_and_codes(pq, dataset):
+    rng = np.random.default_rng(7)
+    new = rng.normal(size=(5, 24)).astype(np.float32)
+    new /= np.linalg.norm(new, axis=-1, keepdims=True)
+    pq2 = pq.add(jnp.asarray(new))
+    assert pq2.size == pq.size + 5
+    # counts grew by exactly 5 per subspace
+    np.testing.assert_array_equal(np.asarray(pq2.codebook.counts).sum(-1),
+                                  [2005] * 6)
+    # centroids moved (running mean) but only slightly
+    delta = np.abs(np.asarray(pq2.codebook.centroids)
+                   - np.asarray(pq.codebook.centroids)).max()
+    assert 0 < delta < 0.5
+
+
+def test_online_update_running_mean_math():
+    # one centroid per subspace → closed-form running mean
+    from postgres_word2vec_tpu.models.pq import PQCodebook
+    cb = PQCodebook(jnp.zeros((1, 1, 2)), jnp.asarray([[2]], jnp.int32))
+    x = jnp.asarray([[3.0, 6.0]])
+    cb2, codes = online_codebook_update(cb, x)
+    # count 2 → 3, c = 0 + (x-0)/3
+    np.testing.assert_allclose(np.asarray(cb2.centroids)[0, 0], [1.0, 2.0],
+                               rtol=1e-6)
+    assert int(cb2.counts[0, 0]) == 3
+    assert codes.shape == (1, 1)
+
+
+def test_save_load_roundtrip(pq, tmp_path):
+    p = tmp_path / "pq.npz"
+    pq.save(p)
+    pq2 = PQIndex.load(p)
+    np.testing.assert_array_equal(np.asarray(pq2.codes), np.asarray(pq.codes))
+    np.testing.assert_allclose(np.asarray(pq2.codebook.centroids),
+                               np.asarray(pq.codebook.centroids))
