@@ -1,0 +1,192 @@
+"""Multi-chip sharding — the framework's scale-out axis.
+
+The reference is single-node/single-process (SURVEY §2.5: no NCCL/MPI/
+anything; its de-facto interconnect is per-query SQL). The TPU build scales
+the two axes that exist in this workload:
+
+- the **N axis** (database rows): vector/code tables are sharded across
+  devices with ``NamedSharding`` on a ``"rows"`` mesh axis; every search
+  computes a per-shard top-k and merges with one ``all_gather`` of k rows
+  per device — collectives ride ICI, candidate row data never moves.
+- the **Q axis** (query batches): sharded on a ``"q"`` mesh axis; queries
+  are embarrassingly parallel, so this axis needs no communication at all.
+
+Codebook training (the framework's "training step") is data-parallel
+k-means: each device assigns its rows and the centroid update reduces
+per-cluster sums/counts with ``psum``.
+
+Everything is ``shard_map`` over a ``Mesh`` + jax collectives; XLA lays out
+the ICI transfers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from postgres_word2vec_tpu.models import exact as exact_mod
+from postgres_word2vec_tpu.ops import adc as adc_mod
+from postgres_word2vec_tpu.ops import topk as topk_ops
+
+Array = jax.Array
+
+ROWS_AXIS = "rows"
+Q_AXIS = "q"
+
+
+def make_mesh(devices=None, *, rows: int | None = None,
+              q: int = 1) -> Mesh:
+    """Build a 2-D ``(rows, q)`` device mesh.
+
+    ``rows`` shards the database axis (communication-bearing), ``q`` shards
+    the query batch (communication-free). Defaults to all devices on the
+    rows axis.
+    """
+    devices = jax.devices() if devices is None else list(devices)
+    n = len(devices)
+    if rows is None:
+        rows = n // q
+    if rows * q != n:
+        raise ValueError(f"{rows}×{q} mesh ≠ {n} devices")
+    dev_array = np.asarray(devices).reshape(rows, q)
+    return Mesh(dev_array, (ROWS_AXIS, Q_AXIS))
+
+
+def shard_rows(x: Array, mesh: Mesh) -> Array:
+    """Place a row-major table with its leading axis sharded over "rows"."""
+    return jax.device_put(x, NamedSharding(mesh, P(ROWS_AXIS)))
+
+
+def replicate(x: Array, mesh: Mesh) -> Array:
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def _merge_global(local_vals: Array, local_idx: Array, k: int,
+                  shard_size: int) -> tuple[Array, Array]:
+    """Inside shard_map: globalize local top-k ids, all-gather over the rows
+    axis, re-merge. Returns replicated (vals, ids) of shape (B, k)."""
+    offset = lax.axis_index(ROWS_AXIS) * shard_size
+    gidx = local_idx + offset
+    all_vals = lax.all_gather(local_vals, ROWS_AXIS, axis=1, tiled=True)
+    all_idx = lax.all_gather(gidx, ROWS_AXIS, axis=1, tiled=True)
+    neg, pos = lax.top_k(-all_vals, k)
+    return -neg, jnp.take_along_axis(all_idx, pos, axis=-1)
+
+
+def sharded_exact_top_k(mesh: Mesh, queries: Array, vectors: Array, k: int,
+                        *, dtype: str = "float32",
+                        valid_rows: int | None = None
+                        ) -> tuple[Array, Array]:
+    """Exact top-k over a rows-sharded ``(N, d)`` table.
+
+    ``queries`` is sharded over the q axis; output is (B, k) with global row
+    ids, sharded the same way. ``valid_rows`` masks padding rows appended to
+    make N divisible by the mesh (their distances become +inf).
+    """
+    n = vectors.shape[0]
+    n_valid = n if valid_rows is None else valid_rows
+    n_rows_shards = mesh.shape[ROWS_AXIS]
+    if n % n_rows_shards != 0:
+        raise ValueError(f"N={n} not divisible by rows={n_rows_shards}; "
+                         "pad first (see pad_rows)")
+    shard_size = n // n_rows_shards
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(Q_AXIS), P(ROWS_AXIS)),
+        out_specs=(P(Q_AXIS), P(Q_AXIS)), check_vma=False)
+    def run(q, v_shard):
+        d, i = exact_mod.exact_top_k(q, v_shard, min(k, shard_size),
+                                     dtype=dtype)
+        offset = lax.axis_index(ROWS_AXIS) * shard_size
+        d = jnp.where(i + offset < n_valid, d, jnp.inf)
+        return _merge_global(d, i, k, shard_size)
+
+    return run(queries, vectors)
+
+
+def sharded_adc_top_k(mesh: Mesh, luts: Array, codes: Array, k: int, *,
+                      valid_rows: int | None = None) -> tuple[Array, Array]:
+    """Exhaustive PQ ADC top-k over a rows-sharded ``(N, m)`` code table
+    (the multi-chip ``pq_search``). LUTs are per-query and replicated over
+    rows; the 36 MB/3M code shard stays put, only k ids/device move."""
+    n = codes.shape[0]
+    n_valid = n if valid_rows is None else valid_rows
+    n_rows_shards = mesh.shape[ROWS_AXIS]
+    if n % n_rows_shards != 0:
+        raise ValueError(f"N={n} not divisible by rows={n_rows_shards}")
+    shard_size = n // n_rows_shards
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(Q_AXIS), P(ROWS_AXIS)),
+        out_specs=(P(Q_AXIS), P(Q_AXIS)), check_vma=False)
+    def run(l, c_shard):
+        d, i = adc_mod.adc_top_k(l, c_shard, min(k, shard_size))
+        offset = lax.axis_index(ROWS_AXIS) * shard_size
+        d = jnp.where(i + offset < n_valid, d, jnp.inf)
+        return _merge_global(d, i, k, shard_size)
+
+    return run(luts, codes)
+
+
+def sharded_kmeans_step(mesh: Mesh, x: Array, centroids: Array
+                        ) -> tuple[Array, Array]:
+    """One data-parallel Lloyd iteration — the framework's training step.
+
+    ``x`` is rows-sharded; centroids are replicated. Per-device assignment
+    (local matmul+argmin) then a ``psum`` of per-cluster sums and counts —
+    the canonical DP gradient-allreduce shape, on ICI.
+    """
+    k = centroids.shape[0]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(ROWS_AXIS), P()),
+        out_specs=(P(), P()), check_vma=False)
+    def step(x_shard, c):
+        a = jnp.argmin(
+            jnp.sum(c * c, -1)[None, :]
+            - 2.0 * jnp.dot(x_shard, c.T,
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST), axis=-1)
+        sums = jax.ops.segment_sum(x_shard, a, num_segments=k)
+        counts = jax.ops.segment_sum(jnp.ones(x_shard.shape[:1],
+                                              jnp.float32), a,
+                                     num_segments=k)
+        sums = lax.psum(sums, ROWS_AXIS)
+        counts = lax.psum(counts, ROWS_AXIS)
+        new_c = jnp.where(counts[:, None] > 0,
+                          sums / jnp.maximum(counts[:, None], 1.0), c)
+        return new_c, counts.astype(jnp.int32)
+
+    return step(x, centroids)
+
+
+def sharded_kmeans(mesh: Mesh, key: Array, x: Array, k: int,
+                   iters: int = 10) -> tuple[Array, Array]:
+    """Full data-parallel k-means over a rows-sharded table (multi-chip
+    ``create_quantizer``). Initialization samples k rows host-side."""
+    n = x.shape[0]
+    init_idx = jax.random.choice(key, n, shape=(k,), replace=False)
+    centroids = replicate(jnp.take(x, init_idx, axis=0).astype(jnp.float32),
+                          mesh)
+    counts = jnp.zeros((k,), jnp.int32)
+    for _ in range(iters):
+        centroids, counts = sharded_kmeans_step(mesh, x, centroids)
+    return centroids, counts
+
+
+def pad_rows(x: Array, multiple: int) -> tuple[Array, int]:
+    """Pad the leading axis to a multiple (returns padded array and the
+    original row count for masking)."""
+    n = x.shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x, n
+    return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)), n

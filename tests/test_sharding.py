@@ -1,0 +1,80 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from postgres_word2vec_tpu.models.exact import exact_top_k
+from postgres_word2vec_tpu.ops import adc, kmeans, lut
+from postgres_word2vec_tpu.parallel import sharding
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must force 8 virtual devices"
+    return sharding.make_mesh(rows=4, q=2)
+
+
+def test_sharded_exact_matches_single_device(mesh, rng):
+    v = rng.normal(size=(800, 16)).astype(np.float32)
+    q = rng.normal(size=(4, 16)).astype(np.float32)
+    vj = sharding.shard_rows(jnp.asarray(v), mesh)
+    d_s, i_s = sharding.sharded_exact_top_k(mesh, jnp.asarray(q), vj, 9)
+    d_1, i_1 = exact_top_k(jnp.asarray(q), jnp.asarray(v), 9)
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_1), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_1))
+
+
+def test_sharded_exact_with_padding(mesh, rng):
+    v = rng.normal(size=(803, 16)).astype(np.float32)
+    q = rng.normal(size=(2, 16)).astype(np.float32)
+    vp, n_valid = sharding.pad_rows(jnp.asarray(v), 4)
+    assert vp.shape[0] == 804 and n_valid == 803
+    d_s, i_s = sharding.sharded_exact_top_k(
+        mesh, jnp.asarray(q), sharding.shard_rows(vp, mesh), 5,
+        valid_rows=n_valid)
+    d_1, i_1 = exact_top_k(jnp.asarray(q), jnp.asarray(v), 5)
+    np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_1))
+    assert (np.asarray(i_s) < 803).all()
+
+
+def test_sharded_adc_matches_single_device(mesh, rng):
+    codes = rng.integers(0, 16, size=(800, 6)).astype(np.uint8)
+    cb = rng.normal(size=(6, 16, 4)).astype(np.float32)
+    q = rng.normal(size=(4, 24)).astype(np.float32)
+    luts = lut.build_luts(jnp.asarray(q), jnp.asarray(cb))
+    d_s, i_s = sharding.sharded_adc_top_k(
+        mesh, luts, sharding.shard_rows(jnp.asarray(codes), mesh), 7)
+    d_1, i_1 = adc.adc_top_k(luts, jnp.asarray(codes), 7)
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_1), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_1))
+
+
+def test_sharded_kmeans_step_matches_single_device(mesh, rng):
+    x = rng.normal(size=(400, 8)).astype(np.float32)
+    c0 = x[:5].copy()
+    c_s, counts_s = sharding.sharded_kmeans_step(
+        mesh, sharding.shard_rows(jnp.asarray(x), mesh), jnp.asarray(c0))
+    c_1, counts_1 = kmeans._lloyd_step(jnp.asarray(x), jnp.asarray(c0))
+    np.testing.assert_allclose(np.asarray(c_s), np.asarray(c_1), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(counts_s), np.asarray(counts_1))
+
+
+def test_sharded_kmeans_full(mesh, rng):
+    centers = np.array([[5, 0, 0, 0], [-5, 0, 0, 0], [0, 5, 0, 0]],
+                       np.float32)
+    x = np.concatenate([c + rng.normal(scale=0.2, size=(80, 4))
+                        for c in centers]).astype(np.float32)
+    xs = sharding.shard_rows(jnp.asarray(x), mesh)
+    c, counts = sharding.sharded_kmeans(mesh, jax.random.PRNGKey(0), xs, 3,
+                                        iters=8)
+    d = np.linalg.norm(centers[:, None, :] - np.asarray(c)[None], axis=-1)
+    assert d.min(axis=1).max() < 0.3
+    assert np.asarray(counts).sum() == 240
+
+
+def test_mesh_shape_validation():
+    with pytest.raises(ValueError):
+        sharding.make_mesh(rows=3, q=2)  # 6 ≠ 8 devices
