@@ -1,0 +1,232 @@
+#!/usr/bin/env python3
+"""Benchmark driver — prints ONE JSON line with the headline metric.
+
+Workload mirrors the reference's published table (README.md:115-123,
+BASELINE.md): 3M × 300-d normalized vectors, kNN with k=10, measured on one
+TPU chip. Data is synthetic (zero-egress environment): a 1024-cluster
+mixture, which gives the coarse quantizers realistic structure.
+
+Headline: p50 per-query latency of the fastest batch kNN config whose
+recall@10 (vs float32 exact ground truth) meets the reference's batchwise
+IVFADC operating point (recall ≈ 0.35 at 10 ms/query, README.md:121).
+``vs_baseline`` = 10 ms / ours (>1 is better). All sub-config results ride
+along in the "configs" field.
+
+Timing notes: on the tunneled TPU, ``block_until_ready`` does not guarantee
+completion — every measurement materializes a small result slice to host.
+Per-call dispatch is ~1 ms; batch sizes amortize it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Persistent compilation cache: repeat bench runs skip all XLA compiles.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+SMALL = bool(int(os.environ.get("BENCH_SMALL", "0")))
+N = 307_200 if SMALL else 3_072_000
+D = 300
+K = 10
+EVAL_Q = 256
+BASELINE_MS = 10.0          # FREDDY batchwise IVFADC per-query (README:121)
+BASELINE_RECALL = 0.35
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def materialize(out):
+    for leaf in jax.tree.leaves(out):
+        np.asarray(leaf[..., :1])
+
+
+def timeit(fn, *args, iters=5):
+    out = fn(*args)
+    materialize(out)
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        materialize(out)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)), out
+
+
+def recall_at_k(ids, exact_ids):
+    ids = np.asarray(ids)
+    exact_ids = np.asarray(exact_ids)
+    hits = sum(len(set(a.tolist()) & set(e.tolist()))
+               for a, e in zip(ids, exact_ids))
+    return hits / exact_ids.size
+
+
+def main():
+    from postgres_word2vec_tpu.models.exact import ExactIndex, exact_top_k
+    from postgres_word2vec_tpu.models.ivfadc import IVFADCIndex
+    from postgres_word2vec_tpu.models.pq import PQIndex
+    from postgres_word2vec_tpu.ops import kmeans as km
+
+    log(f"bench: N={N} D={D} devices={jax.devices()}")
+    t0 = time.perf_counter()
+
+    @jax.jit
+    def gen(key):
+        # 1024-cluster mixture with random membership. (A strided tiling
+        # layout makes approx_top_k's bin reduction collide with the true
+        # neighbor structure — neighbors spaced exactly 1024 apart land in
+        # the same bins and recall collapses; random placement matches how
+        # real embedding tables are laid out.)
+        kc, ka, kn = jax.random.split(key, 3)
+        centers = jax.random.normal(kc, (1024, D), jnp.float32)
+        assign = jax.random.randint(ka, (N,), 0, 1024)
+        v = (jnp.take(centers, assign, axis=0)
+             + 0.7 * jax.random.normal(kn, (N, D), jnp.float32))
+        return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+    V = gen(jax.random.PRNGKey(0))
+    np.asarray(V[0, 0])
+    log(f"data generated in {time.perf_counter() - t0:.1f}s")
+
+    queries_eval = V[:EVAL_Q]
+    # float32 exact ground truth
+    t0 = time.perf_counter()
+    _, gt_ids = exact_top_k(queries_eval, V, K, chunk_size=524288)
+    gt_ids = np.asarray(gt_ids)
+    log(f"ground truth in {time.perf_counter() - t0:.1f}s")
+
+    results = {}
+
+    # ---------------------------------------------------------- exact paths
+    try:
+        ex = ExactIndex(V, "bfloat16")
+        t, out = timeit(lambda q: ex.search(q, K, approx=False), V[:1])
+        results["exact_single"] = {
+            "per_query_ms": t * 1e3, "recall": 1.0,
+            "ref_s": 8.79, "note": "exact bf16 full scan, B=1"}
+
+        B = 1024
+        t, out = timeit(lambda q: ex.search(q, K, approx=True), V[:B])
+        _, ids = ex.search(queries_eval, K, approx=True)
+        r = recall_at_k(ids, gt_ids)
+        results["exact_batch"] = {
+            "per_query_ms": t / B * 1e3, "batch": B, "recall": r,
+            "note": "exact bf16 + approx_max_k"}
+    except Exception as e:  # pragma: no cover
+        log(f"exact bench failed: {e!r}")
+
+    # ------------------------------------------------------------- PQ paths
+    try:
+        t0 = time.perf_counter()
+        pq = PQIndex.build(jax.random.PRNGKey(1), V, m=12, k=256,
+                           train_size=100_000, iters=10)
+        pq.transposed_codes()
+        log(f"PQ built in {time.perf_counter() - t0:.1f}s")
+
+        B = 64
+        t, _ = timeit(lambda q: pq.search(q, K), V[:B])
+        _, ids = pq.search(queries_eval, K)
+        r = recall_at_k(ids, gt_ids)
+        results["pq_scan"] = {
+            "per_query_ms": t / B * 1e3, "batch": B, "recall": r,
+            "ref_s": 1.06, "ref_recall": 0.38,
+            "note": "pallas ADC full scan"}
+
+        t, _ = timeit(lambda q: pq.search_pv(q, K, 20, V), V[:B])
+        _, ids = pq.search_pv(queries_eval, K, 20, V)
+        r = recall_at_k(ids, gt_ids)
+        results["pq_pv"] = {
+            "per_query_ms": t / B * 1e3, "batch": B, "recall": r,
+            "ref_s": 1.29, "ref_recall": 0.87,
+            "note": "pallas ADC + exact re-rank pvf=20"}
+    except Exception as e:  # pragma: no cover
+        log(f"pq bench failed: {e!r}")
+
+    # --------------------------------------------------------------- IVFADC
+    try:
+        t0 = time.perf_counter()
+        ivf = IVFADCIndex.build(jax.random.PRNGKey(2), V, m=12, k=256,
+                                k_coarse=1000, train_size=100_000, iters=10)
+        log(f"IVFADC built in {time.perf_counter() - t0:.1f}s "
+            f"(list_cap={ivf.list_cap})")
+        B = 256
+        cap = min(ivf.list_cap, 32768)
+        for w in (3, 8):
+            t, _ = timeit(lambda q: ivf.search(q, K, w=w, list_cap=cap),
+                          V[:B])
+            _, ids = ivf.search(queries_eval, K, w=w, list_cap=cap)
+            r = recall_at_k(ids, gt_ids)
+            results[f"ivfadc_batch_w{w}"] = {
+                "per_query_ms": t / B * 1e3, "batch": B, "recall": r,
+                "w": w, "ref_s": 0.01, "ref_recall": 0.35,
+                "note": f"CSR probe w={w}"}
+    except Exception as e:  # pragma: no cover
+        log(f"ivfadc bench failed: {e!r}")
+
+    # ------------------------------------------------------------- kNN-join
+    try:
+        from postgres_word2vec_tpu.models.ivpq import IVPQIndex
+        t0 = time.perf_counter()
+        nq, nt = (500, 10_000) if SMALL else (5000, 100_000)
+        ivpq = IVPQIndex.build(jax.random.PRNGKey(3), V, m=30, k=32,
+                               k_coarse=32, train_size=100_000, iters=10)
+        log(f"IVPQ built in {time.perf_counter() - t0:.1f}s")
+        tgt = jnp.arange(nt, dtype=jnp.int32)
+        qv = V[N - nq:]
+        t0 = time.perf_counter()
+        d, i = ivpq.search_join(qv, 5, tgt, alpha=100, method=0,
+                                confidence=0.8, query_chunk=512)
+        np.asarray(i[..., :1])
+        join_s = time.perf_counter() - t0
+        # exact join ground truth on a sample of queries
+        _, gt_join = exact_top_k(qv[:EVAL_Q], V[:nt], 5,
+                                 chunk_size=524288)
+        d2, i2 = ivpq.search_join(qv[:EVAL_Q], 5, tgt, alpha=100, method=0,
+                                  confidence=0.8, query_chunk=512)
+        r = recall_at_k(i2, np.asarray(gt_join))
+        results["ivpq_join"] = {
+            "total_s": join_s, "queries": nq, "targets": nt,
+            "qps": nq / join_s, "recall": r, "k": 5, "alpha": 100,
+            "note": "kNN-join method=0 (ADC)"}
+    except Exception as e:  # pragma: no cover
+        log(f"ivpq bench failed: {e!r}")
+
+    # ------------------------------------------------------------- headline
+    eligible = [(name, cfg) for name, cfg in results.items()
+                if "per_query_ms" in cfg and cfg.get("batch", 1) > 1
+                and cfg.get("recall", 0.0) >= BASELINE_RECALL]
+    if eligible:
+        name, best = min(eligible, key=lambda kv: kv[1]["per_query_ms"])
+        value = best["per_query_ms"]
+    else:  # fall back to exact single query
+        name, best = "exact_single", results["exact_single"]
+        value = best["per_query_ms"]
+
+    print(json.dumps({
+        "metric": f"batch_knn_p50_per_query_ms[{name}]",
+        "value": round(value, 4),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / value, 1),
+        "baseline_ms": BASELINE_MS,
+        "baseline_recall": BASELINE_RECALL,
+        "recall": round(best.get("recall", 1.0), 4),
+        "n_vectors": N,
+        "configs": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()

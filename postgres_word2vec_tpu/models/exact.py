@@ -87,22 +87,68 @@ def exact_top_k_in(queries: Array, vectors: Array, target_ids: Array,
     return vals, ids
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("k", "chunk_size", "approx"))
+def exact_top_k_precast(queries: Array, table: Array, norms: Array, k: int,
+                        *, chunk_size: int = 1_048_576,
+                        approx: bool = True) -> tuple[Array, Array]:
+    """Production fast path: pre-cast (e.g. bfloat16) table + precomputed
+    float32 row norms — avoids re-casting N·d floats per query batch (the
+    dominant HBM cost at 3M×300) and defaults to the TPU-optimized
+    ``approx_max_k`` reduction."""
+    n, d = table.shape
+    q = queries.astype(table.dtype)
+    qf = queries.astype(jnp.float32)
+    qq = jnp.sum(qf * qf, axis=-1, keepdims=True)
+    if n <= chunk_size:
+        qv = jnp.dot(q, table.T, preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST)
+        dists = jnp.maximum(qq - 2.0 * qv + norms[None, :], 0.0)
+        return topk_ops.top_k_smallest(dists, min(k, n), approx=approx)
+    pad = (-n) % chunk_size
+    tp = jnp.pad(table, ((0, pad), (0, 0)))
+    np_ = jnp.pad(norms, (0, pad))
+
+    def score_chunk(start):
+        chunk = lax.dynamic_slice(tp, (start, 0), (chunk_size, d))
+        nchunk = lax.dynamic_slice(np_, (start,), (chunk_size,))
+        qv = jnp.dot(q, chunk.T, preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST)
+        dists = jnp.maximum(qq - 2.0 * qv + nchunk[None, :], 0.0)
+        valid = (jnp.arange(chunk_size) + start) < n
+        return jnp.where(valid[None, :], dists, jnp.inf)
+
+    return topk_ops.chunked_top_k_smallest(score_chunk, n + pad, chunk_size,
+                                           k, (queries.shape[0],),
+                                           approx=approx)
+
+
 @dataclasses.dataclass
 class ExactIndex:
     """Brute-force index over an HBM-resident ``(N, d)`` table.
 
     ``compute_dtype``: "float32" for bit-faithful ground truth (tests),
-    "bfloat16" for the production fast path (MXU at 2× rate; float32
-    accumulation keeps ranking error negligible at 300-d).
+    "bfloat16" for the production fast path (MXU at 2× rate with the table
+    pre-cast once; float32 accumulation + float32 row norms keep ranking
+    error negligible at 300-d). ``approx`` switches search() to the TPU
+    hardware-assisted approximate top-k (recall ≥ ~0.95 per lane bucket).
     """
 
     vectors: Array
     compute_dtype: str = "float32"
+    approx: bool = False
 
-    def search(self, queries: Array, k: int, *, approx: bool = False
+    def __post_init__(self) -> None:
+        v = self.vectors.astype(jnp.float32)
+        self._norms = jnp.sum(v * v, axis=-1)
+        self._table = (self.vectors if self.compute_dtype == "float32"
+                       else self.vectors.astype(jnp.dtype(self.compute_dtype)))
+
+    def search(self, queries: Array, k: int, *, approx: bool | None = None
                ) -> tuple[Array, Array]:
-        return exact_top_k(queries, self.vectors, k, approx=approx,
-                           dtype=self.compute_dtype)
+        use_approx = self.approx if approx is None else approx
+        return exact_top_k_precast(queries, self._table, self._norms, k,
+                                   approx=use_approx)
 
     def search_in(self, queries: Array, k: int, target_ids: Array,
                   target_mask: Array | None = None) -> tuple[Array, Array]:

@@ -49,13 +49,21 @@ def grouped_adc_distances(luts: Array, codes: Array) -> Array:
 
     Each leading-dim group (query × probed cell) has its own LUT — the
     residual-ADC pattern of ``ivfadc_search`` (freddy.c:347-373).
+
+    Formulated as a vmapped 1-D gather into each group's flattened
+    ``(m·k,)`` table (a broadcast-then-take_along_axis formulation makes
+    XLA materialize a (groups, L, m, k) intermediate and explodes compile
+    time at probe sizes).
     """
-    c = codes.astype(jnp.int32)
-    luts_e = jnp.broadcast_to(
-        luts[..., None, :, :],
-        (*c.shape[:-1], *luts.shape[-2:])).astype(jnp.float32)
-    gathered = jnp.take_along_axis(luts_e, c[..., None], axis=-1)
-    return jnp.sum(gathered[..., 0], axis=-1)
+    m, k = luts.shape[-2:]
+    lead = codes.shape[:-2]
+    L = codes.shape[-2]
+    flat_luts = luts.astype(jnp.float32).reshape(-1, m * k)
+    idx = (codes.astype(jnp.int32)
+           + (jnp.arange(m, dtype=jnp.int32) * k)[None, :])
+    idx = idx.reshape(-1, L * m)
+    gathered = jax.vmap(lambda t, i: jnp.take(t, i, axis=0))(flat_luts, idx)
+    return gathered.reshape(*lead, L, m).sum(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("w", "k", "list_cap"))

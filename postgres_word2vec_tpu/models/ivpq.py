@@ -44,6 +44,12 @@ from postgres_word2vec_tpu.ops import topk as topk_ops
 
 Array = jax.Array
 
+
+def _use_pallas() -> bool:
+    from postgres_word2vec_tpu.ops import pallas_kernels as pk
+    return pk.supports_pallas()
+
+
 # Distance-phase method flags (parity: index_utils.h:103).
 PQ_CALC = 0
 EXACT_CALC = 1
@@ -141,19 +147,23 @@ def uniform_statistics(cell_counts: Array) -> Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "alpha", "pvf", "method", "use_double"))
+    static_argnames=("k", "alpha", "pvf", "method", "use_double",
+                     "use_pallas"))
 def _ivpq_round(queries: Array, coarse_centroids: Array, codebook_cent: Array,
                 target_codes: Array, target_cells: Array, target_ids: Array,
                 target_mask: Array, statistics: Array, raw_target_vectors,
                 k: int, alpha: int, pvf: int, method: int,
-                confidence: Array, use_double: bool
-                ) -> tuple[Array, Array, Array, Array]:
+                confidence: Array, use_double: bool,
+                use_pallas: bool = False
+                ) -> tuple[Array, Array, Array, Array, Array]:
     """One fixed-shape probe round at a given alpha.
 
-    Returns (sqdists (B,k), global ids (B,k), retrieved (B,), exhausted (B,))
-    where ``retrieved`` counts real candidates seen (the reference's
-    retirement signal) and ``exhausted`` marks queries that probed every
-    cell (the reference's ``lastIteration``).
+    Returns (sqdists (B,k), global ids (B,k), retrieved (B,), exhausted
+    (B,), predicted (B,)) where ``retrieved`` counts real candidates seen
+    (the reference's retirement signal), ``exhausted`` marks queries that
+    probed every cell (the reference's ``lastIteration``), and ``predicted``
+    is the statistics model's expected target count (``TRACK
+    target_count``).
     """
     B = queries.shape[0]
     num_cells = statistics.shape[0] - 1
@@ -172,6 +182,11 @@ def _ivpq_round(queries: Array, coarse_centroids: Array, codebook_cent: Array,
     first = jnp.argmax(satisfied, axis=-1) + 1              # κ = index + 1
     n_sel = jnp.where(any_sat, first, num_cells)            # (B,)
     exhausted = n_sel >= num_cells
+    # statistics-model prediction of how many targets the probed cells hold
+    # (the reference's "TRACK target_count" metric, index_utils.c:412-414).
+    predicted = jnp.take_along_axis(
+        cum_p, (n_sel - 1)[:, None], axis=-1)[:, 0] * t_real.astype(
+            jnp.float32)
 
     # rank of each cell in each query's distance order → selection mask.
     ranks = jnp.argsort(order, axis=-1)                     # inverse perm
@@ -200,9 +215,9 @@ def _ivpq_round(queries: Array, coarse_centroids: Array, codebook_cent: Array,
             kcb = codebook_cent.shape[1]
             dl = lut.build_double_luts(luts)
             fc = lut.fuse_codes(target_codes, kcb)
-            dists = adc.adc_distances(dl, fc)
+            dists = adc.adc_distances_auto(dl, fc, use_pallas)
         else:
-            dists = adc.adc_distances(luts, target_codes)
+            dists = adc.adc_distances_auto(luts, target_codes, use_pallas)
 
     dists = jnp.where(cand, dists, jnp.inf)
 
@@ -215,7 +230,7 @@ def _ivpq_round(queries: Array, coarse_centroids: Array, codebook_cent: Array,
                                     raw_target_vectors_full(
                                         raw_target_vectors, target_ids), k)
         # post_verify gathered within the target-local table; map to global.
-        return vals, ids, retrieved, exhausted
+        return vals, ids, retrieved, exhausted, predicted
 
     k_eff = min(k, dists.shape[1])
     vals, pos = topk_ops.top_k_smallest(dists, k_eff)
@@ -225,7 +240,7 @@ def _ivpq_round(queries: Array, coarse_centroids: Array, codebook_cent: Array,
         vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)),
                        constant_values=jnp.inf)
         ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
-    return vals, ids, retrieved, exhausted
+    return vals, ids, retrieved, exhausted, predicted
 
 
 def raw_target_vectors_full(target_vectors: Array, target_ids: Array):
@@ -294,7 +309,8 @@ class IVPQIndex:
                     long_codes_threshold: float = 1e7,
                     use_targetlists: bool = True,
                     max_rounds: int = 8,
-                    query_chunk: int = 1024) -> tuple[Array, Array]:
+                    query_chunk: int = 1024,
+                    return_info: bool = False):
         """Batched kNN-join (``ivpq_search_in`` parity) → (sqdists, ids).
 
         ``use_targetlists`` is accepted for parity; the reference uses it to
@@ -320,17 +336,27 @@ class IVPQIndex:
                                  jnp.float32))
 
         B = queries.shape[0]
-        out_vals = []
-        out_ids = []
+        out_vals, out_ids, infos = [], [], []
         for start in range(0, B, query_chunk):
             qc = queries[start:start + query_chunk]
-            vals, ids = self._join_chunk(
+            vals, ids, info = self._join_chunk(
                 qc, target_codes, target_cells, target_ids, target_mask,
                 target_vecs, statistics, k, alpha, pvf, method, confidence,
                 long_codes_threshold, max_rounds)
             out_vals.append(vals)
             out_ids.append(ids)
-        return jnp.concatenate(out_vals, 0), jnp.concatenate(out_ids, 0)
+            infos.append(info)
+        vals = jnp.concatenate(out_vals, 0)
+        ids = jnp.concatenate(out_ids, 0)
+        if return_info:
+            merged = {}
+            for key in infos[0]:
+                if hasattr(infos[0][key], "shape"):
+                    merged[key] = jnp.concatenate([i[key] for i in infos], 0)
+                else:
+                    merged[key] = max(i[key] for i in infos)
+            return vals, ids, merged
+        return vals, ids
 
     def _join_chunk(self, queries, target_codes, target_cells, target_ids,
                     target_mask, target_vecs, statistics, k, alpha, pvf,
@@ -341,31 +367,34 @@ class IVPQIndex:
         cur_alpha = int(alpha)
         use_double = (cur_alpha * self.codebook.centroids.shape[1]
                       > long_codes_threshold)
-        if method == PQ_PV_CALC:
-            # method-2 rounds re-rank against the gathered target block and
-            # return target-LOCAL candidate ids; remap below.
-            pass
-        vals, ids, retrieved, exhausted = self._run_round(
+        vals, ids, retrieved, exhausted, predicted = self._run_round(
             queries, target_codes, target_cells, target_ids, target_mask,
             target_vecs, statistics, k, cur_alpha, pvf, method, conf_arr,
             use_double)
         best_vals, best_ids = vals, ids
+        best_retrieved, best_predicted = retrieved, predicted
         resolved = retrieved >= k
+        rounds = 1
         for _ in range(max_rounds - 1):
             if bool(jnp.all(resolved | exhausted)):
                 break
             cur_alpha += cur_alpha  # alpha += alpha (ivpq_search_in.c:682)
             use_double = (cur_alpha * self.codebook.centroids.shape[1]
                           > long_codes_threshold)
-            vals, ids, retrieved, exhausted = self._run_round(
+            vals, ids, retrieved, exhausted, predicted = self._run_round(
                 queries, target_codes, target_cells, target_ids, target_mask,
                 target_vecs, statistics, k, cur_alpha, pvf, method, conf_arr,
                 use_double)
             upd = ~resolved
             best_vals = jnp.where(upd[:, None], vals, best_vals)
             best_ids = jnp.where(upd[:, None], ids, best_ids)
+            best_retrieved = jnp.where(upd, retrieved, best_retrieved)
+            best_predicted = jnp.where(upd, predicted, best_predicted)
             resolved = resolved | (retrieved >= k)
-        return best_vals, best_ids
+            rounds += 1
+        info = {"retrieved": best_retrieved, "target_count": best_predicted,
+                "rounds": rounds, "final_alpha": cur_alpha}
+        return best_vals, best_ids, info
 
     def _run_round(self, queries, target_codes, target_cells, target_ids,
                    target_mask, target_vecs, statistics, k, alpha, pvf,
@@ -374,19 +403,20 @@ class IVPQIndex:
             # run with local ids 0..T-1 so post_verify gathers the (T, d)
             # target block, then map back to global ids.
             local_ids = jnp.arange(target_ids.shape[0], dtype=jnp.int32)
-            vals, lids, retrieved, exhausted = _ivpq_round(
+            vals, lids, retrieved, exhausted, predicted = _ivpq_round(
                 queries, self.coarse.centroids, self.codebook.centroids,
                 target_codes, target_cells, local_ids, target_mask,
                 statistics, target_vecs, k, alpha, pvf, method, confidence,
-                use_double)
+                use_double, _use_pallas())
             ids = jnp.where(lids >= 0,
                             jnp.take(target_ids, jnp.maximum(lids, 0)),
                             -1).astype(jnp.int32)
-            return vals, ids, retrieved, exhausted
+            return vals, ids, retrieved, exhausted, predicted
         return _ivpq_round(
             queries, self.coarse.centroids, self.codebook.centroids,
             target_codes, target_cells, target_ids, target_mask, statistics,
-            target_vecs, k, alpha, pvf, method, confidence, use_double)
+            target_vecs, k, alpha, pvf, method, confidence, use_double,
+            _use_pallas())
 
     # ------------------------------------------------------------ mutation
     def add(self, new_vectors: Array) -> "IVPQIndex":

@@ -102,10 +102,29 @@ def online_codebook_update(codebook: PQCodebook,
 
 @dataclasses.dataclass
 class PQIndex:
-    """Exhaustive-scan PQ index: packed codes + codebook, all HBM-resident."""
+    """Exhaustive-scan PQ index: packed codes + codebook, all HBM-resident.
+
+    On TPU the exhaustive scan runs through the Pallas matmul-scan kernel
+    (ops/pallas_kernels.py) over a cached transposed ``(m, N_pad)`` code
+    layout; the XLA gather path remains the CPU/reference backend.
+    """
 
     codebook: PQCodebook
     codes: Array          # (n, m) uint8 (k ≤ 256) or int16
+
+    _codes_t: Array | None = dataclasses.field(default=None, repr=False,
+                                               compare=False)
+
+    _BLOCK_N = 2048
+
+    def transposed_codes(self) -> Array:
+        """Cached subspace-major int32 codes, padded to the kernel block."""
+        if self._codes_t is None:
+            n = self.codes.shape[0]
+            pad = (-n) % self._BLOCK_N
+            ct = jnp.pad(self.codes, ((0, pad), (0, 0))).T.astype(jnp.int32)
+            object.__setattr__(self, "_codes_t", ct)
+        return self._codes_t
 
     @property
     def size(self) -> int:
@@ -134,18 +153,29 @@ class PQIndex:
         return kmeans.encode_subspaces(vectors, self.codebook.centroids)
 
     # ------------------------------------------------------------- search
-    def search(self, queries: Array, k: int, *, approx: bool = False
-               ) -> tuple[Array, Array]:
-        """Exhaustive ADC top-k (``pq_search`` parity) → (sqdists, ids)."""
+    def search(self, queries: Array, k: int, *, approx: bool = False,
+               impl: str | None = None) -> tuple[Array, Array]:
+        """Exhaustive ADC top-k (``pq_search`` parity) → (sqdists, ids).
+
+        ``impl``: "pallas" (TPU matmul-scan kernel), "xla" (gather path),
+        or None to auto-select by backend.
+        """
+        from postgres_word2vec_tpu.ops import pallas_kernels as pk
+
+        if impl is None:
+            impl = "pallas" if pk.supports_pallas() else "xla"
         luts = lut.build_luts(queries, self.codebook.centroids)
+        if impl == "pallas":
+            return pk.adc_top_k_pallas(luts, self.transposed_codes(), k,
+                                       valid_n=self.size,
+                                       block_n=self._BLOCK_N, approx=approx)
         return adc.adc_top_k(luts, self.codes, k, approx=approx)
 
     def search_pv(self, queries: Array, k: int, pvf: int,
                   vectors: Array) -> tuple[Array, Array]:
         """ADC shortlist of k·pvf then exact re-rank
         (``k_nearest_neighbour_pq_pv`` parity, sql:625-662)."""
-        luts = lut.build_luts(queries, self.codebook.centroids)
-        cd, ci = adc.adc_top_k(luts, self.codes, k * pvf)
+        cd, ci = self.search(queries, k * pvf)
         return adc.post_verify(queries, ci, cd, vectors, k)
 
     def search_in(self, queries: Array, k: int, target_ids: Array,

@@ -26,6 +26,28 @@ from postgres_word2vec_tpu.ops import topk as topk_ops
 Array = jax.Array
 
 
+def adc_distances_auto(luts: Array, codes: Array,
+                       use_pallas: bool) -> Array:
+    """ADC distances with backend auto-selection.
+
+    On TPU the Pallas matmul-scan kernel (ops/pallas_kernels.py) computes
+    the same sums ~10× faster than the XLA gather lowering; on CPU the
+    gather path is used. Codes are padded to the kernel block size and the
+    pad columns are returned as-is (callers mask by target validity anyway,
+    and the pad codes index real LUT entries so values stay finite).
+    """
+    if not use_pallas:
+        return adc_distances(luts, codes)
+    from postgres_word2vec_tpu.ops import pallas_kernels as pk
+
+    t = codes.shape[0]
+    block = 2048 if t >= 2048 else 512
+    pad = (-t) % block
+    codes_t = jnp.pad(codes, ((0, pad), (0, 0))).T
+    dists = pk.adc_scan_pallas(luts, codes_t, block_n=block)
+    return dists[:, :t]
+
+
 def adc_distances(luts: Array, codes: Array) -> Array:
     """Dense ADC distances: ``(B, m, k) × (n, m) → (B, n)`` float32.
 

@@ -69,6 +69,16 @@ class VectorStore:
                                             use_native=use_native)
         return cls.from_arrays(words, vecs)
 
+    @classmethod
+    def from_binary_file(cls, path: str | Path,
+                         max_words: int | None = None) -> "VectorStore":
+        """Load word2vec .bin format directly via the native parser —
+        replaces the reference's gensim conversion step
+        (transform_vecs.py:1-9)."""
+        from postgres_word2vec_tpu.utils import native_io
+        words, vecs = native_io.load_binary_embeddings(Path(path), max_words)
+        return cls.from_arrays(words, vecs)
+
     # ------------------------------------------------------------- lookups
     @property
     def size(self) -> int:

@@ -1,0 +1,89 @@
+import numpy as np
+import pytest
+
+from postgres_word2vec_tpu import Freddy, VectorStore
+from postgres_word2vec_tpu.evaluation import harness
+
+
+@pytest.fixture(scope="module")
+def engine():
+    rng = np.random.default_rng(21)
+    n, d = 600, 24
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    words = [f"w{i}" for i in range(n)]
+    store = VectorStore.from_arrays(words, vecs)
+    return Freddy.build(store, seed=0, pq_m=6, pq_k=16, ivfadc_m=6,
+                        ivfadc_k=16, k_coarse=12, ivpq_m=6, ivpq_k=8,
+                        ivpq_k_coarse=4, train_size=None, iters=6)
+
+
+def test_calculate_precision():
+    exact = [("a", "x", 1.0), ("a", "y", 0.9), ("b", "x", 0.8),
+             ("b", "z", 0.7)]
+    approx = [("a", "x", 1.0), ("a", "q", 0.5), ("b", "x", 0.8),
+              ("b", "z", 0.7)]
+    assert harness.calculate_precision(approx, exact) == pytest.approx(0.75)
+    assert harness.calculate_precision(exact, exact) == 1.0
+    assert harness.calculate_precision([], exact) == 0.0
+
+
+def test_measurement_and_batch(engine):
+    res = harness.measurement(engine, ["w1", "w2"], 3)
+    assert set(res["times"]) == {"w1", "w2"}
+    assert all(t > 0 for t in res["times"].values())
+    assert res["results"]["w1"][0][0] == "w1"
+
+    targets = [f"w{i}" for i in range(100)]
+    b = harness.batch_measurement(engine, ["w1", "w2"], 3, targets)
+    assert b["time"] > 0 and len(b["results"]) == 6
+
+
+def test_track_statistics(engine):
+    stats = harness.create_track_statistics(engine, "knn", "w5", 3)
+    assert "total_time" in stats
+    assert len(stats["total_time"]) == 1
+
+
+def test_exact_results_precision_one(engine):
+    targets = [f"w{i}" for i in range(200)]
+    exact = harness.get_exact_results(engine, ["w1", "w3"], 5, targets)
+    assert harness.calculate_precision(exact, exact) == 1.0
+
+
+def test_time_precision_sweep(engine):
+    targets = [f"w{i}" for i in range(300)]
+    recs = harness.time_precision_sweep(
+        engine, ["w1", "w2", "w3"], 5, targets, alphas=(10, 100),
+        pvfs=(5,), methods=(0, 1, 2), repeats=1)
+    # methods 0/1 × 2 alphas + method 2 × 2 alphas × 1 pvf
+    assert len(recs) == 6
+    for r in recs:
+        assert 0.0 <= r["precision"] <= 1.0
+        assert r["time_s"] > 0
+    # exact method at high alpha must reach precision 1.0
+    exact_high = [r for r in recs if r["method"] == 1 and r["alpha"] == 100]
+    assert exact_high[0]["precision"] == 1.0
+
+
+def test_confidence_eval_monotone(engine):
+    targets = [f"w{i}" for i in range(300)]
+    engine.set_alpha(10)
+    try:
+        out = harness.confidence_eval(engine, ["w1", "w2", "w3", "w4"], 3,
+                                      targets,
+                                      confidences=(0.05, 0.5, 0.95))
+    finally:
+        engine.set_alpha(3)
+    fracs = [o["fraction_met"] for o in out]
+    means = [o["mean_retrieved"] for o in out]
+    # higher configured confidence → probe at least as many targets
+    assert means == sorted(means)
+    assert all(0.0 <= f <= 1.0 for f in fracs)
+
+
+def test_target_count_eval(engine):
+    targets = [f"w{i}" for i in range(300)]
+    out = harness.target_count_eval(engine, ["w1", "w2"], 3, targets)
+    assert len(out["predicted"]) == 2
+    assert len(out["retrieved"]) == 2
+    assert out["mean_abs_rel_divergence"] >= 0.0

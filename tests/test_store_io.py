@@ -1,0 +1,76 @@
+import numpy as np
+import pytest
+
+from postgres_word2vec_tpu.store import VectorStore, _load_text_embeddings_py
+
+
+def _write_text(path, words, vecs):
+    with open(path, "w") as f:
+        f.write(f"{len(words)} {vecs.shape[1]}\n")
+        for w, v in zip(words, vecs):
+            f.write(w + " " + " ".join(f"{x:.6f}" for x in v) + "\n")
+
+
+def _write_binary(path, words, vecs):
+    with open(path, "wb") as f:
+        f.write(f"{len(words)} {vecs.shape[1]}\n".encode())
+        for w, v in zip(words, vecs):
+            f.write(w.encode() + b" " + v.astype(np.float32).tobytes()
+                    + b"\n")
+
+
+@pytest.fixture()
+def sample(rng, tmp_path):
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    words = [f"tok{i}" for i in range(50)]
+    return words, vecs, tmp_path
+
+
+def test_text_python_parser(sample):
+    words, vecs, tmp = sample
+    _write_text(tmp / "e.txt", words, vecs)
+    w, v = _load_text_embeddings_py(tmp / "e.txt", None)
+    assert w == words
+    np.testing.assert_allclose(v, vecs, atol=1e-5)
+
+
+def test_store_from_text_native_and_python_agree(sample):
+    words, vecs, tmp = sample
+    _write_text(tmp / "e.txt", words, vecs)
+    s_native = VectorStore.from_text_file(tmp / "e.txt", use_native=True)
+    s_py = VectorStore.from_text_file(tmp / "e.txt", use_native=False)
+    assert s_native.words == s_py.words == words
+    np.testing.assert_allclose(np.asarray(s_native.vectors),
+                               np.asarray(s_py.vectors), atol=1e-5)
+    # normalized table is unit length
+    norms = np.linalg.norm(np.asarray(s_native.vectors_norm), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+
+
+def test_store_from_binary(sample):
+    words, vecs, tmp = sample
+    _write_binary(tmp / "e.bin", words, vecs)
+    s = VectorStore.from_binary_file(tmp / "e.bin")
+    assert s.words == words
+    np.testing.assert_array_equal(np.asarray(s.vectors), vecs)
+
+
+def test_max_words(sample):
+    words, vecs, tmp = sample
+    _write_text(tmp / "e.txt", words, vecs)
+    s = VectorStore.from_text_file(tmp / "e.txt", max_words=10)
+    assert s.size == 10
+
+
+def test_store_save_load_extend(sample, tmp_path):
+    words, vecs, _ = sample
+    s = VectorStore.from_arrays(words, vecs)
+    s.save(tmp_path / "store.npz")
+    s2 = VectorStore.load(tmp_path / "store.npz")
+    assert s2.words == s.words
+    np.testing.assert_allclose(np.asarray(s2.vectors),
+                               np.asarray(s.vectors))
+    s3 = s2.extend(["new1"], vecs[:1] * 2)
+    assert s3.size == 51 and s3.get_id("new1") == 50
+    with pytest.raises(ValueError):
+        s3.extend(["tok0"], vecs[:1])
