@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Stage breakdown vs query/target set size (reference
+``step_wise_time_measurement.py`` parity, using the TRACK-named stage
+metrics from the in-process tracker).
+
+    python evaluation/step_wise_time_measurement.py config/step_wise.json
+
+Config: ``k``, ``query_steps`` (list of query-set sizes), ``target_sample``
++ engine keys.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from _common import engine_from_config, sample_words
+
+from postgres_word2vec_tpu.utils.config import Configuration
+
+
+def main(config_path: str) -> None:
+    cfg = Configuration(config_path)
+    eng = engine_from_config(cfg)
+    k = cfg.get_value_or("k", 5)
+    targets = sample_words(eng, cfg.get_value_or("target_sample", 5000),
+                           cfg.get_value_or("seed", 0) + 1)
+    out = []
+    for n_q in cfg.get_value_or("query_steps", [10, 50, 100]):
+        queries = sample_words(eng, n_q, cfg.get_value_or("seed", 0))
+        eng.tracker.clear_track()
+        t0 = time.perf_counter()
+        eng.knn_in_ivpq_batch(queries, k, targets)
+        wall = time.perf_counter() - t0
+        stages = eng.tracker.get_results()
+        inner = sum(stages.get("total_time", [0.0]))
+        out.append({"queries": n_q, "targets": len(targets),
+                    "wall_s": wall, "inner_s": inner,
+                    "interface_overhead_s": wall - inner,
+                    "stages": stages})
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    from postgres_word2vec_tpu.utils.config import apply_platform_from_env
+    apply_platform_from_env()
+    if len(sys.argv) != 2:
+        print(__doc__)
+        sys.exit(1)
+    main(sys.argv[1])
