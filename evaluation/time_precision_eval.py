@@ -48,6 +48,10 @@ def main(config_path: str) -> None:
     records.append({"method": "baseline_pq_in_batch",
                     "time_s": time.perf_counter() - t0,
                     "precision": calculate_precision(rows, exact)})
+    plot_path = cfg.get_value_or("plot_path", "")
+    if plot_path:
+        from postgres_word2vec_tpu.evaluation.plots import plot_time_precision
+        plot_time_precision(records, plot_path)
     print(json.dumps(records, indent=2))
 
 

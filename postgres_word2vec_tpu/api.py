@@ -648,6 +648,55 @@ class Freddy:
                                                  ivpq.num_cells)
         self.params.statistics_table = name
 
+    # ========================================================= persistence
+    def save(self, directory) -> None:
+        """Persist the whole engine — store, every built index, runtime
+        params, dispatch registry, statistics tables — to a directory.
+
+        Engine-granularity analog of the reference's index pickling
+        (index_manager.py:save_index / load_index + quantizer pickles,
+        quantizer_creation.py:72-79); the durable "database" the reference
+        gets from Postgres.
+        """
+        import json
+        from pathlib import Path
+
+        d = Path(directory)
+        d.mkdir(parents=True, exist_ok=True)
+        self.store.save(d / "store.npz")
+        for name, idx in (("pq", self.pq), ("ivfadc", self.ivfadc),
+                          ("ivpq", self.ivpq)):
+            if idx is not None:
+                idx.save(d / f"{name}.npz")
+        np.savez(d / "statistics.npz",
+                 **{k: np.asarray(v) for k, v in self.statistics.items()})
+        meta = {"params": dataclasses.asdict(self.params),
+                "dispatch": self.dispatch}
+        (d / "engine.json").write_text(json.dumps(meta, indent=2))
+
+    @classmethod
+    def load(cls, directory) -> "Freddy":
+        import json
+        from pathlib import Path
+
+        d = Path(directory)
+        store = VectorStore.load(d / "store.npz")
+        kw = {}
+        for name, loader in (("pq", PQIndex.load),
+                             ("ivfadc", IVFADCIndex.load),
+                             ("ivpq", IVPQIndex.load)):
+            p = d / f"{name}.npz"
+            if p.exists():
+                kw[name] = loader(p)
+        meta = json.loads((d / "engine.json").read_text())
+        eng = cls(store, params=RuntimeParams(**meta["params"]), **kw)
+        eng.dispatch = dict(meta["dispatch"])
+        stats_path = d / "statistics.npz"
+        if stats_path.exists():
+            with np.load(stats_path) as f:
+                eng.statistics = {k: jnp.asarray(f[k]) for k in f.files}
+        return eng
+
     # ============================================================== insert
     def insert_batch(self, terms: Sequence[str]) -> int:
         """Online insertion (freddy.c:1403-1658): tokenize unseen terms,

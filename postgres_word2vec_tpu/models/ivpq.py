@@ -77,6 +77,20 @@ def confidence_hyp(expect: Array, size: Array, p: Array,
     return jnp.where(expect > size, 0.0, conf)
 
 
+def confidence_bin(expect: Array, size: Array, p: Array) -> Array:
+    """Plain binomial-tail variant without the finite-population correction
+    (parity: ``getConfidenceBin``, index_utils.c:667-671)."""
+    expect = jnp.asarray(expect, jnp.float32)
+    size = jnp.asarray(size, jnp.float32)
+    p = jnp.asarray(p, jnp.float32)
+    mu = size * p
+    sig = jnp.sqrt(jnp.maximum(size * p * (1.0 - p), 0.0))
+    num = expect - 0.5 - mu
+    z = num / jnp.maximum(sig, 1e-30) / jnp.sqrt(2.0)
+    conf = 1.0 - 0.5 * (1.0 + jax.scipy.special.erf(z))
+    return jnp.where(sig <= 0.0, jnp.where(num <= 0.0, 1.0, 0.0), conf)
+
+
 class MultiIndexQuantizer(NamedTuple):
     """2-position product coarse quantizer → k_c² virtual cells
     (parity: ``coarse_quantization_ivpq`` + ``_counts`` tables)."""

@@ -28,15 +28,46 @@ from jax import lax
 Array = jax.Array
 
 
+#: Rows wider than this take the exact two-stage (blockwise) reduction —
+#: XLA's top_k is a bitonic sort whose cost grows superlinearly in row
+#: width, so select-within-blocks + merge is much cheaper and still exact.
+_BLOCKWISE_THRESHOLD = 65536
+_BLOCK = 8192
+
+
+def _blockwise_top_k_smallest(dists: Array, k: int,
+                              block: int = _BLOCK) -> tuple[Array, Array]:
+    """Exact top-k via per-block top-k + merge (k ≤ block ⇒ lossless)."""
+    *lead, n = dists.shape
+    pad = (-n) % block
+    if pad:
+        dists = jnp.pad(dists, [(0, 0)] * len(lead) + [(0, pad)],
+                        constant_values=jnp.inf)
+    nb = (n + pad) // block
+    dp = dists.reshape(*lead, nb, block)
+    kb = min(k, block)
+    neg, pos = lax.top_k(-dp, kb)                       # (..., nb, kb)
+    base = (jnp.arange(nb, dtype=jnp.int32) * block)[..., :, None]
+    idx = (pos + base).reshape(*lead, nb * kb)
+    neg = neg.reshape(*lead, nb * kb)
+    neg2, pos2 = lax.top_k(neg, k)
+    return -neg2, jnp.take_along_axis(idx, pos2, axis=-1)
+
+
 def top_k_smallest(dists: Array, k: int, *, approx: bool = False,
                    recall_target: float = 0.95) -> tuple[Array, Array]:
     """Top-k smallest values along the last axis → (values, indices).
 
     ``approx=True`` uses ``lax.approx_min_k`` which maps onto the TPU's
-    optimized partial-reduce top-k (falls back to exact on CPU).
+    optimized partial-reduce top-k (falls back to exact on CPU). The exact
+    path switches to a lossless two-stage blockwise reduction for wide rows
+    (replacing the reference's per-candidate sorted-array insert,
+    index_utils.c:19-33, at the opposite end of the latency spectrum).
     """
     if approx:
         return lax.approx_min_k(dists, k=k, recall_target=recall_target)
+    if dists.shape[-1] >= _BLOCKWISE_THRESHOLD and k <= _BLOCK:
+        return _blockwise_top_k_smallest(dists, k)
     neg, idx = lax.top_k(-dists, k)
     return -neg, idx
 

@@ -201,3 +201,24 @@ def test_missing_index_raises():
         f.k_nearest_neighbour_pq("w10", 3)
     # exact paths still work
     assert f.knn("w10", 2)[0][0] == "w10"
+
+
+def test_engine_save_load_roundtrip(engine, tmp_path):
+    engine.set_alpha(42)
+    engine.create_statistics("roundtrip_stat", [f"w{i}" for i in range(50)])
+    engine.save(tmp_path / "engine")
+    eng2 = Freddy.load(tmp_path / "engine")
+    try:
+        assert eng2.params.alpha == 42
+        assert eng2.params.statistics_table == "roundtrip_stat"
+        assert "roundtrip_stat" in eng2.statistics
+        assert eng2.store.size == engine.store.size
+        # indexes functional after reload
+        r1 = engine.k_nearest_neighbour_pq("w10", 5)
+        r2 = eng2.k_nearest_neighbour_pq("w10", 5)
+        assert [w for w, _ in r1] == [w for w, _ in r2]
+        r3 = eng2.knn_in_ivpq_batch(["w10"], 3, [f"w{i}" for i in range(100)])
+        assert len(r3) == 3
+    finally:
+        engine.set_alpha(3)
+        engine.set_statistics_table(None)

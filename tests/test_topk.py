@@ -43,3 +43,28 @@ def test_chunked_top_k_equals_global(rng):
     np.testing.assert_allclose(np.asarray(vals),
                                np.take_along_axis(d, want_idx, -1), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(idx), want_idx)
+
+
+def test_blockwise_top_k_exact(rng):
+    from postgres_word2vec_tpu.ops.topk import _blockwise_top_k_smallest
+    d = rng.normal(size=(3, 20000)).astype(np.float32)
+    vals, idx = _blockwise_top_k_smallest(jnp.asarray(d), 7, block=512)
+    order = np.argsort(d, -1)[:, :7]
+    np.testing.assert_allclose(np.asarray(vals),
+                               np.take_along_axis(d, order, -1), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx), order)
+
+
+def test_blockwise_top_k_with_inf_padding(rng):
+    from postgres_word2vec_tpu.ops.topk import _blockwise_top_k_smallest
+    d = rng.normal(size=(2, 1000)).astype(np.float32)   # 1000 % 512 != 0
+    vals, idx = _blockwise_top_k_smallest(jnp.asarray(d), 5, block=512)
+    order = np.argsort(d, -1)[:, :5]
+    np.testing.assert_array_equal(np.asarray(idx), order)
+
+
+def test_top_k_smallest_wide_rows_use_blockwise(rng):
+    d = rng.normal(size=(2, 70000)).astype(np.float32)
+    vals, idx = topk.top_k_smallest(jnp.asarray(d), 9)
+    order = np.argsort(d, -1)[:, :9]
+    np.testing.assert_array_equal(np.asarray(idx), order)
