@@ -364,18 +364,28 @@ class Freddy:
             names = [f"q{i}" for i in range(np.asarray(queries).shape[0]
                                             if np.asarray(queries).ndim > 1
                                             else 1)]
-        q = self._query_matrix(queries)
-        tids, tmask = self._target_ids(targets)
         p = self.params
         with self.tracker.stage("total_time"):
-            d, i = ivpq.search_join(
-                q, k, tids, target_mask=tmask,
-                vectors=self.store.vectors_norm,
-                statistics=self._active_statistics(),
-                alpha=p.alpha, pvf=p.pvf, method=p.method,
-                confidence=p.confidence,
-                long_codes_threshold=p.long_codes_threshold,
-                use_targetlists=p.use_targetlist)
+            # stage names mirror the reference's TRACK metrics
+            # (ivpq_search_in.c:233-697); on TPU "data retrieval" is the
+            # target-side gather, fused into the kernel, so it reports ~0.
+            with self.tracker.stage("query_construction_time"):
+                q = self._query_matrix(queries)
+                tids, tmask = self._target_ids(targets)
+            self.tracker.track("data_retrieval_time", 0.0)
+            with self.tracker.stage("computation_time"):
+                d, i, info = ivpq.search_join(
+                    q, k, tids, target_mask=tmask,
+                    vectors=self.store.vectors_norm,
+                    statistics=self._active_statistics(),
+                    alpha=p.alpha, pvf=p.pvf, method=p.method,
+                    confidence=p.confidence,
+                    long_codes_threshold=p.long_codes_threshold,
+                    use_targetlists=p.use_targetlist, return_info=True)
+            for r in np.asarray(info["retrieved"]):
+                self.tracker.track("retrieved", float(r))
+            for t in np.asarray(info["target_count"]):
+                self.tracker.track("target_count", float(t))
         return self._format_join(names, d, i)
 
     # ============================================================= analogy

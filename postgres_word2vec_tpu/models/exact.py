@@ -100,9 +100,13 @@ def exact_top_k_precast(queries: Array, table: Array, norms: Array, k: int,
     q = queries.astype(table.dtype)
     qf = queries.astype(jnp.float32)
     qq = jnp.sum(qf * qf, axis=-1, keepdims=True)
+    # HIGHEST on a bf16 table would force an f32-upcast multi-pass matmul;
+    # native-precision bf16 with f32 accumulation is the fast path.
+    prec = (lax.Precision.HIGHEST if table.dtype == jnp.float32
+            else lax.Precision.DEFAULT)
     if n <= chunk_size:
         qv = jnp.dot(q, table.T, preferred_element_type=jnp.float32,
-                     precision=lax.Precision.HIGHEST)
+                     precision=prec)
         dists = jnp.maximum(qq - 2.0 * qv + norms[None, :], 0.0)
         return topk_ops.top_k_smallest(dists, min(k, n), approx=approx)
     pad = (-n) % chunk_size
@@ -113,7 +117,7 @@ def exact_top_k_precast(queries: Array, table: Array, norms: Array, k: int,
         chunk = lax.dynamic_slice(tp, (start, 0), (chunk_size, d))
         nchunk = lax.dynamic_slice(np_, (start,), (chunk_size,))
         qv = jnp.dot(q, chunk.T, preferred_element_type=jnp.float32,
-                     precision=lax.Precision.HIGHEST)
+                     precision=prec)
         dists = jnp.maximum(qq - 2.0 * qv + nchunk[None, :], 0.0)
         valid = (jnp.arange(chunk_size) + start) < n
         return jnp.where(valid[None, :], dists, jnp.inf)

@@ -145,15 +145,15 @@ class IVFADCIndex:
             train = vectors
         coarse_res = kmeans.kmeans(ck, train, k=k_coarse, iters=iters)
         assign = kmeans.assign(vectors, coarse_res.centroids)
-        residuals = vectors - jnp.take(coarse_res.centroids, assign, axis=0)
-
-        if train_size is not None and train_size < n:
-            train_resid = jnp.take(residuals, idx, axis=0)
-        else:
-            train_resid = residuals
+        # residual codebook trains on the sample only; the full residual
+        # table is never materialized (fused subtract+encode below).
+        train_assign = kmeans.assign(train, coarse_res.centroids)
+        train_resid = train - jnp.take(coarse_res.centroids, train_assign,
+                                       axis=0)
         sub = kmeans.split_subspaces(train_resid, m)
         cb_res = kmeans.kmeans_subspaces(rk, sub, k=k, iters=iters)
-        codes = kmeans.encode_subspaces(residuals, cb_res.centroids)
+        codes = kmeans.encode_residual_subspaces(
+            vectors, coarse_res.centroids, assign, cb_res.centroids)
 
         return cls._assemble(
             CoarseQuantizer(coarse_res.centroids,

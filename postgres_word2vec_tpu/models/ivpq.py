@@ -103,16 +103,37 @@ class MultiIndexQuantizer(NamedTuple):
         return int(kc) ** int(p)
 
 
-def assign_cells(vectors: Array, coarse_centroids: Array) -> Array:
+def assign_cells(vectors: Array, coarse_centroids: Array, *,
+                 chunk_size: int = 262144) -> Array:
     """Multi-index coarse assignment: per-position argmin → combined cell id
     ``Σ cᵢ·k_cⁱ`` (parity: ``combine_centroids`` ivpq.py:18 and the C-side
-    multi assignment, freddy.c:1590-1609)."""
+    multi assignment, freddy.c:1590-1609). Chunked over rows so no
+    transposed full-table copy is materialized."""
     p, kc, dsub = coarse_centroids.shape
-    sub = kmeans.split_subspaces(vectors, p)       # (p, n, dsub)
-    codes = jax.vmap(kmeans.assign)(sub, coarse_centroids)  # (p, n)
+    n, d = vectors.shape
+    cb = coarse_centroids.astype(jnp.float32)
+    cc = jnp.sum(cb * cb, axis=-1)                 # (p, kc)
     weights = kc ** jnp.arange(p, dtype=jnp.int32)
-    return jnp.sum(codes.astype(jnp.int32) * weights[:, None],
-                   axis=0).astype(jnp.int32)
+
+    def chunk_fn(xc: Array) -> Array:
+        # per-position dots (a batched einsum inside lax.map miscompiles on
+        # the TPU backend — see ops/kmeans.py chunk encoders).
+        xf = xc.astype(jnp.float32)
+        cell = jnp.zeros((xc.shape[0],), jnp.int32)
+        for i in range(p):
+            s = jnp.dot(xf[:, i * dsub:(i + 1) * dsub], cb[i].T,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            code = jnp.argmin(cc[i][None] - 2.0 * s, axis=-1)
+            cell = cell + code.astype(jnp.int32) * weights[i]
+        return cell
+
+    if n <= chunk_size:
+        return chunk_fn(vectors)
+    pad = (-n) % chunk_size
+    xp = jnp.pad(vectors, ((0, pad), (0, 0)))
+    out = jax.lax.map(chunk_fn, xp.reshape(-1, chunk_size, d))
+    return out.reshape(-1)[:n]
 
 
 def cell_distances(queries: Array, coarse_centroids: Array) -> Array:
@@ -168,7 +189,8 @@ def _ivpq_round(queries: Array, coarse_centroids: Array, codebook_cent: Array,
                 target_mask: Array, statistics: Array, raw_target_vectors,
                 k: int, alpha: int, pvf: int, method: int,
                 confidence: Array, use_double: bool,
-                use_pallas: bool = False
+                use_pallas: bool = False,
+                t_real_override: Array | None = None
                 ) -> tuple[Array, Array, Array, Array, Array]:
     """One fixed-shape probe round at a given alpha.
 
@@ -181,7 +203,10 @@ def _ivpq_round(queries: Array, coarse_centroids: Array, codebook_cent: Array,
     """
     B = queries.shape[0]
     num_cells = statistics.shape[0] - 1
-    t_real = jnp.sum(target_mask.astype(jnp.int32))
+    # Under target-axis sharding each shard sees a partial mask; the cell
+    # selection must use the GLOBAL target count to replicate across shards.
+    t_real = (jnp.sum(target_mask.astype(jnp.int32))
+              if t_real_override is None else t_real_override)
 
     # --- adaptive cell selection (index_utils.c:252-443, vectorized) ------
     cd = cell_distances(queries, coarse_centroids)          # (B, C)

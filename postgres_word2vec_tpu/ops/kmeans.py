@@ -130,18 +130,85 @@ def split_subspaces(x: Array, m: int) -> Array:
     return jnp.moveaxis(x.reshape(n, m, d // m), 1, 0)
 
 
+def encode_residual_subspaces(x: Array, coarse_centroids: Array,
+                              assignments: Array, codebooks: Array, *,
+                              chunk_size: int = 65536) -> Array:
+    """Fused residual PQ encode: ``codes[i] = encode(x[i] − coarse[a[i]])``
+    without ever materializing the full residual table (3.6 GB at 3M×300 —
+    the IVFADC build OOM). One chunked pass: gather coarse centroid,
+    subtract, batched subspace matmul + argmin.
+    """
+    m, k, dsub = codebooks.shape
+    n, d = x.shape
+    cb = codebooks.astype(jnp.float32)
+    cc = jnp.sum(cb * cb, axis=-1)
+    coarse = coarse_centroids.astype(jnp.float32)
+    dtype = jnp.uint8 if k <= 256 else jnp.int16
+
+    def chunk_fn(args):
+        # per-subspace dots, not a batched einsum: the 3-D einsum inside a
+        # lax.map chunk miscompiles on the TPU backend (whole subspaces of
+        # the score tensor come back zero); see tests/test_kmeans.py
+        # chunk-boundary cases.
+        xc, ac = args
+        resid = xc.astype(jnp.float32) - jnp.take(coarse, ac, axis=0)
+        outs = []
+        for j in range(m):
+            s = jnp.dot(resid[:, j * dsub:(j + 1) * dsub], cb[j].T,
+                        preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)
+            outs.append(jnp.argmin(cc[j][None] - 2.0 * s,
+                                   axis=-1).astype(dtype))
+        return jnp.stack(outs, axis=-1)
+
+    if n <= chunk_size:
+        return chunk_fn((x, assignments))
+    pad = (-n) % chunk_size
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    ap = jnp.pad(assignments, (0, pad))
+    out = lax.map(chunk_fn, (xp.reshape(-1, chunk_size, d),
+                             ap.reshape(-1, chunk_size)))
+    return out.reshape(-1, m)[:n]
+
+
 def encode_subspaces(x: Array, codebooks: Array, *,
                      chunk_size: int = 65536) -> Array:
     """PQ-encode: ``(n, d) × (m, k, dsub) → (n, m)`` small-int codes.
 
     Replaces the faiss per-subspace 1-NN encode loop (pq_index.py:31-63).
+    Chunked over rows *before* the subspace split, so no transposed copy of
+    the full table is ever materialized (at 3M×300 that copy alone is
+    3.6 GB and OOMs the chip alongside the resident tables). Each chunk is
+    one batched-over-subspaces matmul + argmin on the MXU.
+
     Code dtype is uint8 when k ≤ 256 (the shipped-config regime), else int16
     — parity note: the reference stores int2 codes either way
     (pq_index.py:106; SURVEY §2.3).
     """
     m, k, dsub = codebooks.shape
-    x_sub = split_subspaces(x, m)  # (m, n, dsub)
-    codes = jax.vmap(lambda xs, cb: assign(xs, cb, chunk_size=chunk_size))(
-        x_sub, codebooks)          # (m, n)
+    n, d = x.shape
+    if d != m * dsub:
+        raise ValueError(f"dim {d} != m·dsub = {m}·{dsub}")
+    cb = codebooks.astype(jnp.float32)
+    cc = jnp.sum(cb * cb, axis=-1)                        # (m, k)
     dtype = jnp.uint8 if k <= 256 else jnp.int16
-    return codes.T.astype(dtype)   # (n, m)
+
+    def chunk_fn(xc: Array) -> Array:
+        # per-subspace dots (see encode_residual_subspaces for why not a
+        # batched einsum inside lax.map).
+        xf = xc.astype(jnp.float32)
+        outs = []
+        for j in range(m):
+            s = jnp.dot(xf[:, j * dsub:(j + 1) * dsub], cb[j].T,
+                        preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)
+            outs.append(jnp.argmin(cc[j][None] - 2.0 * s,
+                                   axis=-1).astype(dtype))
+        return jnp.stack(outs, axis=-1)
+
+    if n <= chunk_size:
+        return chunk_fn(x)
+    pad = (-n) % chunk_size
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    out = lax.map(chunk_fn, xp.reshape(-1, chunk_size, d))
+    return out.reshape(-1, m)[:n]

@@ -190,3 +190,54 @@ def pad_rows(x: Array, multiple: int) -> tuple[Array, int]:
     if pad == 0:
         return x, n
     return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)), n
+
+
+def sharded_ivpq_join_round(mesh: Mesh, queries: Array, coarse_cent: Array,
+                            codebook_cent: Array, target_codes: Array,
+                            target_cells: Array, target_ids: Array,
+                            target_mask: Array, statistics: Array,
+                            target_vecs: Array, *, k: int, alpha: int,
+                            pvf: int = 20, method: int = 0,
+                            confidence: float = 0.8
+                            ) -> tuple[Array, Array, Array]:
+    """Multi-chip IVPQ kNN-join round: targets sharded over "rows", queries
+    sharded over "q".
+
+    Each device runs the full fixed-shape join round
+    (:func:`postgres_word2vec_tpu.models.ivpq._ivpq_round`) against its
+    target shard — cell selection is per-query and replicates, the distance
+    phase and top-k are local — then k candidates/device merge with one
+    ``all_gather`` and the retirement counter reduces with ``psum``.
+    Target arrays must be pre-padded to a multiple of the rows axis (pad
+    entries masked false). Returns (dists, global ids, retrieved).
+    """
+    from postgres_word2vec_tpu.models import ivpq as ivpq_mod
+
+    t = target_ids.shape[0]
+    n_rows = mesh.shape[ROWS_AXIS]
+    if t % n_rows != 0:
+        raise ValueError(f"targets ({t}) not divisible by rows ({n_rows}); "
+                         "pad first (see pad_rows)")
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(Q_AXIS), P(), P(), P(ROWS_AXIS), P(ROWS_AXIS),
+                  P(ROWS_AXIS), P(ROWS_AXIS), P(), P(ROWS_AXIS)),
+        out_specs=(P(Q_AXIS), P(Q_AXIS), P(Q_AXIS)), check_vma=False)
+    def run(q, cc, cb, t_codes, t_cells, t_ids, t_mask, stats, t_vecs):
+        t_real = lax.psum(jnp.sum(t_mask.astype(jnp.int32)), ROWS_AXIS)
+        vals, ids, retrieved, _, _ = ivpq_mod._ivpq_round(
+            q, cc, cb, t_codes, t_cells, t_ids, t_mask, stats, t_vecs,
+            k=k, alpha=alpha, pvf=pvf, method=method,
+            confidence=jnp.float32(confidence), use_double=False,
+            t_real_override=t_real)
+        all_vals = lax.all_gather(vals, ROWS_AXIS, axis=1, tiled=True)
+        all_ids = lax.all_gather(ids, ROWS_AXIS, axis=1, tiled=True)
+        neg, pos = lax.top_k(-all_vals, k)
+        merged_ids = jnp.take_along_axis(all_ids, pos, axis=-1)
+        retrieved = lax.psum(retrieved, ROWS_AXIS)
+        return -neg, merged_ids, retrieved
+
+    return run(queries, coarse_cent, codebook_cent, target_codes,
+               target_cells, target_ids, target_mask, statistics,
+               target_vecs)

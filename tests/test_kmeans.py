@@ -60,3 +60,35 @@ def test_encode_int16_for_large_k(rng):
     cb = jnp.asarray(rng.normal(size=(2, 300, 2)).astype(np.float32))
     codes = kmeans.encode_subspaces(jnp.asarray(x), cb)
     assert codes.dtype == jnp.int16
+
+
+def test_encode_subspaces_chunked_matches_single(rng):
+    """Exercises the lax.map multi-chunk path (a TPU backend miscompile of
+    batched einsums inside lax.map motivated the per-subspace formulation —
+    this guards the chunk-boundary behavior)."""
+    x = rng.normal(size=(1000, 12)).astype(np.float32)
+    cb = jnp.asarray(rng.normal(size=(3, 8, 4)).astype(np.float32))
+    one = kmeans.encode_subspaces(jnp.asarray(x), cb, chunk_size=2048)
+    many = kmeans.encode_subspaces(jnp.asarray(x), cb, chunk_size=128)
+    np.testing.assert_array_equal(np.asarray(one), np.asarray(many))
+
+
+def test_encode_residual_subspaces_matches_manual(rng):
+    x = rng.normal(size=(500, 12)).astype(np.float32)
+    coarse = jnp.asarray(rng.normal(size=(7, 12)).astype(np.float32))
+    assign = jnp.asarray(rng.integers(0, 7, size=(500,)).astype(np.int32))
+    cb = jnp.asarray(rng.normal(size=(3, 8, 4)).astype(np.float32))
+    got = kmeans.encode_residual_subspaces(jnp.asarray(x), coarse, assign,
+                                           cb, chunk_size=128)
+    resid = jnp.asarray(x) - jnp.take(coarse, assign, axis=0)
+    want = kmeans.encode_subspaces(resid, cb, chunk_size=4096)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_assign_cells_chunked(rng):
+    from postgres_word2vec_tpu.models.ivpq import assign_cells
+    x = jnp.asarray(rng.normal(size=(700, 8)).astype(np.float32))
+    cc = jnp.asarray(rng.normal(size=(2, 4, 4)).astype(np.float32))
+    one = assign_cells(x, cc, chunk_size=4096)
+    many = assign_cells(x, cc, chunk_size=128)
+    np.testing.assert_array_equal(np.asarray(one), np.asarray(many))

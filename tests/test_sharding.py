@@ -78,3 +78,37 @@ def test_sharded_kmeans_full(mesh, rng):
 def test_mesh_shape_validation():
     with pytest.raises(ValueError):
         sharding.make_mesh(rows=3, q=2)  # 6 ≠ 8 devices
+
+
+def test_sharded_ivpq_join_matches_single_device(mesh, rng):
+    import jax
+    from postgres_word2vec_tpu.models import ivpq as ivpq_mod
+    from postgres_word2vec_tpu.models.ivpq import IVPQIndex
+
+    v = rng.normal(size=(2000, 16)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    idx = IVPQIndex.build(jax.random.PRNGKey(0), jnp.asarray(v), m=4, k=8,
+                          k_coarse=4, train_size=None, iters=5)
+    stats = ivpq_mod.uniform_statistics(idx.coarse.cell_counts)
+    t = 800  # divisible by rows=4
+    tids = jnp.arange(t, dtype=jnp.int32)
+    tmask = jnp.ones((t,), bool)
+    tcodes = jnp.take(idx.codes, tids, axis=0)
+    tcells = jnp.take(idx.cell_of, tids)
+    tvecs = jnp.take(jnp.asarray(v), tids, axis=0)
+    q = jnp.asarray(v[:8])
+
+    vals1, ids1, ret1, _, _ = ivpq_mod._ivpq_round(
+        q, idx.coarse.centroids, idx.codebook.centroids, tcodes, tcells,
+        tids, tmask, stats, tvecs, k=5, alpha=50, pvf=10, method=0,
+        confidence=jnp.float32(0.8), use_double=False)
+
+    vals2, ids2, ret2 = sharding.sharded_ivpq_join_round(
+        mesh, q, idx.coarse.centroids, idx.codebook.centroids, tcodes,
+        tcells, tids, tmask, stats, tvecs, k=5, alpha=50, pvf=10, method=0,
+        confidence=0.8)
+
+    np.testing.assert_allclose(np.asarray(vals2), np.asarray(vals1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ids2), np.asarray(ids1))
+    np.testing.assert_array_equal(np.asarray(ret2), np.asarray(ret1))
