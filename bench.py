@@ -54,6 +54,18 @@ def materialize(out):
         np.asarray(leaf[..., :1])
 
 
+def timeit_piped(fn, *args, iters=8):
+    """Pipelined per-call time: enqueue ``iters`` calls, block once. On the
+    tunneled TPU a single small call pays ~60-70 ms of transport RTT; the
+    pipelined figure approximates pure device+queue time per call."""
+    out = fn(*args)
+    materialize(out)
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(iters)]
+    materialize(outs[-1])
+    return (time.perf_counter() - t0) / iters
+
+
 def timeit(fn, *args, iters=5):
     out = fn(*args)
     materialize(out)
@@ -137,8 +149,10 @@ def main():
     try:
         ex = ExactIndex(V, "bfloat16")
         t, out = timeit(lambda q: ex.search(q, K, approx=False), V[:1])
+        tp = timeit_piped(lambda q: ex.search(q, K, approx=False), V[:1])
         results["exact_single"] = {
-            "per_query_ms": t * 1e3, "recall": 1.0,
+            "per_query_ms": t * 1e3, "per_query_ms_pipelined": tp * 1e3,
+            "recall": 1.0,
             "ref_s": 8.79, "note": "exact bf16 full scan, B=1"}
 
         B = 1024
@@ -177,13 +191,14 @@ def main():
             "ref_s": 1.06, "ref_recall": 0.38,
             "note": "pallas ADC full scan"}
 
-        t, _ = timeit(lambda q: pq.search_pv(q, K, 20, V), V[:B])
-        _, ids = pq.search_pv(queries_eval, K, 20, V)
-        r = recall_at_k(ids, gt_ids)
-        results["pq_pv"] = {
-            "per_query_ms": t / B * 1e3, "batch": B, "recall": r,
-            "ref_s": 1.29, "ref_recall": 0.87,
-            "note": "pallas ADC + exact re-rank pvf=20"}
+        for pvf in (20, 100):
+            t, _ = timeit(lambda q: pq.search_pv(q, K, pvf, V), V[:B])
+            _, ids = pq.search_pv(queries_eval, K, pvf, V)
+            r = recall_at_k(ids, gt_ids)
+            results[f"pq_pv_{pvf}"] = {
+                "per_query_ms": t / B * 1e3, "batch": B, "recall": r,
+                "ref_s": 1.29, "ref_recall": 0.87,
+                "note": f"pallas ADC + exact re-rank pvf={pvf}"}
     except Exception as e:  # pragma: no cover
         log(f"pq bench failed: {e!r}")
 
@@ -209,8 +224,10 @@ def main():
                 "note": f"CSR probe w={w}"}
 
         t, _ = timeit(lambda q: ivf.search(q, K, w=3, list_cap=cap), V[:1])
+        tp = timeit_piped(lambda q: ivf.search(q, K, w=3, list_cap=cap),
+                          V[:1])
         results["ivfadc_single"] = {
-            "per_query_ms": t * 1e3,
+            "per_query_ms": t * 1e3, "per_query_ms_pipelined": tp * 1e3,
             "recall": results["ivfadc_batch_w3"]["recall"],
             "ref_s": 0.03, "ref_recall": 0.35, "note": "single query w=3"}
 
@@ -229,6 +246,16 @@ def main():
     # ------------------------------------------------------------- kNN-join
     try:
         from postgres_word2vec_tpu.models.ivpq import IVPQIndex
+        # free earlier index families — cumulative residency alongside the
+        # 3.6 GB float32 table is what OOMs the chip at 3M.
+        try:
+            del pq
+        except NameError:
+            pass
+        try:
+            del ivf
+        except NameError:
+            pass
         t0 = time.perf_counter()
         nq, nt = (500, 10_000) if SMALL else (5000, 100_000)
         ivpq = IVPQIndex.build(jax.random.PRNGKey(3), V, m=30, k=32,

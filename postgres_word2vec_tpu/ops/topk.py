@@ -117,8 +117,11 @@ def chunked_top_k_smallest(
     def body(carry, c):
         run_vals, run_idx = carry
         start = c * chunk_size
-        d = score_chunk_fn(start).astype(jnp.float32)
+        # reduce in the producer's dtype (a bf16 score chunk halves the HBM
+        # round-trip between matmul and top-k); only k values upcast.
+        d = score_chunk_fn(start)
         c_vals, c_pos = top_k_smallest(d, min(k, chunk_size), approx=approx)
+        c_vals = c_vals.astype(jnp.float32)
         c_idx = (c_pos + start).astype(jnp.int32)
         run_vals, run_idx = merge_top_k_smallest(run_vals, run_idx, c_vals,
                                                  c_idx, k)
