@@ -232,9 +232,19 @@ def _ivpq_round(queries: Array, coarse_centroids: Array, codebook_cent: Array,
     sel_cell = ranks < n_sel[:, None]                       # (B, C)
 
     # --- candidate mask over the dense target axis ------------------------
-    probe = jnp.take_along_axis(
-        sel_cell, jnp.broadcast_to(target_cells[None, :],
-                                   (B, target_cells.shape[0])), axis=-1)
+    T = target_cells.shape[0]
+    if use_pallas:
+        # probe[b,t] = sel_cell[b, cell_of[t]] as a one-hot matmul — the
+        # row-gather formulation costs ~580 ms at 512×100k on TPU (gathers
+        # serialize); the MXU does it in ~5 ms.
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, (num_cells, T), 0)
+        cell_onehot = (c_iota == target_cells[None, :]).astype(jnp.bfloat16)
+        probe = jnp.dot(sel_cell.astype(jnp.bfloat16), cell_onehot,
+                        preferred_element_type=jnp.float32) > 0.5
+    else:
+        probe = jnp.take_along_axis(
+            sel_cell, jnp.broadcast_to(target_cells[None, :], (B, T)),
+            axis=-1)
     cand = probe & target_mask[None, :]                     # (B, T)
     retrieved = jnp.sum(cand.astype(jnp.int32), axis=-1)
 

@@ -31,3 +31,24 @@ def test_adc_distances_auto_cpu_fallback(rng):
     got = np.asarray(adc.adc_distances_auto(luts, jnp.asarray(codes), False))
     want = np.asarray(adc.adc_distances(luts, jnp.asarray(codes)))
     np.testing.assert_allclose(got, want)
+
+
+def test_adc_binned_scan_interpret(rng):
+    """Binned kernel: every bin's min/argmin must match the dense scan."""
+    B, m, k, n = 4, 6, 16, 1024
+    cb = jnp.asarray(rng.normal(size=(m, k, 5)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(B, 30)).astype(np.float32))
+    codes = rng.integers(0, k, size=(n, m)).astype(np.uint8)
+    luts = lut.build_luts(q, cb)
+    dense = np.asarray(pk.adc_scan_pallas(luts, jnp.asarray(codes.T),
+                                          block_n=256, interpret=True))
+    mins, ids = pk.adc_scan_binned_pallas(luts, jnp.asarray(codes.T),
+                                          block_n=256, bins=128,
+                                          interpret=True)
+    mins, ids = np.asarray(mins), np.asarray(ids)
+    assert mins.shape == (B, (n // 256) * 128)
+    # strided bins: within each 256-tile, bin j = rows {j, j+128}
+    binned = dense.reshape(B, -1, 2, 128).min(axis=2).reshape(B, -1)
+    np.testing.assert_allclose(mins, binned, rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.take_along_axis(dense, ids, axis=-1), mins)
