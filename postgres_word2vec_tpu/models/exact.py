@@ -144,16 +144,32 @@ class ExactIndex:
     vectors: Array
     compute_dtype: str = "float32"
     approx: bool = False
+    fused: bool = False
 
     def __post_init__(self) -> None:
         v = self.vectors.astype(jnp.float32)
         self._norms = jnp.sum(v * v, axis=-1)
         self._table = (self.vectors if self.compute_dtype == "float32"
                        else self.vectors.astype(jnp.dtype(self.compute_dtype)))
+        self._tiled = None
+        if self.fused:
+            from postgres_word2vec_tpu.ops import pallas_kernels as pk
+            self._tiled, self._tiled_norms, self._valid_n = pk.tile_table(
+                self.vectors, dtype=jnp.dtype(self.compute_dtype))
 
     def search(self, queries: Array, k: int, *, approx: bool | None = None
                ) -> tuple[Array, Array]:
         use_approx = self.approx if approx is None else approx
+        if self._tiled is not None and use_approx:
+            # Fused Pallas scan: matmul + in-VMEM binned reduction, one HBM
+            # pass over the table. On the tunneled dev chip (≈43 GB/s HBM)
+            # it ties the XLA path; on full-bandwidth hardware the XLA
+            # path's materialized (B, chunk) distance buffers dominate and
+            # the fused kernel wins.
+            from postgres_word2vec_tpu.ops import pallas_kernels as pk
+            return pk.fused_exact_top_k(queries, self._tiled,
+                                        self._tiled_norms, k,
+                                        valid_n=self._valid_n)
         return exact_top_k_precast(queries, self._table, self._norms, k,
                                    approx=use_approx)
 

@@ -65,3 +65,14 @@ def test_bfloat16_mode_close_to_f32(rng):
     np.testing.assert_array_equal(np.asarray(i32)[:, 0], np.asarray(i16)[:, 0])
     overlap = len(set(np.asarray(i32).ravel()) & set(np.asarray(i16).ravel()))
     assert overlap >= 16
+
+
+def test_fused_mode_cpu_interpret_not_used(rng):
+    # fused mode requires the Pallas TPU path; on CPU, approx=False searches
+    # still route through the precast path and stay exact.
+    v = rng.normal(size=(300, 16)).astype(np.float32)
+    q = rng.normal(size=(2, 16)).astype(np.float32)
+    idx = ExactIndex(jnp.asarray(v), "float32", fused=True)
+    d, i = idx.search(jnp.asarray(q), 5, approx=False)
+    wd, wi = _brute(q, v, 5)
+    np.testing.assert_array_equal(np.asarray(i), wi)

@@ -52,3 +52,30 @@ def test_adc_binned_scan_interpret(rng):
     np.testing.assert_allclose(mins, binned, rtol=1e-5)
     np.testing.assert_array_equal(
         np.take_along_axis(dense, ids, axis=-1), mins)
+
+
+def test_fused_exact_scan_interpret(rng):
+    B, d, n = 8, 16, 512
+    v = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(B, d)).astype(np.float32)
+    norms = (v ** 2).sum(-1)
+    dists_true = ((q[:, None, :] - v[None]) ** 2).sum(-1)
+    tiled, norms_p, valid = pk.tile_table(jnp.asarray(v), block_n=256,
+                                          dtype=jnp.float32)
+    assert valid == n
+    mins, ids = pk.fused_exact_scan_pallas(
+        jnp.asarray(q), tiled, norms_p, bins=128, interpret=True)
+    mins, ids = np.asarray(mins), np.asarray(ids)
+    # shifted scores: min + qq == true distance at the argmin position
+    qq = (q ** 2).sum(-1, keepdims=True)
+    np.testing.assert_allclose(
+        np.take_along_axis(dists_true, ids, axis=-1), mins + qq,
+        rtol=1e-3, atol=1e-3)
+
+    d2, i2 = pk.fused_exact_top_k(jnp.asarray(q), tiled, norms_p, 5,
+                                  valid_n=valid, bins=128, interpret=True)
+    # with bin width 2, top-5 should essentially match brute force
+    want = np.argsort(dists_true, -1)[:, :5]
+    overlap = np.mean([len(set(a) & set(b)) / 5
+                       for a, b in zip(np.asarray(i2), want)])
+    assert overlap > 0.9
