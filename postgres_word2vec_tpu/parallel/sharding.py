@@ -241,3 +241,115 @@ def sharded_ivpq_join_round(mesh: Mesh, queries: Array, coarse_cent: Array,
     return run(queries, coarse_cent, codebook_cent, target_codes,
                target_cells, target_ids, target_mask, statistics,
                target_vecs)
+
+
+def shard_ivfadc(index, mesh: Mesh):
+    """Partition an IVFADCIndex's inverted lists across the rows axis.
+
+    Cells are split into ``rows`` contiguous ranges with roughly equal row
+    counts; each shard's code rows are repacked locally (padded to the
+    largest shard) while row ids stay global. Returns the array bundle for
+    :func:`sharded_ivfadc_probe`.
+    """
+    n_shards = mesh.shape[ROWS_AXIS]
+    offsets = np.asarray(index.cell_offsets)
+    n_cells = index.num_cells
+    total = offsets[-1]
+    # greedy contiguous split at ~equal row counts
+    bounds = [0]
+    for s in range(1, n_shards):
+        target = total * s // n_shards
+        bounds.append(int(np.searchsorted(offsets, target)))
+    bounds.append(n_cells)
+    starts = np.asarray(bounds[:-1], np.int32)
+    ends = np.asarray(bounds[1:], np.int32)
+
+    row_lo = offsets[starts]
+    row_hi = offsets[ends]
+    max_rows = int((row_hi - row_lo).max()) if n_shards else 0
+    max_rows = max(max_rows, 1)
+
+    codes = np.asarray(index.codes_sorted)
+    rids = np.asarray(index.row_ids)
+    m = codes.shape[1]
+    codes_sh = np.zeros((n_shards, max_rows, m), codes.dtype)
+    rids_sh = np.full((n_shards, max_rows), -1, np.int32)
+    offs_sh = np.zeros((n_shards, n_cells + 1), np.int32)
+    for s in range(n_shards):
+        lo, hi = row_lo[s], row_hi[s]
+        codes_sh[s, :hi - lo] = codes[lo:hi]
+        rids_sh[s, :hi - lo] = rids[lo:hi]
+        # local offsets valid for owned cells; clamp others to the shard
+        offs_sh[s] = np.clip(offsets - lo, 0, hi - lo)
+
+    return {
+        "codes": shard_rows(jnp.asarray(codes_sh), mesh),
+        "row_ids": shard_rows(jnp.asarray(rids_sh), mesh),
+        "offsets": shard_rows(jnp.asarray(offs_sh), mesh),
+        "cell_start": shard_rows(jnp.asarray(starts.reshape(-1, 1)), mesh),
+        "cell_end": shard_rows(jnp.asarray(ends.reshape(-1, 1)), mesh),
+        "coarse": replicate(index.coarse.centroids, mesh),
+        "codebook": replicate(index.codebook.centroids, mesh),
+        "list_cap": int(np.diff(offsets).max() or 1),
+    }
+
+
+def sharded_ivfadc_probe(mesh: Mesh, queries: Array, bundle: dict, *,
+                         w: int, k: int,
+                         list_cap: int | None = None
+                         ) -> tuple[Array, Array]:
+    """Multi-chip IVFADC probe: inverted lists sharded over "rows", queries
+    over "q". Every device scores all coarse cells (replicated centroids),
+    gathers windows only for the probed cells it owns, ADC-scans them, and
+    the per-shard top-k merges with one all_gather.
+    """
+    from postgres_word2vec_tpu.models.ivfadc import grouped_adc_distances
+    from postgres_word2vec_tpu.ops import kmeans as km
+    from postgres_word2vec_tpu.ops import lut as lut_mod
+
+    cap = bundle["list_cap"] if list_cap is None else list_cap
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(Q_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS),
+                  P(ROWS_AXIS), P(ROWS_AXIS), P(), P()),
+        out_specs=(P(Q_AXIS), P(Q_AXIS)), check_vma=False)
+    def run(q, codes_sh, rids_sh, offs_sh, c_start, c_end, coarse, cbook):
+        codes_loc = codes_sh[0]                     # (max_rows, m)
+        rids_loc = rids_sh[0]
+        offs_loc = offs_sh[0]                       # (C+1,)
+        start, end = c_start[0, 0], c_end[0, 0]
+        B, d = q.shape
+
+        cd = km.pairwise_sqdist(q, coarse)
+        _, cells = topk_ops.top_k_smallest(cd, w)   # (B, w) global cells
+        owned = (cells >= start) & (cells < end)
+
+        resid = q[:, None, :] - jnp.take(coarse, cells, axis=0)
+        luts = lut_mod.build_luts(resid.reshape(B * w, d), cbook)
+        luts = luts.reshape(B, w, *luts.shape[1:])
+
+        starts_ = jnp.take(offs_loc, cells)
+        ends_ = jnp.take(offs_loc, cells + 1)
+        lane = jnp.arange(cap)
+        pos = starts_[..., None] + lane
+        valid = (pos < ends_[..., None]) & owned[..., None]
+        pos_c = jnp.minimum(pos, codes_loc.shape[0] - 1)
+        cand = jnp.take(codes_loc, pos_c, axis=0)
+
+        dists = grouped_adc_distances(luts, cand)
+        dists = jnp.where(valid, dists, jnp.inf)
+        flat = dists.reshape(B, w * cap)
+        vals, fpos = topk_ops.top_k_smallest(flat, min(k, w * cap))
+        gpos = jnp.take_along_axis(pos_c.reshape(B, w * cap), fpos, axis=-1)
+        ids = jnp.where(jnp.isfinite(vals), jnp.take(rids_loc, gpos), -1)
+
+        all_vals = lax.all_gather(vals, ROWS_AXIS, axis=1, tiled=True)
+        all_ids = lax.all_gather(ids.astype(jnp.int32), ROWS_AXIS, axis=1,
+                                 tiled=True)
+        neg, sel = lax.top_k(-all_vals, k)
+        return -neg, jnp.take_along_axis(all_ids, sel, axis=-1)
+
+    return run(queries, bundle["codes"], bundle["row_ids"],
+               bundle["offsets"], bundle["cell_start"], bundle["cell_end"],
+               bundle["coarse"], bundle["codebook"])

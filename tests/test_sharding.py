@@ -112,3 +112,22 @@ def test_sharded_ivpq_join_matches_single_device(mesh, rng):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(ids2), np.asarray(ids1))
     np.testing.assert_array_equal(np.asarray(ret2), np.asarray(ret1))
+
+
+def test_sharded_ivfadc_matches_single_device(mesh, rng):
+    import jax
+    from postgres_word2vec_tpu.models.ivfadc import IVFADCIndex
+
+    v = rng.normal(size=(2400, 16)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    idx = IVFADCIndex.build(jax.random.PRNGKey(4), jnp.asarray(v), m=4, k=8,
+                            k_coarse=16, train_size=None, iters=5)
+    bundle = sharding.shard_ivfadc(idx, mesh)
+    q = jnp.asarray(v[:8])
+    d1, i1 = idx.search(q, 5, w=3)
+    d2, i2 = sharding.sharded_ivfadc_probe(mesh, q, bundle, w=3, k=5)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), rtol=1e-5,
+                               atol=1e-6)
+    # distances identical; id sets must match (ties may reorder)
+    for a, b in zip(np.asarray(i1), np.asarray(i2)):
+        assert set(a.tolist()) == set(b.tolist())
