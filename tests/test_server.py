@@ -1,0 +1,85 @@
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from postgres_word2vec_tpu import Freddy, VectorStore
+from postgres_word2vec_tpu.server import QueryServer
+
+
+@pytest.fixture(scope="module")
+def server():
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(300, 16)).astype(np.float32)
+    store = VectorStore.from_arrays([f"w{i}" for i in range(300)], vecs)
+    eng = Freddy.build(store, seed=0, pq_m=4, pq_k=8, ivfadc_m=4,
+                       ivfadc_k=8, k_coarse=6, ivpq_m=4, ivpq_k=8,
+                       ivpq_k_coarse=4, train_size=None, iters=5)
+    srv = QueryServer(eng, port=0).start()
+    yield srv
+    srv.stop()
+
+
+def _post(srv, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health(server):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/health") as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok"
+    assert h["vocab"] == 300
+    assert h["indexes"]["pq"] is True
+
+
+def test_knn_endpoint(server):
+    code, out = _post(server, "/knn", {"query": "w10", "k": 3})
+    assert code == 200
+    rows = out["result"]
+    assert rows[0][0] == "w10"
+    assert len(rows) == 3
+
+
+def test_knn_with_vector(server):
+    v = np.asarray(server.engine.store.vector_for("w5")).tolist()
+    code, out = _post(server, "/knn", {"query": v, "k": 2})
+    assert code == 200
+    assert out["result"][0][0] == "w5"
+
+
+def test_join_and_config(server):
+    code, out = _post(server, "/config", {"set_alpha": 50})
+    assert code == 200 and out["result"]["applied"]["set_alpha"] == 50
+    code, out = _post(server, "/knn_join",
+                      {"queries": ["w1", "w2"], "k": 2,
+                       "targets": [f"w{i}" for i in range(100)]})
+    assert code == 200
+    assert len(out["result"]) == 4
+
+
+def test_analogy_tokenize_insert(server):
+    code, out = _post(server, "/tokenize", {"text": "w1 w2"})
+    assert code == 200 and len(out["result"]) == 16
+    code, out = _post(server, "/insert", {"terms": ["w1 w2"]})
+    assert code == 200 and out["result"]["inserted"] == 1
+    code, out = _post(server, "/knn", {"query": "w1 w2", "k": 1})
+    assert out["result"][0][0] == "w1 w2"
+
+
+def test_error_paths(server):
+    code, out = _post(server, "/nope", {})
+    assert code == 404
+    code, out = _post(server, "/knn", {"query": "missing_word", "k": 3})
+    assert code == 400 and "KeyError" in out["error"]
+    code, out = _post(server, "/config", {"set_bogus": 1})
+    assert code == 404
