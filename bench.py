@@ -100,7 +100,6 @@ def main():
     from postgres_word2vec_tpu.models.exact import ExactIndex, exact_top_k
     from postgres_word2vec_tpu.models.ivfadc import IVFADCIndex
     from postgres_word2vec_tpu.models.pq import PQIndex
-    from postgres_word2vec_tpu.ops import kmeans as km
 
     log(f"bench: N={N} D={D} devices={jax.devices()}")
     t0 = time.perf_counter()

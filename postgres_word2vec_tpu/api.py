@@ -31,8 +31,8 @@ import numpy as np
 
 from postgres_word2vec_tpu.models.exact import ExactIndex
 from postgres_word2vec_tpu.models.ivfadc import IVFADCIndex
-from postgres_word2vec_tpu.models.ivpq import (EXACT_CALC, IVPQIndex, PQ_CALC,
-                                               PQ_PV_CALC, build_statistics)
+from postgres_word2vec_tpu.models.ivpq import (IVPQIndex, PQ_CALC,
+                                               build_statistics)
 from postgres_word2vec_tpu.models.pq import PQIndex
 from postgres_word2vec_tpu.ops import vector_ops as vo
 from postgres_word2vec_tpu.store import VectorStore
@@ -576,8 +576,8 @@ class Freddy:
                     members = np.flatnonzero(assign == c)
                     if len(members) == 0:
                         continue
-                    sample = members[rng.integers(0, len(members),
-                                                  size=min(10, 10))]
+                    # ≤10 sampled members, with replacement (sql:1131-1151)
+                    sample = members[rng.integers(0, len(members), size=10)]
                     centroids[c] = vecs[sample].mean(0)
         return [(t, int(c) + 1) for t, c in zip(toks, assign)]
 

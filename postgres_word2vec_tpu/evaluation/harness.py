@@ -28,11 +28,9 @@ from __future__ import annotations
 import time
 from typing import Sequence
 
-import jax.numpy as jnp
 import numpy as np
 
 from postgres_word2vec_tpu.api import Freddy
-from postgres_word2vec_tpu.models.ivpq import EXACT_CALC
 
 
 def calculate_precision(approx: Sequence[tuple], exact: Sequence[tuple]

@@ -18,7 +18,6 @@ says otherwise; internally we negate and use max-k.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
