@@ -262,6 +262,10 @@ def main():
         log(f"IVPQ built in {time.perf_counter() - t0:.1f}s")
         tgt = jnp.arange(nt, dtype=jnp.int32)
         qv = V[N - nq:]
+        # warm the compiled round so total_s measures the workload, not XLA
+        d, i = ivpq.search_join(qv[:512], 5, tgt, alpha=100, method=0,
+                                confidence=0.8, query_chunk=512)
+        np.asarray(i[..., :1])
         t0 = time.perf_counter()
         d, i = ivpq.search_join(qv, 5, tgt, alpha=100, method=0,
                                 confidence=0.8, query_chunk=512)

@@ -658,6 +658,36 @@ class Freddy:
                                                  ivpq.num_cells)
         self.params.statistics_table = name
 
+    def warmup(self, *, k: int = 5, join_targets: int = 1024,
+               query_chunk: int = 1024) -> None:
+        """Precompile the hot query paths (serving cold-start hygiene).
+
+        Runs one tiny query through each built index family so first user
+        requests don't pay XLA compilation. Compiled programs are cached by
+        shape; use the same ``query_chunk`` you will serve with.
+        """
+        q = self.store.vectors_norm[:1]
+        self.exact.search(q, k)
+        targets = list(range(min(join_targets, self.store.size)))
+        tids = jnp.asarray(targets, jnp.int32)
+        self.exact.search_in(q, k, tids)
+        if self.pq is not None:
+            self.pq.search(q, k)
+            self.pq.search_pv(q, k, self.params.pvf, self.store.vectors_norm)
+            self.pq.search_in(q, k, tids)
+        if self.ivfadc is not None:
+            self.ivfadc.search(q, k, w=self.params.w)
+            self.ivfadc.search_pv(q, k, self.params.pvf,
+                                  self.store.vectors_norm, w=self.params.w)
+        if self.ivpq is not None:
+            self.ivpq.search_join(
+                q, k, tids, vectors=self.store.vectors_norm,
+                statistics=self._active_statistics(),
+                alpha=self.params.alpha, pvf=self.params.pvf,
+                method=self.params.method, confidence=self.params.confidence,
+                long_codes_threshold=self.params.long_codes_threshold,
+                query_chunk=query_chunk)
+
     # ========================================================= persistence
     def save(self, directory) -> None:
         """Persist the whole engine — store, every built index, runtime

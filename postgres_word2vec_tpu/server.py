@@ -181,6 +181,7 @@ def main() -> None:
         print(__doc__)
         raise SystemExit(1)
     engine = Freddy.load(sys.argv[1])
+    engine.warmup()
     port = int(sys.argv[2]) if len(sys.argv) > 2 else 8765
     server = QueryServer(engine, port=port)
     print(f"serving {engine.store.size} vectors on :{server.port}")

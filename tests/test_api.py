@@ -222,3 +222,7 @@ def test_engine_save_load_roundtrip(engine, tmp_path):
     finally:
         engine.set_alpha(3)
         engine.set_statistics_table(None)
+
+
+def test_warmup_runs(engine):
+    engine.warmup(k=3, join_targets=64, query_chunk=8)
