@@ -190,7 +190,8 @@ def _ivpq_round(queries: Array, coarse_centroids: Array, codebook_cent: Array,
                 k: int, alpha: int, pvf: int, method: int,
                 confidence: Array, use_double: bool,
                 use_pallas: bool = False,
-                t_real_override: Array | None = None
+                t_real_override: Array | None = None,
+                cell_counts_override: Array | None = None
                 ) -> tuple[Array, Array, Array, Array, Array]:
     """One fixed-shape probe round at a given alpha.
 
@@ -220,6 +221,23 @@ def _ivpq_round(queries: Array, coarse_centroids: Array, codebook_cent: Array,
     any_sat = jnp.any(satisfied, axis=-1)
     first = jnp.argmax(satisfied, axis=-1) + 1              # κ = index + 1
     n_sel = jnp.where(any_sat, first, num_cells)            # (B,)
+    # Coverage floor: the reference re-runs with doubled alpha until every
+    # query has k results (ivpq_search_in.c:639-684) because it only has
+    # *estimated* per-cell frequencies. We know the actual per-cell target
+    # counts, so extend each query's prefix until it provably covers ≥ k
+    # real targets — same semantics, one round instead of an escalation
+    # ladder in the common case.
+    cell_counts = (jax.ops.segment_sum(
+        target_mask.astype(jnp.float32), target_cells.astype(jnp.int32),
+        num_segments=num_cells)
+        if cell_counts_override is None else cell_counts_override)  # (C,)
+    counts_sorted = jnp.take(cell_counts, order)             # (B, C)
+    cum_counts = jnp.cumsum(counts_sorted, axis=-1)
+    need = jnp.minimum(float(k), t_real.astype(jnp.float32))
+    covered = cum_counts >= need
+    k_first = jnp.argmax(covered, axis=-1) + 1
+    n_sel_k = jnp.where(jnp.any(covered, axis=-1), k_first, num_cells)
+    n_sel = jnp.maximum(n_sel, n_sel_k)
     exhausted = n_sel >= num_cells
     # statistics-model prediction of how many targets the probed cells hold
     # (the reference's "TRACK target_count" metric, index_utils.c:412-414).

@@ -226,11 +226,16 @@ def sharded_ivpq_join_round(mesh: Mesh, queries: Array, coarse_cent: Array,
         out_specs=(P(Q_AXIS), P(Q_AXIS), P(Q_AXIS)), check_vma=False)
     def run(q, cc, cb, t_codes, t_cells, t_ids, t_mask, stats, t_vecs):
         t_real = lax.psum(jnp.sum(t_mask.astype(jnp.int32)), ROWS_AXIS)
+        num_cells = stats.shape[0] - 1
+        local_counts = jax.ops.segment_sum(
+            t_mask.astype(jnp.float32), t_cells.astype(jnp.int32),
+            num_segments=num_cells)
+        global_counts = lax.psum(local_counts, ROWS_AXIS)
         vals, ids, retrieved, _, _ = ivpq_mod._ivpq_round(
             q, cc, cb, t_codes, t_cells, t_ids, t_mask, stats, t_vecs,
             k=k, alpha=alpha, pvf=pvf, method=method,
             confidence=jnp.float32(confidence), use_double=False,
-            t_real_override=t_real)
+            t_real_override=t_real, cell_counts_override=global_counts)
         all_vals = lax.all_gather(vals, ROWS_AXIS, axis=1, tiled=True)
         all_ids = lax.all_gather(ids, ROWS_AXIS, axis=1, tiled=True)
         neg, pos = lax.top_k(-all_vals, k)
