@@ -130,6 +130,66 @@ def exact_top_k_precast(queries: Array, table: Array, norms: Array, k: int,
     return vals.astype(jnp.float32), idx
 
 
+def quantize_rows_int8(vectors: Array) -> tuple[Array, Array]:
+    """Symmetric per-row int8 quantization → (int8 table, float32 scales).
+
+    300 MB instead of 1.8 GB (bf16) at 3M×300 — the capacity point between
+    raw vectors and PQ codes, with near-exact recall (per-element error
+    ~scale/2 ≪ typical neighbor gaps). int8×int8 also runs the MXU at 2×
+    the bf16 rate.
+    """
+    v = vectors.astype(jnp.float32)
+    scales = jnp.max(jnp.abs(v), axis=-1) / 127.0
+    safe = jnp.maximum(scales, 1e-12)
+    q = jnp.clip(jnp.round(v / safe[:, None]), -127, 127).astype(jnp.int8)
+    return q, scales
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "chunk_size", "approx"))
+def exact_top_k_int8(queries: Array, table_i8: Array, scales: Array,
+                     norms: Array, k: int, *, chunk_size: int = 1_048_576,
+                     approx: bool = True) -> tuple[Array, Array]:
+    """Int8-quantized brute-force top-k → (approx squared dists, ids).
+
+    ``q·v ≈ (q_i8·v_i8)·s_q·s_v``; the ‖v‖² term uses the exact float32
+    norms, so the only error source is the cross term's quantization.
+    """
+    n, d = table_i8.shape
+    qf = queries.astype(jnp.float32)
+    qq = jnp.sum(qf * qf, axis=-1, keepdims=True)
+    q_scale = jnp.max(jnp.abs(qf), axis=-1) / 127.0
+    q_safe = jnp.maximum(q_scale, 1e-12)
+    q_i8 = jnp.clip(jnp.round(qf / q_safe[:, None]), -127,
+                    127).astype(jnp.int8)
+
+    def block(tab_chunk, scale_chunk, norm_chunk):
+        qv_i = jnp.dot(q_i8, tab_chunk.T,
+                       preferred_element_type=jnp.int32).astype(jnp.float32)
+        qv = qv_i * q_safe[:, None] * scale_chunk[None, :]
+        return jnp.maximum(qq - 2.0 * qv + norm_chunk[None, :], 0.0)
+
+    if n <= chunk_size:
+        dists = block(table_i8, scales, norms)
+        return topk_ops.top_k_smallest(dists, min(k, n), approx=approx)
+    pad = (-n) % chunk_size
+    tp = jnp.pad(table_i8, ((0, pad), (0, 0)))
+    sp = jnp.pad(scales, (0, pad))
+    np_ = jnp.pad(norms, (0, pad))
+
+    def score_chunk(start):
+        chunk = lax.dynamic_slice(tp, (start, 0), (chunk_size, d))
+        sc = lax.dynamic_slice(sp, (start,), (chunk_size,))
+        nc = lax.dynamic_slice(np_, (start,), (chunk_size,))
+        dists = block(chunk, sc, nc)
+        valid = (jnp.arange(chunk_size) + start) < n
+        return jnp.where(valid[None, :], dists, jnp.inf)
+
+    return topk_ops.chunked_top_k_smallest(
+        score_chunk, n + pad, chunk_size, k, (queries.shape[0],),
+        approx=approx)
+
+
 @dataclasses.dataclass
 class ExactIndex:
     """Brute-force index over an HBM-resident ``(N, d)`` table.
@@ -149,10 +209,17 @@ class ExactIndex:
     def __post_init__(self) -> None:
         v = self.vectors.astype(jnp.float32)
         self._norms = jnp.sum(v * v, axis=-1)
-        self._table = (self.vectors if self.compute_dtype == "float32"
-                       else self.vectors.astype(jnp.dtype(self.compute_dtype)))
+        self._scales = None
+        if self.compute_dtype == "int8":
+            self._table, self._scales = quantize_rows_int8(self.vectors)
+        elif self.compute_dtype == "float32":
+            self._table = self.vectors
+        else:
+            self._table = self.vectors.astype(jnp.dtype(self.compute_dtype))
         self._tiled = None
         if self.fused:
+            if self.compute_dtype == "int8":
+                raise ValueError("fused mode supports float32/bfloat16")
             from postgres_word2vec_tpu.ops import pallas_kernels as pk
             self._tiled, self._tiled_norms, self._valid_n = pk.tile_table(
                 self.vectors, dtype=jnp.dtype(self.compute_dtype))
@@ -160,6 +227,9 @@ class ExactIndex:
     def search(self, queries: Array, k: int, *, approx: bool | None = None
                ) -> tuple[Array, Array]:
         use_approx = self.approx if approx is None else approx
+        if self._scales is not None:
+            return exact_top_k_int8(queries, self._table, self._scales,
+                                    self._norms, k, approx=use_approx)
         if self._tiled is not None and use_approx:
             # Fused Pallas scan: matmul + in-VMEM binned reduction, one HBM
             # pass over the table. On the tunneled dev chip (≈43 GB/s HBM)
@@ -177,5 +247,7 @@ class ExactIndex:
                   target_mask: Array | None = None) -> tuple[Array, Array]:
         if target_mask is None:
             target_mask = jnp.ones(target_ids.shape, dtype=bool)
+        dtype = ("float32" if self.compute_dtype == "int8"
+                 else self.compute_dtype)
         return exact_top_k_in(queries, self.vectors, target_ids, target_mask,
-                              k, dtype=self.compute_dtype)
+                              k, dtype=dtype)

@@ -76,3 +76,28 @@ def test_fused_mode_cpu_interpret_not_used(rng):
     d, i = idx.search(jnp.asarray(q), 5, approx=False)
     wd, wi = _brute(q, v, 5)
     np.testing.assert_array_equal(np.asarray(i), wi)
+
+
+def test_int8_mode_recall(rng):
+    v = rng.normal(size=(2000, 32)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    q = v[:8] + rng.normal(scale=0.05, size=(8, 32)).astype(np.float32)
+    f32 = ExactIndex(jnp.asarray(v), "float32")
+    i8 = ExactIndex(jnp.asarray(v), "int8")
+    _, want = f32.search(jnp.asarray(q), 10, approx=False)
+    _, got = i8.search(jnp.asarray(q), 10, approx=False)
+    overlap = np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
+                       for a, b in zip(np.asarray(got), np.asarray(want))])
+    assert overlap > 0.9
+    # top-1 (the query's true neighbor) must survive quantization
+    np.testing.assert_array_equal(np.asarray(got)[:, 0],
+                                  np.asarray(want)[:, 0])
+
+
+def test_int8_quantization_roundtrip(rng):
+    from postgres_word2vec_tpu.models.exact import quantize_rows_int8
+    v = rng.normal(size=(50, 16)).astype(np.float32)
+    q, s = quantize_rows_int8(jnp.asarray(v))
+    assert q.dtype == jnp.int8
+    back = np.asarray(q, np.float32) * np.asarray(s)[:, None]
+    np.testing.assert_allclose(back, v, atol=np.abs(v).max() / 120)
