@@ -81,9 +81,21 @@ inline float parse_float(const char*& p, const char* end) {
     }
   }
   if (!any || (p < end && (*p == 'x' || *p == 'X'))) {
+    // strtof on the raw mmap region could scan past a mapping that ends
+    // exactly at a page boundary (SIGBUS) — copy the token into a
+    // NUL-terminated stack buffer first.
+    char buf[64];
+    const char* tend = start;
+    while (tend < end && *tend != ' ' && *tend != '\t' && *tend != '\n' &&
+           *tend != '\r')
+      ++tend;
+    size_t len = static_cast<size_t>(tend - start);
+    if (len >= sizeof(buf)) len = sizeof(buf) - 1;
+    std::memcpy(buf, start, len);
+    buf[len] = '\0';
     char* q = nullptr;
-    float v = std::strtof(start, &q);
-    p = q;
+    float v = std::strtof(buf, &q);
+    p = start + (q - buf);
     return v;
   }
   if (p < end && (*p == 'e' || *p == 'E')) {

@@ -32,9 +32,13 @@ def _sqdist_block(q: Array, v_chunk: Array, compute_dtype) -> Array:
     vf = v_chunk.astype(jnp.float32)
     qq = jnp.sum(qf * qf, axis=-1, keepdims=True)
     vv = jnp.sum(vf * vf, axis=-1)
+    # HIGHEST on bf16 operands forces an f32-upcast multi-pass matmul —
+    # worst of both worlds once operands were already rounded. Only pin
+    # HIGHEST for true float32 compute (mirrors exact_top_k_precast).
+    prec = (lax.Precision.HIGHEST if compute_dtype == jnp.float32
+            else lax.Precision.DEFAULT)
     qv = jnp.dot(q.astype(compute_dtype), v_chunk.astype(compute_dtype).T,
-                 preferred_element_type=jnp.float32,
-                 precision=lax.Precision.HIGHEST)
+                 preferred_element_type=jnp.float32, precision=prec)
     return jnp.maximum(qq - 2.0 * qv + vv[None, :], 0.0)
 
 

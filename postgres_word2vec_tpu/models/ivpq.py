@@ -432,8 +432,10 @@ class IVPQIndex:
         (ivpq_search_in.c:639-684)."""
         conf_arr = jnp.float32(confidence)
         cur_alpha = int(alpha)
-        use_double = (cur_alpha * self.codebook.centroids.shape[1]
-                      > long_codes_threshold)
+        # Fused-pair LUT trigger: alpha·k > threshold where k is the
+        # requested neighbor count (parity: ivpq_search_in.c:262
+        # "alpha * k > double_threshold").
+        use_double = cur_alpha * k > long_codes_threshold
         vals, ids, retrieved, exhausted, predicted = self._run_round(
             queries, target_codes, target_cells, target_ids, target_mask,
             target_vecs, statistics, k, cur_alpha, pvf, method, conf_arr,
@@ -446,8 +448,7 @@ class IVPQIndex:
             if bool(jnp.all(resolved | exhausted)):
                 break
             cur_alpha += cur_alpha  # alpha += alpha (ivpq_search_in.c:682)
-            use_double = (cur_alpha * self.codebook.centroids.shape[1]
-                          > long_codes_threshold)
+            use_double = cur_alpha * k > long_codes_threshold
             vals, ids, retrieved, exhausted, predicted = self._run_round(
                 queries, target_codes, target_cells, target_ids, target_mask,
                 target_vecs, statistics, k, cur_alpha, pvf, method, conf_arr,

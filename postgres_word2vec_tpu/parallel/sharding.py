@@ -231,11 +231,19 @@ def sharded_ivpq_join_round(mesh: Mesh, queries: Array, coarse_cent: Array,
             t_mask.astype(jnp.float32), t_cells.astype(jnp.int32),
             num_segments=num_cells)
         global_counts = lax.psum(local_counts, ROWS_AXIS)
-        vals, ids, retrieved, _, _ = ivpq_mod._ivpq_round(
-            q, cc, cb, t_codes, t_cells, t_ids, t_mask, stats, t_vecs,
+        # Run the round with shard-LOCAL ids so method 2's post_verify
+        # gathers the shard-local (T/shard, d) target block correctly, then
+        # map back to global ids (mirrors IVPQIndex._run_round; with global
+        # ids jnp.take clamps out-of-range and re-ranks the wrong vectors).
+        local_ids = jnp.arange(t_ids.shape[0], dtype=jnp.int32)
+        vals, lids, retrieved, _, _ = ivpq_mod._ivpq_round(
+            q, cc, cb, t_codes, t_cells, local_ids, t_mask, stats, t_vecs,
             k=k, alpha=alpha, pvf=pvf, method=method,
             confidence=jnp.float32(confidence), use_double=False,
             t_real_override=t_real, cell_counts_override=global_counts)
+        ids = jnp.where(lids >= 0,
+                        jnp.take(t_ids, jnp.maximum(lids, 0)),
+                        -1).astype(jnp.int32)
         all_vals = lax.all_gather(vals, ROWS_AXIS, axis=1, tiled=True)
         all_ids = lax.all_gather(ids, ROWS_AXIS, axis=1, tiled=True)
         neg, pos = lax.top_k(-all_vals, k)

@@ -143,15 +143,18 @@ class VectorStore:
     def save(self, path: str | Path) -> None:
         """Serialize to .npz (the analog of the reference's pickled index
         exports, index_manager.py:10-18)."""
+        # Fixed-width unicode (never dtype=object): loading object arrays
+        # needs allow_pickle=True, which executes arbitrary code on
+        # untrusted files.
         np.savez_compressed(
             path,
-            words=np.asarray(self.words, dtype=object),
+            words=np.asarray(self.words, dtype=str),
             vectors=np.asarray(self.vectors),
         )
 
     @classmethod
     def load(cls, path: str | Path) -> "VectorStore":
-        with np.load(path, allow_pickle=True) as f:
+        with np.load(path, allow_pickle=False) as f:
             words = [str(w) for w in f["words"]]
             vectors = f["vectors"]
         return cls.from_arrays(words, vectors)

@@ -114,6 +114,56 @@ def test_sharded_ivpq_join_matches_single_device(mesh, rng):
     np.testing.assert_array_equal(np.asarray(ret2), np.asarray(ret1))
 
 
+def test_sharded_ivpq_join_method2_matches_single_device(mesh, rng):
+    """Method 2 (ADC + post-verification) must re-rank against shard-LOCAL
+    target vectors — with global ids the gather clamps and silently re-ranks
+    wrong rows (advisor finding, round 1)."""
+    import jax
+    from postgres_word2vec_tpu.models import ivpq as ivpq_mod
+    from postgres_word2vec_tpu.models.ivpq import IVPQIndex
+
+    v = rng.normal(size=(2000, 16)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    idx = IVPQIndex.build(jax.random.PRNGKey(1), jnp.asarray(v), m=4, k=8,
+                          k_coarse=4, train_size=None, iters=5)
+    stats = ivpq_mod.uniform_statistics(idx.coarse.cell_counts)
+    t = 800
+    # offset targets so global ids differ from local positions — the exact
+    # failure mode of the round-1 bug.
+    tids = jnp.arange(1000, 1000 + t, dtype=jnp.int32)
+    tmask = jnp.ones((t,), bool)
+    tcodes = jnp.take(idx.codes, tids, axis=0)
+    tcells = jnp.take(idx.cell_of, tids)
+    tvecs = jnp.take(jnp.asarray(v), tids, axis=0)
+    q = jnp.asarray(v[:8])
+
+    vals1, ids1, _, _, _ = IVPQIndex._run_round(
+        idx, q, tcodes, tcells, tids, tmask, tvecs, stats, 5, 50, 10,
+        ivpq_mod.PQ_PV_CALC, jnp.float32(0.8), False)
+
+    vals2, ids2, _ = sharding.sharded_ivpq_join_round(
+        mesh, q, idx.coarse.centroids, idx.codebook.centroids, tcodes,
+        tcells, tids, tmask, stats, tvecs, k=5, alpha=50, pvf=10, method=2,
+        confidence=0.8)
+
+    # 1. Every returned distance must be the TRUE exact squared distance of
+    #    the returned id — the round-1 bug re-ranked clamped wrong rows, so
+    #    this is the direct detector.
+    qn, vn = np.asarray(q), np.asarray(v)
+    for b in range(qn.shape[0]):
+        for j in range(5):
+            gid = int(np.asarray(ids2)[b, j])
+            if gid < 0:
+                continue
+            true_d = float(np.sum((qn[b] - vn[gid]) ** 2))
+            np.testing.assert_allclose(np.asarray(vals2)[b, j], true_d,
+                                       rtol=1e-4, atol=1e-5)
+    # 2. Per-shard PV shortlists are a superset of the global shortlist's
+    #    per-shard restriction, so the merged sharded top-k is at least as
+    #    good as single-device elementwise (both sorted ascending).
+    assert (np.asarray(vals2) <= np.asarray(vals1) + 1e-5).all()
+
+
 def test_sharded_ivfadc_matches_single_device(mesh, rng):
     import jax
     from postgres_word2vec_tpu.models.ivfadc import IVFADCIndex
