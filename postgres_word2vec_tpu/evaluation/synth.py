@@ -1,0 +1,110 @@
+"""Synthetic embedding generators for benchmarking (zero-egress stand-in
+for GoogleNews word2vec, the reference's dataset — README.md:151-156).
+
+Two generators:
+
+- :func:`generate_mixture` — round-1's flat cluster mixture with planted
+  eval neighbors. Kept for the recall-ceiling control's "before" condition.
+- :func:`generate_wordlike` — GoogleNews-like geometry: anisotropic
+  (power-law) spectrum, topic→concept→variant hierarchy so every row has a
+  handful of true near-neighbors (near-synonyms/inflections) separated from
+  topic-level distractors, in a randomly rotated basis so no PQ subspace is
+  axis-aligned with the spectrum.
+
+The v2 parameters are CALIBRATED so a *reference-equivalent* quantizer
+(scipy-style best-of-10 converged Lloyd, m=12, k=256 — see
+evaluation/recall_ceiling.py) scores close to FREDDY's published operating
+points on GoogleNews (PQ 0.38, PQ+PV 0.87, IVFADC 0.35, IVFADC+PV 0.65,
+/root/reference/README.md:118-123). That calibration is what makes recall
+numbers measured on this data comparable to the reference's.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("n", "d", "eval_q"))
+def generate_mixture(key: Array, n: int, d: int = 300,
+                     eval_q: int = 256) -> Array:
+    """Round-1 generator: 1024-cluster isotropic mixture + planted
+    neighbors for the first ``eval_q`` rows. Hard for PQ (isotropic
+    within-cluster noise ⇒ quantization error swamps neighbor gaps)."""
+    kc, ka, kn, kp, ks = jax.random.split(key, 5)
+    centers = jax.random.normal(kc, (1024, d), jnp.float32)
+    assign = jax.random.randint(ka, (n,), 0, 1024)
+    v = (jnp.take(centers, assign, axis=0)
+         + 0.7 * jax.random.normal(kn, (n, d), jnp.float32))
+    v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    n_plant = 16
+    plant_ids = (jax.random.choice(ks, n - eval_q,
+                                   (eval_q * n_plant,), replace=False)
+                 + eval_q)
+    src = jnp.repeat(v[:eval_q], n_plant, axis=0)
+    planted = src + 0.25 * jax.random.normal(kp, src.shape, jnp.float32)
+    planted = planted / jnp.linalg.norm(planted, axis=-1, keepdims=True)
+    return v.at[plant_ids].set(planted)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "d", "n_topics", "group", "chunk_size"))
+def generate_wordlike(key: Array, n: int, d: int = 300, *,
+                      n_topics: int = 1024, group: int = 8,
+                      beta: float = 0.55, sigma_c: float = 0.7,
+                      sigma_v: float = 0.55,
+                      chunk_size: int = 262144) -> Array:
+    """GoogleNews-like synthetic embeddings → ``(n, d)`` float32, L2-normed.
+
+    Construction (all in a "spectral" basis, then rotated):
+
+    1. per-dim scales ``s_i ∝ (i+1)^-beta`` (power-law spectrum, normalized
+       to mean-square 1) — word2vec embeddings have most variance in a few
+       dozen directions, which is what makes PQ/IVFADC viable on them;
+    2. ``n_topics`` topic centers ``t = z ⊙ s``;
+    3. ``n/group`` concepts ``c = t[topic] + sigma_c·(z ⊙ s)``;
+    4. each row picks a random concept: ``v = c + sigma_v·(z ⊙ s)`` — so a
+       row's true near-neighbors are its ~``group`` sibling variants
+       (near-synonyms), well separated from same-topic distractors;
+    5. rows are rotated by a random orthogonal Q (so the anisotropy is not
+       axis-aligned with PQ's contiguous subspace split) and normalized.
+
+    Rows are generated in fixed-size chunks (``lax.map``) so the transient
+    noise tensors never exceed chunk_size×d. Concept membership is random,
+    not strided — regular stride layouts collide with ``approx_min_k``'s
+    bins (see CLAUDE.md).
+    """
+    n_concepts = max(n // group, 1)
+    kt, ktof, kc, ka, kq, kv = jax.random.split(key, 6)
+
+    s = jnp.arange(1, d + 1, dtype=jnp.float32) ** (-beta)
+    s = s / jnp.sqrt(jnp.mean(s * s))
+
+    topics = jax.random.normal(kt, (n_topics, d), jnp.float32) * s
+    topic_of = jax.random.randint(ktof, (n_concepts,), 0, n_topics)
+    concepts = (jnp.take(topics, topic_of, axis=0)
+                + sigma_c * jax.random.normal(kc, (n_concepts, d),
+                                              jnp.float32) * s)
+    concept_of = jax.random.randint(ka, (n,), 0, n_concepts)
+    q_rot = jax.random.orthogonal(kq, d)
+
+    def chunk_fn(args):
+        cof, idx = args
+        noise = jax.random.normal(jax.random.fold_in(kv, idx[0]),
+                                  (cof.shape[0], d), jnp.float32)
+        v = jnp.take(concepts, cof, axis=0) + sigma_v * noise * s
+        v = jnp.dot(v, q_rot, preferred_element_type=jnp.float32)
+        return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+    if n <= chunk_size:
+        return chunk_fn((concept_of, jnp.zeros((1,), jnp.int32)))
+    pad = (-n) % chunk_size
+    cof_p = jnp.pad(concept_of, (0, pad)).reshape(-1, chunk_size)
+    idxs = jnp.arange(cof_p.shape[0], dtype=jnp.int32)[:, None]
+    out = jax.lax.map(chunk_fn, (cof_p, idxs))
+    return out.reshape(-1, d)[:n]

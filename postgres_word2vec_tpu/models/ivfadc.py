@@ -133,7 +133,8 @@ class IVFADCIndex:
     @classmethod
     def build(cls, key: Array, vectors: Array, *, m: int = 12, k: int = 256,
               k_coarse: int = 1000, train_size: int | None = 100_000,
-              iters: int = 10) -> "IVFADCIndex":
+              iters: int = 10, restarts: int = 1,
+              init: str = "sample") -> "IVFADCIndex":
         """Coarse k-means → residuals → residual codebook → CSR lists
         (``create_index_data`` parity, ivfadc.py:36-96)."""
         n = vectors.shape[0]
@@ -143,7 +144,8 @@ class IVFADCIndex:
             train = jnp.take(vectors, idx, axis=0)
         else:
             train = vectors
-        coarse_res = kmeans.kmeans(ck, train, k=k_coarse, iters=iters)
+        coarse_res = kmeans.kmeans(ck, train, k=k_coarse, iters=iters,
+                                   restarts=restarts, init=init)
         assign = kmeans.assign(vectors, coarse_res.centroids)
         # residual codebook trains on the sample only; the full residual
         # table is never materialized (fused subtract+encode below).
@@ -151,7 +153,8 @@ class IVFADCIndex:
         train_resid = train - jnp.take(coarse_res.centroids, train_assign,
                                        axis=0)
         sub = kmeans.split_subspaces(train_resid, m)
-        cb_res = kmeans.kmeans_subspaces(rk, sub, k=k, iters=iters)
+        cb_res = kmeans.kmeans_subspaces(rk, sub, k=k, iters=iters,
+                                         restarts=restarts, init=init)
         codes = kmeans.encode_residual_subspaces(
             vectors, coarse_res.centroids, assign, cb_res.centroids)
 

@@ -341,8 +341,8 @@ class IVPQIndex:
     @classmethod
     def build(cls, key: Array, vectors: Array, *, m: int = 30, k: int = 32,
               k_coarse: int = 32, coarse_positions: int = 2,
-              train_size: int | None = 100_000,
-              iters: int = 10) -> "IVPQIndex":
+              train_size: int | None = 100_000, iters: int = 10,
+              restarts: int = 1, init: str = "sample") -> "IVPQIndex":
         """Multi-index coarse + raw-vector PQ codebook + codes
         (``create_index_data`` parity, ivpq.py; config ivpq_config.json:
         m=30, k=32, k_coarse=32)."""
@@ -355,13 +355,15 @@ class IVPQIndex:
         else:
             train = vectors
         csub = kmeans.split_subspaces(train, coarse_positions)
-        cres = kmeans.kmeans_subspaces(ck, csub, k=k_coarse, iters=iters)
+        cres = kmeans.kmeans_subspaces(ck, csub, k=k_coarse, iters=iters,
+                                       restarts=restarts, init=init)
         cell_of = assign_cells(vectors, cres.centroids)
         cell_counts = jnp.bincount(
             cell_of, length=k_coarse ** coarse_positions).astype(jnp.int32)
 
         fsub = kmeans.split_subspaces(train, m)
-        fres = kmeans.kmeans_subspaces(fk, fsub, k=k, iters=iters)
+        fres = kmeans.kmeans_subspaces(fk, fsub, k=k, iters=iters,
+                                       restarts=restarts, init=init)
         codes = kmeans.encode_subspaces(vectors, fres.centroids)
         return cls(MultiIndexQuantizer(cres.centroids, cell_counts),
                    PQCodebook(fres.centroids, fres.counts), codes, cell_of)

@@ -34,6 +34,7 @@ Array = jax.Array
 class KMeansResult(NamedTuple):
     centroids: Array  # (k, d) float32
     counts: Array     # (k,) int32 — cluster sizes at the final assignment
+    distortion: Array = jnp.float32(0.0)  # mean point↔centroid distance
 
 
 def pairwise_sqdist(x: Array, c: Array) -> Array:
@@ -75,6 +76,30 @@ def assign(x: Array, centroids: Array, *, chunk_size: int = 65536) -> Array:
     return out.reshape(-1)[:n]
 
 
+def assign_with_dist(x: Array, centroids: Array, *,
+                     chunk_size: int = 65536) -> tuple[Array, Array]:
+    """Nearest-centroid assignment + true squared distance, chunked over n."""
+    n = x.shape[0]
+    c = centroids.astype(jnp.float32)
+    cc = jnp.sum(c * c, axis=-1)
+
+    def chunk_fn(xc_chunk: Array) -> tuple[Array, Array]:
+        xf = xc_chunk.astype(jnp.float32)
+        xx = jnp.sum(xf * xf, axis=-1, keepdims=True)
+        scores = jnp.dot(xf, c.T, preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST)
+        d = jnp.maximum(xx - 2.0 * scores + cc[None, :], 0.0)
+        a = jnp.argmin(d, axis=-1).astype(jnp.int32)
+        return a, jnp.min(d, axis=-1)
+
+    if n <= chunk_size:
+        return chunk_fn(x)
+    pad = (-n) % chunk_size
+    xp = jnp.pad(x, ((0, pad), (0, 0))).reshape(-1, chunk_size, x.shape[1])
+    a, d = lax.map(chunk_fn, xp)
+    return a.reshape(-1)[:n], d.reshape(-1)[:n]
+
+
 def _lloyd_step(x: Array, centroids: Array) -> tuple[Array, Array]:
     k = centroids.shape[0]
     a = assign(x, centroids)
@@ -88,38 +113,139 @@ def _lloyd_step(x: Array, centroids: Array) -> tuple[Array, Array]:
     return new_c, counts.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "iters"))
-def kmeans(key: Array, x: Array, k: int, iters: int = 10) -> KMeansResult:
+def _lloyd_step_repair(x: Array, centroids: Array
+                       ) -> tuple[Array, Array, Array]:
+    """Lloyd step that reseeds EMPTY clusters onto the worst-fit points
+    (largest distance to their assigned centroid) — the standard repair;
+    without it a dead centroid stays dead forever and the codebook wastes
+    codes (the reference's converged scipy runs rarely leave empties at its
+    sample sizes, but our one-shot Lloyd at k=256/1024 does).
+
+    Returns (new centroids, counts, mean distance distortion).
+    """
+    k = centroids.shape[0]
+    a, dmin = assign_with_dist(x, centroids)
+    sums = jax.ops.segment_sum(x.astype(jnp.float32), a, num_segments=k)
+    counts = jax.ops.segment_sum(jnp.ones((x.shape[0],), jnp.float32), a,
+                                 num_segments=k)
+    new_c = jnp.where(counts[:, None] > 0,
+                      sums / jnp.maximum(counts[:, None], 1.0), centroids)
+    empty = counts <= 0
+    # rank each empty cluster; empty #r takes the r-th worst-fit point.
+    from postgres_word2vec_tpu.ops import topk as topk_ops
+    _, worst_idx = topk_ops.top_k_largest(dmin, min(k, dmin.shape[0]))
+    rank = jnp.cumsum(empty.astype(jnp.int32)) - 1
+    rank = jnp.clip(rank, 0, worst_idx.shape[0] - 1)
+    reseed = jnp.take(x, jnp.take(worst_idx, rank), axis=0).astype(
+        jnp.float32)
+    new_c = jnp.where(empty[:, None], reseed, new_c)
+    # distortion matches scipy's: mean (non-squared) distance.
+    distortion = jnp.mean(jnp.sqrt(dmin))
+    return new_c, counts.astype(jnp.int32), distortion
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters", "init"))
+def _kmeans_single(key: Array, x: Array, k: int, iters: int,
+                   init: str) -> KMeansResult:
+    n = x.shape[0]
+    if init == "kmeans++":
+        init_c = kmeans_plus_plus_init(key, x, k)
+    else:
+        init_idx = jax.random.choice(key, n, shape=(k,), replace=False)
+        init_c = x[init_idx].astype(jnp.float32)
+
+    def body(c, _):
+        new_c, counts, distortion = _lloyd_step_repair(x, c)
+        return new_c, (counts, distortion)
+
+    centroids, (counts_hist, dist_hist) = lax.scan(body, init_c, None,
+                                                   length=iters)
+    return KMeansResult(centroids, counts_hist[-1], dist_hist[-1])
+
+
+def kmeans(key: Array, x: Array, k: int, iters: int = 10, *,
+           restarts: int = 1, init: str = "sample") -> KMeansResult:
     """Lloyd's k-means: ``(n, d) → (k, d)`` with final-assignment counts.
 
     Parity: ``scipy.cluster.vq.kmeans(…, iter=10)`` as used by
-    quantizer_creation.py:25; 10 iterations is the reference default.
-    Initialization: k distinct rows sampled without replacement.
+    quantizer_creation.py:25 — note scipy's ``iter`` is the number of
+    RESTARTS (best distortion wins), each run converging internally; pass
+    ``restarts=10, iters≈30`` here for the reference-equivalent quantizer.
+    ``init="kmeans++"`` enables D²-sampling initialization; empty clusters
+    always reseed onto worst-fit points.
     """
-    n = x.shape[0]
-    init_idx = jax.random.choice(key, n, shape=(k,), replace=False)
-    init = x[init_idx].astype(jnp.float32)
-
-    def body(c, _):
-        new_c, counts = _lloyd_step(x, c)
-        return new_c, counts
-
-    centroids, counts_hist = lax.scan(body, init, None, length=iters)
-    return KMeansResult(centroids, counts_hist[-1])
+    if restarts <= 1:
+        return _kmeans_single(key, x, k, iters, init)
+    best: KMeansResult | None = None
+    for r, kk in enumerate(jax.random.split(key, restarts)):
+        res = _kmeans_single(kk, x, k, iters, init)
+        if best is None or float(res.distortion) < float(best.distortion):
+            best = res
+    return best
 
 
-@functools.partial(jax.jit, static_argnames=("k", "iters"))
-def kmeans_subspaces(key: Array, x_sub: Array, k: int,
-                     iters: int = 10) -> KMeansResult:
+@functools.partial(jax.jit, static_argnames=("k",))
+def kmeans_plus_plus_init(key: Array, x: Array, k: int) -> Array:
+    """k-means++ (D² sampling) initialization: ``(n, d) → (k, d)``.
+
+    A lax.scan over k draws; each step is one (n, d) distance update — total
+    O(k·n·d), about one extra Lloyd iteration's cost.
+    """
+    n, d = x.shape
+    xf = x.astype(jnp.float32)
+    xx = jnp.sum(xf * xf, axis=-1)
+    k0, krest = jax.random.split(key)
+    first = jnp.take(xf, jax.random.randint(k0, (), 0, n), axis=0)
+
+    def dist_to(c):
+        s = jnp.dot(xf, c, preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)
+        return jnp.maximum(xx - 2.0 * s + jnp.sum(c * c), 0.0)
+
+    def body(carry, kk):
+        dmin = carry
+        # Gumbel-top-1 over log weights == sampling ∝ dmin.
+        logw = jnp.log(jnp.maximum(dmin, 1e-30))
+        g = jax.random.gumbel(kk, (n,), jnp.float32)
+        idx = jnp.argmax(logw + g)
+        c = jnp.take(xf, idx, axis=0)
+        return jnp.minimum(dmin, dist_to(c)), c
+
+    _, rest = lax.scan(body, dist_to(first), jax.random.split(krest, k - 1))
+    return jnp.concatenate([first[None], rest], axis=0)
+
+
+def kmeans_subspaces(key: Array, x_sub: Array, k: int, iters: int = 10, *,
+                     restarts: int = 1, init: str = "sample") -> KMeansResult:
     """Product-quantizer training: ``(m, n, dsub) → (m, k, dsub)``.
 
     All m subspace k-means runs execute as one vmapped batch — parity with
     ``create_quantizer``'s per-subspace loop (quantizer_creation.py:13-29).
+    With ``restarts > 1`` each subspace independently keeps its own best
+    restart (scipy ``kmeans(iter=R)`` semantics).
     """
     m = x_sub.shape[0]
-    keys = jax.random.split(key, m)
-    return jax.vmap(lambda kk, xs: kmeans(kk, xs, k=k, iters=iters))(keys,
+    if restarts <= 1:
+        keys = jax.random.split(key, m)
+        return jax.vmap(
+            lambda kk, xs: _kmeans_single(kk, xs, k, iters, init))(keys,
+                                                                   x_sub)
+    best: KMeansResult | None = None
+    for r, kk in enumerate(jax.random.split(key, restarts)):
+        keys = jax.random.split(kk, m)
+        res = jax.vmap(
+            lambda kk_, xs: _kmeans_single(kk_, xs, k, iters, init))(keys,
                                                                      x_sub)
+        if best is None:
+            best = res
+        else:
+            take_new = res.distortion < best.distortion       # (m,)
+            best = KMeansResult(
+                jnp.where(take_new[:, None, None], res.centroids,
+                          best.centroids),
+                jnp.where(take_new[:, None], res.counts, best.counts),
+                jnp.minimum(res.distortion, best.distortion))
+    return best
 
 
 def split_subspaces(x: Array, m: int) -> Array:

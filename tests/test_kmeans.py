@@ -92,3 +92,77 @@ def test_assign_cells_chunked(rng):
     one = assign_cells(x, cc, chunk_size=4096)
     many = assign_cells(x, cc, chunk_size=128)
     np.testing.assert_array_equal(np.asarray(one), np.asarray(many))
+
+
+def test_kmeans_plus_plus_spreads_inits(rng):
+    """k-means++ on well-separated clusters should pick one init per
+    cluster (D² sampling makes same-cluster double-picks vanishingly
+    unlikely at this separation)."""
+    import jax
+
+    centers = np.eye(4, dtype=np.float32) * 50.0
+    x = np.concatenate([c + rng.normal(scale=0.1, size=(50, 4))
+                        for c in centers]).astype(np.float32)
+    init = kmeans.kmeans_plus_plus_init(jax.random.PRNGKey(0),
+                                        jnp.asarray(x), 4)
+    owners = np.asarray(jnp.argmax(jnp.abs(init), axis=-1))
+    assert sorted(owners.tolist()) == [0, 1, 2, 3]
+
+
+def test_kmeans_restarts_picks_best_distortion(rng):
+    """Best-of-R must return exactly the restart run with the lowest
+    distortion (scipy kmeans(iter=R) semantics)."""
+    import jax
+
+    x = jnp.asarray(rng.normal(size=(600, 8)).astype(np.float32))
+    key = jax.random.PRNGKey(1)
+    runs = [kmeans._kmeans_single(kk, x, 16, 8, "sample")
+            for kk in jax.random.split(key, 5)]
+    best = min(runs, key=lambda r: float(r.distortion))
+    multi = kmeans.kmeans(key, x, 16, iters=8, restarts=5)
+    assert float(multi.distortion) == float(best.distortion)
+    np.testing.assert_array_equal(np.asarray(multi.centroids),
+                                  np.asarray(best.centroids))
+
+
+def test_kmeans_empty_cluster_repair(rng):
+    """With k close to n and duplicate-heavy data, naive Lloyd leaves dead
+    centroids; the repair reseeds them onto worst-fit points so (almost)
+    every cluster ends up used."""
+    import jax
+
+    base = rng.normal(size=(12, 4)).astype(np.float32)
+    x = np.repeat(base, 25, axis=0)  # 300 points, only 12 distinct
+    x += rng.normal(scale=1e-3, size=x.shape).astype(np.float32)
+    res = kmeans.kmeans(jax.random.PRNGKey(2), jnp.asarray(x), 12, iters=12)
+    assert int((np.asarray(res.counts) > 0).sum()) >= 11
+
+
+def test_kmeans_subspaces_restarts_per_subspace(rng):
+    """Each subspace independently keeps its own best restart."""
+    import jax
+
+    x = rng.normal(size=(400, 12)).astype(np.float32)
+    sub = kmeans.split_subspaces(jnp.asarray(x), 3)
+    key = jax.random.PRNGKey(0)
+    per_run = []
+    for kk in jax.random.split(key, 4):
+        keys = jax.random.split(kk, 3)
+        res = jax.vmap(lambda kk_, xs: kmeans._kmeans_single(
+            kk_, xs, 8, 6, "sample"))(keys, sub)
+        per_run.append(np.asarray(res.distortion))
+    want = np.stack(per_run).min(axis=0)
+    multi = kmeans.kmeans_subspaces(key, sub, 8, iters=6, restarts=4)
+    np.testing.assert_allclose(np.asarray(multi.distortion), want, rtol=1e-6)
+
+
+def test_assign_with_dist_matches_assign(rng):
+    x = rng.normal(size=(1000, 6)).astype(np.float32)
+    c = rng.normal(size=(9, 6)).astype(np.float32)
+    a1 = np.asarray(kmeans.assign(jnp.asarray(x), jnp.asarray(c)))
+    a2, d2 = kmeans.assign_with_dist(jnp.asarray(x), jnp.asarray(c),
+                                     chunk_size=256)
+    np.testing.assert_array_equal(a1, np.asarray(a2))
+    full = ((x[:, None, :] - c[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(d2), full.min(-1), rtol=1e-4,
+                               atol=1e-5)
