@@ -66,6 +66,146 @@ def grouped_adc_distances(luts: Array, codes: Array) -> Array:
     return gathered.reshape(*lead, L, m).sum(-1)
 
 
+class TiledIVF(NamedTuple):
+    """Cell-aligned tiled inverted file — the TPU probe layout.
+
+    Every cell's rows are padded to whole tiles of ``block_t`` rows, so a
+    probe is a set of tile DMAs whose count tracks the cell's true size
+    (replacing the ``w × max_cell`` padding of the row-1 probe, which made
+    every query pay for the largest cell). One trailing all-padding "inf
+    tile" absorbs unused budget slots. ``rowterm`` carries the
+    query-independent part of the IVFADC distance decomposition
+
+        ‖q − c − r‖² = ‖q − r‖²(LUT) + 2·c·r(rowterm) + ‖q − c‖² − ‖q‖²
+
+    so LUTs become cell-independent — one per query instead of one per
+    (query, probed cell) (the reference rebuilds the LUT per probed cell,
+    freddy.c:306-314).
+    """
+    block_t: int
+    codes_t: Array     # (m, NA) int32, transposed, cell-aligned
+    codes_rows: Array  # (NA, m) original dtype — XLA path layout
+    rowterm: Array     # (NA,) f32; +inf on padding rows
+    row_ids: Array     # (NA,) int32; -1 on padding rows
+    tile_start: Array  # (C,) int32 first tile of each cell
+    tile_cnt: Array    # (C,) int32 tiles per cell
+    tile_rows: Array   # (NT,) int32 real rows per tile (inf tile = 0)
+    cell_sizes: Array  # (C,) int32 real rows per cell
+    inf_tile: int
+    max_tile_cnt: int
+    avg_tile_cnt: float
+
+
+def _compute_rowterm(coarse_centroids: Array, codebooks: Array,
+                     cells: Array, codes: Array, *,
+                     chunk_size: int = 1_048_576) -> Array:
+    """rowterm[r] = 2·Σ_j coarse[cell_r]_j · cb_j[code_rj] → (n,) f32."""
+    C, d = coarse_centroids.shape
+    m, k, dsub = codebooks.shape
+    percell = 2.0 * jnp.einsum(
+        "cmd,mkd->cmk",
+        coarse_centroids.astype(jnp.float32).reshape(C, m, dsub),
+        codebooks.astype(jnp.float32),
+        preferred_element_type=jnp.float32).reshape(-1)
+    j_off = (jnp.arange(m, dtype=jnp.int32) * k)[None, :]
+
+    def chunk_fn(args):
+        cc, co = args
+        idx = (cc.astype(jnp.int32)[:, None] * (m * k)
+               + j_off + co.astype(jnp.int32))
+        return jnp.sum(jnp.take(percell, idx), axis=-1)
+
+    n = codes.shape[0]
+    if n <= chunk_size:
+        return chunk_fn((cells, codes))
+    pad = (-n) % chunk_size
+    cp = jnp.pad(cells, (0, pad)).reshape(-1, chunk_size)
+    op = jnp.pad(codes, ((0, pad), (0, 0))).reshape(-1, chunk_size,
+                                                    codes.shape[1])
+    out = lax.map(chunk_fn, (cp, op))
+    return out.reshape(-1)[:n]
+
+
+def plan_probe_tiles(p_budget: int, ranked_sel: Array, tile_start: Array,
+                     tile_cnt: Array, inf_tile: int
+                     ) -> tuple[Array, Array]:
+    """Flatten each query's selected cells into ``p_budget`` tile slots.
+
+    ``ranked_sel`` is ``(B, w)`` cell ids in probe order. Returns
+    ``(tiles (B, P) int32, slot_cell (B, P) int32)`` where ``slot_cell`` is
+    the index INTO ``ranked_sel`` each slot belongs to (w for unused slots,
+    which point at the inf tile).
+    """
+    B, w = ranked_sel.shape
+    cnt = jnp.take(tile_cnt, ranked_sel)                     # (B, w)
+    start = jnp.take(tile_start, ranked_sel)
+    cum = jnp.cumsum(cnt, axis=1)                            # (B, w)
+    p_iota = jnp.arange(p_budget, dtype=jnp.int32)
+    s = jnp.sum(p_iota[None, :, None] >= cum[:, None, :],
+                axis=-1).astype(jnp.int32)                   # (B, P) ∈ [0,w]
+    valid = s < w
+    sc = jnp.minimum(s, w - 1)
+    prev = jnp.take_along_axis(
+        jnp.pad(cum, ((0, 0), (1, 0))), sc, axis=1)          # cum before sc
+    within = p_iota[None, :] - prev
+    tiles = jnp.where(valid,
+                      jnp.take_along_axis(start, sc, axis=1) + within,
+                      inf_tile).astype(jnp.int32)
+    return tiles, jnp.where(valid, sc, w).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "w_lo", "w_hi", "k", "p_budget", "block_t", "use_pallas"))
+def _ivfadc_probe_budget(queries: Array, coarse: Array, centroids: Array,
+                         tiled: TiledIVF, w_lo: int, w_hi: int, k: int,
+                         p_budget: int, block_t: int, use_pallas: bool
+                         ) -> tuple[Array, Array, Array, Array]:
+    """Budgeted probe of cells ranked [w_lo, w_hi) per query.
+
+    ``w_lo > 0`` skips already-probed cells — the blacklist of the
+    reference's widening loop (freddy.c:262-378) as a rank window. Returns
+    (sqdists (B,k), ids (B,k), found rows scanned (B,), needed rows of all
+    selected cells (B,)).
+    """
+    B = queries.shape[0]
+    cd = kmeans.pairwise_sqdist(queries, coarse)             # (B, C)
+    cdv, cells = topk_ops.top_k_smallest(cd, w_hi)
+    cdv, cells = cdv[:, w_lo:], cells[:, w_lo:]              # (B, w)
+
+    tiles, slot_cell = plan_probe_tiles(p_budget, cells, tiled.tile_start,
+                                        tiled.tile_cnt, tiled.inf_tile)
+    luts = lut.build_luts(queries, centroids)                # (B, m, k)
+    if use_pallas:
+        from postgres_word2vec_tpu.ops import pallas_kernels as pk
+        d = pk.budget_adc_pallas(luts, tiled.codes_t, tiled.rowterm, tiles,
+                                 block_t=block_t)
+    else:
+        d = adc.budget_adc_xla(luts, tiled.codes_rows, tiled.rowterm, tiles,
+                               block_t=block_t)
+    # add the cell-level constant: ‖q−c‖² − ‖q‖² per slot.
+    qq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1)  # (B,)
+    cd_slot = jnp.take_along_axis(
+        jnp.pad(cdv, ((0, 0), (0, 1))), slot_cell, axis=1)   # (B, P)
+    d = d.reshape(B, p_budget, block_t) + (cd_slot - qq[:, None])[:, :, None]
+    d = jnp.maximum(d, 0.0).reshape(B, p_budget * block_t)
+    d = jnp.where(jnp.isnan(d), jnp.inf, d)  # inf + finite stays inf; guard
+
+    k_eff = min(k, p_budget * block_t)
+    vals, pos = topk_ops.top_k_smallest(d, k_eff)
+    slot = pos // block_t
+    lane = pos % block_t
+    gpos = jnp.take_along_axis(tiles, slot, axis=1) * block_t + lane
+    ids = jnp.where(jnp.isfinite(vals),
+                    jnp.take(tiled.row_ids, gpos), -1).astype(jnp.int32)
+    if k_eff < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)),
+                       constant_values=jnp.inf)
+        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    found = jnp.sum(jnp.take(tiled.tile_rows, tiles), axis=1)
+    needed = jnp.sum(jnp.take(tiled.cell_sizes, cells), axis=1)
+    return vals, ids, found, needed
+
+
 @functools.partial(jax.jit, static_argnames=("w", "k", "list_cap"))
 def _ivfadc_probe(queries: Array, coarse: Array, centroids: Array,
                   cell_offsets: Array, codes_sorted: Array, row_ids: Array,
@@ -120,6 +260,9 @@ class IVFADCIndex:
     row_ids: Array                # (n,) sorted position → original row id
     assignments: Array            # (n,) original row id → coarse cell
     list_cap: int                 # static max cell length (gather window)
+
+    _tiled: TiledIVF | None = dataclasses.field(default=None, repr=False,
+                                                compare=False)
 
     @property
     def size(self) -> int:
@@ -182,36 +325,134 @@ class IVFADCIndex:
             assignments=jnp.asarray(assign_np.astype(np.int32)),
             list_cap=list_cap)
 
+    # ----------------------------------------------------------- tiled IVF
+    def tiled(self, block_t: int | None = None) -> TiledIVF:
+        """Build (and cache) the cell-aligned tiled probe layout."""
+        if self._tiled is not None and (block_t is None
+                                        or self._tiled.block_t == block_t):
+            return self._tiled
+        bt = block_t or (1024 if self.size >= 500_000 else 128)
+        offsets = np.asarray(self.cell_offsets).astype(np.int64)
+        sizes = np.diff(offsets)
+        n, m = self.codes_sorted.shape
+        tile_cnt = -(-sizes // bt)                      # ceil; empty cell→0
+        tile_start = np.zeros_like(tile_cnt)
+        np.cumsum(tile_cnt[:-1], out=tile_start[1:])
+        nt = int(tile_cnt.sum())
+        inf_tile = nt
+        na = (nt + 1) * bt
+
+        # aligned position of each sorted row (vectorized scatter).
+        cells_sorted = np.repeat(np.arange(sizes.size), sizes)
+        within = np.arange(n, dtype=np.int64) - offsets[cells_sorted]
+        apos = tile_start[cells_sorted] * bt + within
+
+        codes_np = np.asarray(self.codes_sorted)
+        rows_aligned = np.zeros((na, m), codes_np.dtype)
+        rows_aligned[apos] = codes_np
+        rid_aligned = np.full((na,), -1, np.int32)
+        rid_aligned[apos] = np.asarray(self.row_ids)
+        rowterm = np.full((na,), np.inf, np.float32)
+        rowterm[apos] = np.asarray(_compute_rowterm(
+            self.coarse.centroids, self.codebook.centroids,
+            jnp.asarray(cells_sorted.astype(np.int32)), self.codes_sorted))
+
+        tile_of_row = tile_start[cells_sorted] + within // bt
+        tile_rows = np.bincount(tile_of_row, minlength=nt + 1).astype(
+            np.int32)
+
+        tiled = TiledIVF(
+            block_t=bt,
+            codes_t=jnp.asarray(rows_aligned.T.astype(np.int32)),
+            codes_rows=jnp.asarray(rows_aligned),
+            rowterm=jnp.asarray(rowterm),
+            row_ids=jnp.asarray(rid_aligned),
+            tile_start=jnp.asarray(tile_start.astype(np.int32)),
+            tile_cnt=jnp.asarray(tile_cnt.astype(np.int32)),
+            tile_rows=jnp.asarray(tile_rows),
+            cell_sizes=jnp.asarray(sizes.astype(np.int32)),
+            inf_tile=inf_tile,
+            max_tile_cnt=int(tile_cnt.max()) if tile_cnt.size else 1,
+            avg_tile_cnt=float(tile_cnt.mean()) if tile_cnt.size else 1.0)
+        object.__setattr__(self, "_tiled", tiled)
+        return tiled
+
+    def _auto_budget(self, w: int, budget_tiles: int | None,
+                     full: bool) -> int:
+        t = self.tiled()
+        exact = max(w * t.max_tile_cnt, 1)
+        if budget_tiles is not None:
+            return max(1, min(budget_tiles, exact))
+        if full:
+            return exact
+        # round to a power of two so escalation reuses compiled programs.
+        want = max(1, int(np.ceil(1.5 * w * t.avg_tile_cnt)))
+        return min(1 << int(np.ceil(np.log2(want))), exact)
+
     # ------------------------------------------------------------- search
     def search(self, queries: Array, k: int, *, w: int = 3,
-               list_cap: int | None = None) -> tuple[Array, Array]:
+               budget_tiles: int | None = None,
+               return_info: bool = False):
         """Fixed-nprobe batched IVFADC (``ivfadc_search`` with PARAM_W
-        default 3, sql:189; batch parity: ``ivfadc_batch_search``)."""
-        cap = self.list_cap if list_cap is None else list_cap
-        vals, ids, _ = _ivfadc_probe(
-            queries, self.coarse.centroids, self.codebook.centroids,
-            self.cell_offsets, self.codes_sorted, self.row_ids,
-            w=min(w, self.num_cells), k=k, list_cap=cap)
+        default 3, sql:189; batch parity: ``ivfadc_batch_search``).
+
+        Default semantics match the reference: the w probed cells are
+        scanned in full (budget = w × max tiles — but unlike row-1's
+        padded gather, cost tracks each cell's TRUE size because unused
+        tile slots land on one shared inf tile). ``budget_tiles`` caps the
+        per-query scan for latency-bound callers; coverage is reported via
+        ``return_info`` (found = rows actually scanned, needed = rows in
+        all selected cells).
+        """
+        from postgres_word2vec_tpu.ops import pallas_kernels as pk
+
+        w_eff = min(w, self.num_cells)
+        t = self.tiled()
+        p = self._auto_budget(w_eff, budget_tiles, full=budget_tiles is None)
+        vals, ids, found, needed = _ivfadc_probe_budget(
+            queries, self.coarse.centroids, self.codebook.centroids, t,
+            w_lo=0, w_hi=w_eff, k=k, p_budget=p, block_t=t.block_t,
+            use_pallas=pk.supports_pallas())
+        if return_info:
+            return vals, ids, {"found": found, "needed": needed,
+                               "budget_tiles": p}
         return vals, ids
 
     def search_adaptive(self, queries: Array, k: int, *, w: int = 3,
-                        max_rounds: int = 4) -> tuple[Array, Array]:
-        """Reproduces the reference's widening semantics: if a query's probed
-        cells held fewer than k entries, double w and retry (host-side
-        ladder instead of the blacklist loop, freddy.c:262-378)."""
-        w_cur = min(w, self.num_cells)
-        vals, ids, found = _ivfadc_probe(
-            queries, self.coarse.centroids, self.codebook.centroids,
-            self.cell_offsets, self.codes_sorted, self.row_ids,
-            w=w_cur, k=k, list_cap=self.list_cap)
+                        max_rounds: int = 4,
+                        budget_tiles: int | None = None
+                        ) -> tuple[Array, Array]:
+        """Reproduces the reference's widening semantics (freddy.c:262-378):
+        probe the w best cells; while some query saw fewer than k rows,
+        blacklist the probed cells and probe the NEXT w·(2^r −… ) ranks.
+        Each round scans only cells not yet probed (rank window), and
+        per-round top-k results merge across rounds — the reference's
+        Blacklist + re-scan, without rescanning."""
+        from postgres_word2vec_tpu.ops import pallas_kernels as pk
+
+        t = self.tiled()
+        use_pallas = pk.supports_pallas()
+        w_lo = 0
+        w_hi = min(w, self.num_cells)
+        p = self._auto_budget(w_hi, budget_tiles,
+                              full=budget_tiles is None)
+        vals, ids, found, _ = _ivfadc_probe_budget(
+            queries, self.coarse.centroids, self.codebook.centroids, t,
+            w_lo=w_lo, w_hi=w_hi, k=k, p_budget=p, block_t=t.block_t,
+            use_pallas=use_pallas)
+        total_found = found
         for _ in range(max_rounds - 1):
-            if bool(jnp.all(found >= k)) or w_cur >= self.num_cells:
+            if bool(jnp.all(total_found >= k)) or w_hi >= self.num_cells:
                 break
-            w_cur = min(w_cur * 2, self.num_cells)
-            vals, ids, found = _ivfadc_probe(
-                queries, self.coarse.centroids, self.codebook.centroids,
-                self.cell_offsets, self.codes_sorted, self.row_ids,
-                w=w_cur, k=k, list_cap=self.list_cap)
+            w_lo, w_hi = w_hi, min(w_hi * 2, self.num_cells)
+            p = self._auto_budget(w_hi - w_lo, budget_tiles,
+                                  full=budget_tiles is None)
+            v2, i2, found, _ = _ivfadc_probe_budget(
+                queries, self.coarse.centroids, self.codebook.centroids, t,
+                w_lo=w_lo, w_hi=w_hi, k=k, p_budget=p, block_t=t.block_t,
+                use_pallas=use_pallas)
+            vals, ids = topk_ops.merge_top_k_smallest(vals, ids, v2, i2, k)
+            total_found = total_found + found
         return vals, ids
 
     def search_pv(self, queries: Array, k: int, pvf: int, vectors: Array, *,

@@ -64,6 +64,41 @@ def adc_distances(luts: Array, codes: Array) -> Array:
     return jnp.sum(parts, axis=0).T                   # (m, n, B) → (B, n)
 
 
+def adc_distances_per_query(luts: Array, codes: Array) -> Array:
+    """ADC where every query has its own candidate rows:
+    ``(B, m, k) × (B, T, m) → (B, T)`` float32.
+
+    ``out[b, t] = Σ_j luts[b, j, codes[b, t, j]]`` — the per-query gather
+    pattern of the probe paths (each query scans different rows). The XLA
+    reference backend; on TPU :func:`budget_adc_xla`'s Pallas twin
+    (ops/pallas_kernels.budget_adc_pallas) matmuls the gather away.
+    """
+    B, m, k = luts.shape
+    lutflat = luts.astype(jnp.float32).reshape(B, m * k)
+    idx = (codes.astype(jnp.int32)
+           + (jnp.arange(m, dtype=jnp.int32) * k)[None, None, :])
+    g = jax.vmap(lambda t, i: jnp.take(t, i, axis=0))(
+        lutflat, idx.reshape(B, -1))
+    return g.reshape(B, -1, m).sum(-1)
+
+
+def budget_adc_xla(luts: Array, codes_aligned: Array, rowterm: Array,
+                   tiles: Array, *, block_t: int) -> Array:
+    """XLA twin of ``budget_adc_pallas``: budgeted tile-gather ADC →
+    ``(B, P·block_t)`` (lut-sum + rowterm; +inf rowterm masks padding).
+
+    ``codes_aligned`` is row-major ``(NA, m)`` (the Pallas kernel reads the
+    transposed layout).
+    """
+    B = luts.shape[0]
+    lane = jnp.arange(block_t, dtype=jnp.int32)
+    pos = (tiles.astype(jnp.int32)[:, :, None] * block_t
+           + lane[None, None, :]).reshape(B, -1)          # (B, P·block_t)
+    cand = jnp.take(codes_aligned, pos, axis=0)           # (B, PT, m)
+    d = adc_distances_per_query(luts, cand)
+    return d + jnp.take(rowterm, pos)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "chunk_size", "approx"))
 def adc_top_k(luts: Array, codes: Array, k: int, *,
               chunk_size: int = 131072, approx: bool = False

@@ -314,6 +314,90 @@ def fused_exact_top_k(queries: Array, table_t: Array, norms: Array, k: int,
     return dists, sel_ids
 
 
+def _budget_adc_kernel(tiles_ref, codes_ref, rt_ref, luts_ref, out_ref, *,
+                       m: int, k: int, block_t: int):
+    """One grid step: ADC distances for one (query, tile-slot) pair.
+
+    The grid is (B/8, P, 8): eight queries share one (8, block_t) output
+    block (Mosaic requires sublane-divisible output blocks); the inner
+    axis walks the 8 queries, each writing its own row.
+
+    codes_ref: (m, block_t) int32 — the tile selected by this slot's tile id
+    rt_ref:    (1, block_t) f32 — query-independent row term (+inf padding)
+    luts_ref:  (1, m, k) bf16 — this query's LUT
+    out_ref:   (8, block_t) f32 — lut-sum + rowterm, one row per query
+    """
+    qs = pl.program_id(2)
+    iota = lax.broadcasted_iota(jnp.int32, (k, block_t), 0)
+    acc = jnp.zeros((1, block_t), jnp.float32)
+    for j in range(m):
+        cj = codes_ref[j, :]
+        onehot = (iota == cj[None, :]).astype(jnp.bfloat16)
+        acc += jnp.dot(luts_ref[0, j][None, :], onehot,
+                       preferred_element_type=jnp.float32)
+    out_ref[pl.ds(qs, 1), :] = acc + rt_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
+def budget_adc_pallas(luts: Array, codes_t: Array, rowterm: Array,
+                      tiles: Array, *, block_t: int,
+                      interpret: bool = False) -> Array:
+    """Budgeted tile-gather ADC: each query scans exactly P tiles of
+    ``block_t`` code rows, chosen per query → ``(B, P·block_t)`` float32.
+
+    This is the selectivity-proportional probe primitive behind IVFADC and
+    the IVPQ join: DMA + compute cost is ``B·P`` tiles — the actual probed
+    rows — instead of ``w × max_cell`` padding (the reference achieves the
+    same effect by fetching only probed cells' rows through SPI,
+    freddy.c:325-338 / ivpq_search_in.c:355-401).
+
+    luts:    (B, m, k) per-query LUTs (cell-independent)
+    codes_t: (m, NA) int32, NA a multiple of block_t, CELL-ALIGNED: each
+             cell's rows padded to whole tiles; one trailing all-padding
+             "inf tile" absorbs unused slots
+    rowterm: (NA,) f32 additive per-row term, +inf on padding rows (this is
+             what masks both pad rows and unused slots)
+    tiles:   (B, P) int32 tile ids (scalar-prefetched; unused slots point
+             at the inf tile)
+    """
+    B, m, k = luts.shape
+    na = codes_t.shape[1]
+    if na % block_t != 0:
+        raise ValueError(f"NA={na} not a multiple of block_t={block_t}")
+    P = tiles.shape[1]
+    inf_tile = na // block_t - 1
+    pad_b = (-B) % 8
+    luts_in = luts.astype(jnp.bfloat16)
+    tiles_in = tiles.astype(jnp.int32)
+    if pad_b:
+        luts_in = jnp.pad(luts_in, ((0, pad_b), (0, 0), (0, 0)))
+        tiles_in = jnp.pad(tiles_in, ((0, pad_b), (0, 0)),
+                           constant_values=inf_tile)
+    b8 = (B + pad_b) // 8
+    rt = rowterm.reshape(1, na).astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b8, P, 8),
+        in_specs=[
+            pl.BlockSpec((m, block_t),
+                         lambda g, p, q, t: (0, t[g * 8 + q, p])),
+            pl.BlockSpec((1, block_t),
+                         lambda g, p, q, t: (0, t[g * 8 + q, p])),
+            pl.BlockSpec((1, m, k), lambda g, p, q, t: (g * 8 + q, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((8, block_t), lambda g, p, q, t: (g, p)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_budget_adc_kernel, m=m, k=k, block_t=block_t),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B + pad_b, P * block_t),
+                                       jnp.float32),
+        interpret=interpret,
+    )(tiles_in, codes_t.astype(jnp.int32), rt, luts_in)
+    return out[:B] if pad_b else out
+
+
 def supports_pallas() -> bool:
     """True when running on a TPU backend (incl. tunneled platforms)."""
     try:

@@ -117,3 +117,102 @@ def test_add_and_roundtrip(ivf, dataset, tmp_path):
     assert ivf3.list_cap == ivf2.list_cap
     np.testing.assert_array_equal(np.asarray(ivf3.codes_sorted),
                                   np.asarray(ivf2.codes_sorted))
+
+
+def test_budget_probe_matches_padded_probe(ivf, dataset):
+    """The tiled budget probe (full coverage) must reproduce the round-1
+    padded probe bit-for-bit in distances and id sets."""
+    from postgres_word2vec_tpu.models.ivfadc import _ivfadc_probe
+
+    q = jnp.asarray(dataset[:8])
+    for w in (1, 3):
+        d_old, i_old, _ = _ivfadc_probe(
+            q, ivf.coarse.centroids, ivf.codebook.centroids,
+            ivf.cell_offsets, ivf.codes_sorted, ivf.row_ids,
+            w=w, k=5, list_cap=ivf.list_cap)
+        d_new, i_new = ivf.search(q, 5, w=w)
+        np.testing.assert_allclose(np.asarray(d_new), np.asarray(d_old),
+                                   rtol=1e-4, atol=1e-5)
+        for a, b in zip(np.asarray(i_old), np.asarray(i_new)):
+            assert set(a.tolist()) == set(b.tolist())
+
+
+def test_budget_probe_found_needed_accounting(ivf, dataset):
+    q = jnp.asarray(dataset[:6])
+    _, _, info = ivf.search(q, 5, w=3, return_info=True)
+    found = np.asarray(info["found"])
+    needed = np.asarray(info["needed"])
+    # full default budget: every selected cell fully scanned
+    np.testing.assert_array_equal(found, needed)
+    # a tight budget scans fewer rows and reports it
+    _, _, info2 = ivf.search(q, 5, w=3, budget_tiles=1, return_info=True)
+    assert (np.asarray(info2["found"]) <= found).all()
+    assert info2["budget_tiles"] == 1
+
+
+def test_budget_probe_truncation_keeps_probe_order(ivf, dataset):
+    """With budget 1 tile, only the nearest cell's first tile is scanned —
+    results must come from that cell."""
+    q = jnp.asarray(dataset[:4])
+    d, i = ivf.search(q, 3, w=3, budget_tiles=1)
+    assign = np.asarray(ivf.assignments)
+    cd = ((np.asarray(q)[:, None, :]
+           - np.asarray(ivf.coarse.centroids)[None]) ** 2).sum(-1)
+    best_cell = cd.argmin(-1)
+    for b in range(4):
+        for rid in np.asarray(i)[b]:
+            if rid >= 0:
+                assert assign[rid] == best_cell[b]
+
+
+def test_search_adaptive_blacklist_matches_wide_probe(dataset):
+    """When escalation IS triggered (some query found < k rows), the
+    rank-window rounds merged together must equal one wide probe over the
+    same total rank range — proving the blacklist windows are disjoint,
+    exhaustive, and merged correctly."""
+    # tiny cells: ~5 rows each, so k=20 forces a second round.
+    small = IVFADCIndex.build(jax.random.PRNGKey(5),
+                              jnp.asarray(dataset[:400]), m=6, k=8,
+                              k_coarse=80, train_size=None, iters=6)
+    q = jnp.asarray(dataset[:6])
+    d1, _, f1, _ = __import__(
+        "postgres_word2vec_tpu.models.ivfadc", fromlist=["x"]
+    )._ivfadc_probe_budget(
+        q, small.coarse.centroids, small.codebook.centroids, small.tiled(),
+        w_lo=0, w_hi=2, k=20, p_budget=small._auto_budget(2, None, True),
+        block_t=small.tiled().block_t, use_pallas=False)
+    assert bool((np.asarray(f1) < 20).any()), "fixture must force escalation"
+    d_esc, i_esc = small.search_adaptive(q, 20, w=2, max_rounds=2)
+    d_wide, i_wide = small.search(q, 20, w=4)
+    np.testing.assert_allclose(np.asarray(d_esc), np.asarray(d_wide),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_rowterm_decomposition_exact(ivf, dataset):
+    """dist = LUT(q,code) + rowterm + (cd − ‖q‖²) must equal the direct
+    residual ADC distance."""
+    from postgres_word2vec_tpu.models.ivfadc import _compute_rowterm
+    from postgres_word2vec_tpu.ops import lut as lut_mod
+
+    q = np.asarray(dataset[:3])
+    cb = np.asarray(ivf.codebook.centroids)        # (m, k, dsub)
+    coarse = np.asarray(ivf.coarse.centroids)
+    codes = np.asarray(ivf.codes_sorted[:50])
+    rid = np.asarray(ivf.row_ids[:50])
+    cells = np.asarray(ivf.assignments)[rid]
+    m, kk, dsub = cb.shape
+
+    rt = np.asarray(_compute_rowterm(
+        ivf.coarse.centroids, ivf.codebook.centroids,
+        jnp.asarray(cells.astype(np.int32)), jnp.asarray(codes)))
+    luts = np.asarray(lut_mod.build_luts(jnp.asarray(q),
+                                         ivf.codebook.centroids))
+    for b in range(3):
+        for r in range(50):
+            recon = coarse[cells[r]] + np.concatenate(
+                [cb[j, codes[r, j]] for j in range(m)])
+            want = ((q[b] - recon) ** 2).sum()
+            cd = ((q[b] - coarse[cells[r]]) ** 2).sum()
+            lut_sum = sum(luts[b, j, codes[r, j]] for j in range(m))
+            got = lut_sum + rt[r] + cd - (q[b] ** 2).sum()
+            np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)

@@ -79,3 +79,33 @@ def test_fused_exact_scan_interpret(rng):
     overlap = np.mean([len(set(a) & set(b)) / 5
                        for a, b in zip(np.asarray(i2), want)])
     assert overlap > 0.9
+
+
+def test_budget_adc_interpret_matches_xla(rng):
+    """budget_adc_pallas (interpret) vs budget_adc_xla on a synthetic tile
+    plan including the inf tile and intra-tile padding."""
+    from postgres_word2vec_tpu.ops import adc
+
+    B, m, k, block_t = 4, 6, 16, 128
+    nt = 5  # 4 real tiles + inf tile
+    na = (nt + 1) * block_t
+    codes_rows = rng.integers(0, k, size=(na, m)).astype(np.int32)
+    rowterm = rng.normal(size=(na,)).astype(np.float32)
+    # padding rows inside tile 2 and the whole inf tile
+    rowterm[2 * block_t + 100:3 * block_t] = np.inf
+    rowterm[nt * block_t:] = np.inf
+    luts = rng.normal(size=(B, m, k)).astype(np.float32)
+    tiles = np.array([[0, 1, 2], [3, nt, nt], [2, 0, 4], [4, 4, 4]],
+                     np.int32)
+
+    want = np.asarray(adc.budget_adc_xla(
+        jnp.asarray(luts), jnp.asarray(codes_rows), jnp.asarray(rowterm),
+        jnp.asarray(tiles), block_t=block_t))
+    got = np.asarray(pk.budget_adc_pallas(
+        jnp.asarray(luts), jnp.asarray(codes_rows.T), jnp.asarray(rowterm),
+        jnp.asarray(tiles), block_t=block_t, interpret=True))
+    assert got.shape == (B, 3 * block_t)
+    fin = np.isfinite(want)
+    np.testing.assert_array_equal(np.isfinite(got), fin)
+    # bf16 LUT in the kernel: compare at bf16 tolerance
+    np.testing.assert_allclose(got[fin], want[fin], rtol=2e-2, atol=2e-2)
