@@ -126,23 +126,24 @@ def _compute_rowterm(coarse_centroids: Array, codebooks: Array,
     return out.reshape(-1)[:n]
 
 
-def plan_probe_tiles(p_budget: int, ranked_sel: Array, tile_start: Array,
-                     tile_cnt: Array, inf_tile: int
-                     ) -> tuple[Array, Array]:
+def plan_probe_tiles(p_budget: int, start: Array, cnt: Array,
+                     inf_tile) -> tuple[Array, Array]:
     """Flatten each query's selected cells into ``p_budget`` tile slots.
 
-    ``ranked_sel`` is ``(B, w)`` cell ids in probe order. Returns
-    ``(tiles (B, P) int32, slot_cell (B, P) int32)`` where ``slot_cell`` is
-    the index INTO ``ranked_sel`` each slot belongs to (w for unused slots,
-    which point at the inf tile).
+    ``start``/``cnt`` are ``(B, W)`` per-query first-tile ids and tile
+    counts of the cells to probe, in probe order (set ``cnt`` to 0 for
+    cells beyond a query's adaptive selection). Returns ``(tiles (B, P)
+    int32, slot_cell (B, P) int32)`` where ``slot_cell`` is the index into
+    the W probe slots each tile belongs to (W for unused slots, which
+    point at the inf tile).
     """
-    B, w = ranked_sel.shape
-    cnt = jnp.take(tile_cnt, ranked_sel)                     # (B, w)
-    start = jnp.take(tile_start, ranked_sel)
+    B, w = cnt.shape
     cum = jnp.cumsum(cnt, axis=1)                            # (B, w)
     p_iota = jnp.arange(p_budget, dtype=jnp.int32)
-    s = jnp.sum(p_iota[None, :, None] >= cum[:, None, :],
-                axis=-1).astype(jnp.int32)                   # (B, P) ∈ [0,w]
+    # slot of budget position p = first cell whose cumulative tile count
+    # exceeds p (searchsorted-right skips zero-count cells correctly).
+    s = jax.vmap(lambda c: jnp.searchsorted(c, p_iota, side="right"))(
+        cum).astype(jnp.int32)                               # (B, P) ∈ [0,w]
     valid = s < w
     sc = jnp.minimum(s, w - 1)
     prev = jnp.take_along_axis(
@@ -172,8 +173,9 @@ def _ivfadc_probe_budget(queries: Array, coarse: Array, centroids: Array,
     cdv, cells = topk_ops.top_k_smallest(cd, w_hi)
     cdv, cells = cdv[:, w_lo:], cells[:, w_lo:]              # (B, w)
 
-    tiles, slot_cell = plan_probe_tiles(p_budget, cells, tiled.tile_start,
-                                        tiled.tile_cnt, tiled.inf_tile)
+    tiles, slot_cell = plan_probe_tiles(
+        p_budget, jnp.take(tiled.tile_start, cells),
+        jnp.take(tiled.tile_cnt, cells), tiled.inf_tile)
     luts = lut.build_luts(queries, centroids)                # (B, m, k)
     if use_pallas:
         from postgres_word2vec_tpu.ops import pallas_kernels as pk

@@ -180,6 +180,54 @@ def uniform_statistics(cell_counts: Array) -> Array:
     return jnp.concatenate([c / total, total[None]])
 
 
+def _select_cells(queries: Array, coarse_centroids: Array,
+                  statistics: Array, cell_counts: Array, t_real: Array,
+                  k: int, alpha: int, confidence: Array
+                  ) -> tuple[Array, Array, Array, Array, Array]:
+    """Statistics-driven adaptive cell selection, vectorized over queries
+    (replaces the Multi-Sequence pqueue walk + confidence accumulation,
+    index_utils.c:252-443).
+
+    Returns (order (B, C) cells by distance, n_sel (B,) probe prefix
+    length, exhausted (B,), predicted (B,) statistics-model target count,
+    retrieved_sel (B,) TRUE target rows in the selected cells).
+    """
+    num_cells = statistics.shape[0] - 1
+    cd = cell_distances(queries, coarse_centroids)          # (B, C)
+    order = jnp.argsort(cd, axis=-1)                        # (B, C)
+    probs = statistics[:num_cells]
+    stat_total = statistics[num_cells]
+    p_sorted = jnp.take(probs, order)                       # (B, C)
+    cum_p = jnp.cumsum(p_sorted, axis=-1)
+    conf = confidence_hyp(float(k * alpha), t_real, cum_p, stat_total)
+    satisfied = conf >= confidence
+    any_sat = jnp.any(satisfied, axis=-1)
+    first = jnp.argmax(satisfied, axis=-1) + 1              # κ = index + 1
+    n_sel = jnp.where(any_sat, first, num_cells)            # (B,)
+    # Coverage floor: the reference re-runs with doubled alpha until every
+    # query has k results (ivpq_search_in.c:639-684) because it only has
+    # *estimated* per-cell frequencies. We know the actual per-cell target
+    # counts, so extend each query's prefix until it provably covers ≥ k
+    # real targets — same semantics, one round instead of an escalation
+    # ladder in the common case.
+    counts_sorted = jnp.take(cell_counts, order)            # (B, C)
+    cum_counts = jnp.cumsum(counts_sorted, axis=-1)
+    need = jnp.minimum(float(k), t_real.astype(jnp.float32))
+    covered = cum_counts >= need
+    k_first = jnp.argmax(covered, axis=-1) + 1
+    n_sel_k = jnp.where(jnp.any(covered, axis=-1), k_first, num_cells)
+    n_sel = jnp.maximum(n_sel, n_sel_k)
+    exhausted = n_sel >= num_cells
+    # statistics-model prediction of how many targets the probed cells hold
+    # (the reference's "TRACK target_count" metric, index_utils.c:412-414).
+    predicted = jnp.take_along_axis(
+        cum_p, (n_sel - 1)[:, None], axis=-1)[:, 0] * t_real.astype(
+            jnp.float32)
+    retrieved_sel = jnp.take_along_axis(
+        cum_counts, (n_sel - 1)[:, None], axis=-1)[:, 0]
+    return order, n_sel, exhausted, predicted, retrieved_sel
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "alpha", "pvf", "method", "use_double",
@@ -210,40 +258,13 @@ def _ivpq_round(queries: Array, coarse_centroids: Array, codebook_cent: Array,
               if t_real_override is None else t_real_override)
 
     # --- adaptive cell selection (index_utils.c:252-443, vectorized) ------
-    cd = cell_distances(queries, coarse_centroids)          # (B, C)
-    order = jnp.argsort(cd, axis=-1)                        # (B, C)
-    probs = statistics[:num_cells]
-    stat_total = statistics[num_cells]
-    p_sorted = jnp.take(probs, order)                       # (B, C)
-    cum_p = jnp.cumsum(p_sorted, axis=-1)
-    conf = confidence_hyp(float(k * alpha), t_real, cum_p, stat_total)
-    satisfied = conf >= confidence
-    any_sat = jnp.any(satisfied, axis=-1)
-    first = jnp.argmax(satisfied, axis=-1) + 1              # κ = index + 1
-    n_sel = jnp.where(any_sat, first, num_cells)            # (B,)
-    # Coverage floor: the reference re-runs with doubled alpha until every
-    # query has k results (ivpq_search_in.c:639-684) because it only has
-    # *estimated* per-cell frequencies. We know the actual per-cell target
-    # counts, so extend each query's prefix until it provably covers ≥ k
-    # real targets — same semantics, one round instead of an escalation
-    # ladder in the common case.
     cell_counts = (jax.ops.segment_sum(
         target_mask.astype(jnp.float32), target_cells.astype(jnp.int32),
         num_segments=num_cells)
         if cell_counts_override is None else cell_counts_override)  # (C,)
-    counts_sorted = jnp.take(cell_counts, order)             # (B, C)
-    cum_counts = jnp.cumsum(counts_sorted, axis=-1)
-    need = jnp.minimum(float(k), t_real.astype(jnp.float32))
-    covered = cum_counts >= need
-    k_first = jnp.argmax(covered, axis=-1) + 1
-    n_sel_k = jnp.where(jnp.any(covered, axis=-1), k_first, num_cells)
-    n_sel = jnp.maximum(n_sel, n_sel_k)
-    exhausted = n_sel >= num_cells
-    # statistics-model prediction of how many targets the probed cells hold
-    # (the reference's "TRACK target_count" metric, index_utils.c:412-414).
-    predicted = jnp.take_along_axis(
-        cum_p, (n_sel - 1)[:, None], axis=-1)[:, 0] * t_real.astype(
-            jnp.float32)
+    order, n_sel, exhausted, predicted, _ = _select_cells(
+        queries, coarse_centroids, statistics, cell_counts, t_real, k,
+        alpha, confidence)
 
     # rank of each cell in each query's distance order → selection mask.
     ranks = jnp.argsort(order, axis=-1)                     # inverse perm
@@ -308,6 +329,183 @@ def _ivpq_round(queries: Array, coarse_centroids: Array, codebook_cent: Array,
                        constant_values=jnp.inf)
         ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
     return vals, ids, retrieved, exhausted, predicted
+
+
+class JoinTiles(NamedTuple):
+    """Per-call cell-aligned tiling of a kNN-join's TARGET set.
+
+    Built once per ``search_join`` call (one device sort + scatter over the
+    T targets); every probe round then DMAs only the tiles of each query's
+    selected cells, so distance-phase cost scales with alpha/confidence —
+    the fetched-rows-only semantics of ``ivpq_search_in``'s SPI query
+    (ivpq_search_in.c:355-401, 459-543), which the round-1 dense layout
+    lost (it ADC'd all T targets and masked).
+    """
+    block_t: int
+    codes_t: Array      # (m, NA) int32 transposed aligned codes
+    rowterm: Array      # (NA,) f32: 0 on real rows, +inf padding
+    local_ids: Array    # (NA,) int32 target-local row ids, -1 padding
+    tile_start: Array   # (C,) int32
+    tile_cnt: Array     # (C,) int32
+    tile_rows: Array    # (NT,) int32 real rows per tile
+    cell_sizes: Array   # (C,) f32 target rows per cell
+    t_real: Array       # () int32 number of real targets
+    vecs_t: Array       # (d, NA) bf16 aligned raw vectors (zeros if unused)
+    rownorm: Array      # (NA,) f32 ‖v‖² (+inf padding; zeros-d if unused)
+    inf_tile: int
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_t", "num_cells", "with_vecs"))
+def build_join_tiles(target_codes: Array, target_cells: Array,
+                     target_mask: Array, target_vecs: Array, *,
+                     block_t: int, num_cells: int,
+                     with_vecs: bool) -> JoinTiles:
+    """Sort targets by coarse cell and lay them out cell-aligned in whole
+    ``block_t`` tiles (one trailing inf tile). NA is static:
+    ``roundup(T) + (C+1)·block_t`` upper-bounds the per-cell padding."""
+    T, m = target_codes.shape
+    bt = block_t
+    na = ((T + bt - 1) // bt) * bt + (num_cells + 1) * bt
+    nt = na // bt
+    inf_tile = nt - 1
+
+    cells_s = jnp.where(target_mask, target_cells.astype(jnp.int32),
+                        num_cells)
+    order = jnp.argsort(cells_s, stable=True)
+    sorted_cells = jnp.take(cells_s, order)
+    counts = jnp.bincount(cells_s, length=num_cells + 1)
+    sizes = counts[:num_cells]
+    tile_cnt = (sizes + bt - 1) // bt
+    tile_start = jnp.concatenate(
+        [jnp.zeros((1,), tile_cnt.dtype), jnp.cumsum(tile_cnt)[:-1]])
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), sizes.dtype), jnp.cumsum(counts)[:-1]])  # (C+1,)
+    rank = jnp.arange(T, dtype=jnp.int32) - jnp.take(offsets, sorted_cells)
+    valid_s = sorted_cells < num_cells
+    apos = jnp.where(
+        valid_s,
+        jnp.take(tile_start,
+                 jnp.minimum(sorted_cells, num_cells - 1)) * bt + rank,
+        na - 1)
+
+    codes_sorted = jnp.take(target_codes, order, axis=0)
+    codes_al = jnp.zeros((na, m), jnp.int32).at[apos].set(
+        codes_sorted.astype(jnp.int32))
+    rowterm = jnp.full((na,), jnp.inf, jnp.float32).at[apos].set(
+        jnp.where(valid_s, 0.0, jnp.inf))
+    lids = jnp.full((na,), -1, jnp.int32).at[apos].set(
+        jnp.where(valid_s, order.astype(jnp.int32), -1))
+    tile_rows = jnp.zeros((nt,), jnp.int32).at[
+        jnp.where(valid_s, apos // bt, nt - 1)].add(
+            valid_s.astype(jnp.int32))
+
+    if with_vecs:
+        d = target_vecs.shape[1]
+        vf = jnp.take(target_vecs, order, axis=0).astype(jnp.float32)
+        vecs_al = jnp.zeros((na, d), jnp.bfloat16).at[apos].set(
+            vf.astype(jnp.bfloat16))
+        rownorm = jnp.full((na,), jnp.inf, jnp.float32).at[apos].set(
+            jnp.where(valid_s, jnp.sum(vf * vf, axis=-1), jnp.inf))
+        vecs_t = vecs_al.T
+    else:
+        vecs_t = jnp.zeros((1, na), jnp.bfloat16)
+        rownorm = jnp.full((na,), jnp.inf, jnp.float32)
+
+    return JoinTiles(
+        block_t=bt, codes_t=codes_al.T, rowterm=rowterm, local_ids=lids,
+        tile_start=tile_start.astype(jnp.int32),
+        tile_cnt=tile_cnt.astype(jnp.int32), tile_rows=tile_rows,
+        cell_sizes=sizes.astype(jnp.float32),
+        t_real=jnp.sum(target_mask.astype(jnp.int32)),
+        vecs_t=vecs_t, rownorm=rownorm, inf_tile=inf_tile)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "alpha", "pvf", "method", "use_double",
+                     "p_budget", "block_t", "use_pallas"))
+def _ivpq_round_budget(queries: Array, coarse_centroids: Array,
+                       codebook_cent: Array, jt: JoinTiles,
+                       target_vecs: Array, statistics: Array, k: int,
+                       alpha: int, pvf: int, method: int, confidence: Array,
+                       use_double: bool, p_budget: int, block_t: int,
+                       use_pallas: bool
+                       ) -> tuple[Array, Array, Array, Array, Array]:
+    """One selectivity-proportional probe round: scans only the tiles of
+    each query's selected cells (budget ``p_budget`` tiles/query).
+
+    Same return contract as ``_ivpq_round`` but ids are TARGET-LOCAL;
+    ``retrieved`` counts rows actually scanned so truncated queries are
+    never wrongly retired.
+    """
+    from postgres_word2vec_tpu.models.ivfadc import plan_probe_tiles
+
+    B = queries.shape[0]
+    num_cells = statistics.shape[0] - 1
+    order, n_sel, exhausted, predicted, retrieved_sel = _select_cells(
+        queries, coarse_centroids, statistics, jt.cell_sizes, jt.t_real,
+        k, alpha, confidence)
+
+    rank_lt = (jnp.arange(num_cells, dtype=jnp.int32)[None, :]
+               < n_sel[:, None])
+    cnt = jnp.where(rank_lt, jnp.take(jt.tile_cnt, order), 0)   # (B, C)
+    start = jnp.take(jt.tile_start, order)
+    tiles, _ = plan_probe_tiles(p_budget, start, cnt, jt.inf_tile)
+
+    if method == EXACT_CALC:
+        qf = queries.astype(jnp.float32)
+        qq = jnp.sum(qf * qf, axis=-1, keepdims=True)
+        if use_pallas:
+            from postgres_word2vec_tpu.ops import pallas_kernels as pk
+            d = pk.budget_exact_pallas(queries, jt.vecs_t, jt.rownorm,
+                                       tiles, block_t=block_t)
+        else:
+            d = adc.budget_exact_xla(queries, jt.vecs_t.T, jt.rownorm,
+                                     tiles, block_t=block_t)
+        dists = jnp.maximum(d + qq, 0.0)
+    else:
+        luts = lut.build_luts(queries, codebook_cent)
+        codes_t = jt.codes_t
+        if use_double:
+            # fused-pair layout directly on the transposed aligned codes.
+            kcb = codebook_cent.shape[1]
+            luts = lut.build_double_luts(luts)
+            codes_t = codes_t[0::2] * kcb + codes_t[1::2]
+        if use_pallas:
+            from postgres_word2vec_tpu.ops import pallas_kernels as pk
+            dists = pk.budget_adc_pallas(luts, codes_t, jt.rowterm, tiles,
+                                         block_t=block_t)
+        else:
+            dists = adc.budget_adc_xla(luts, codes_t.T, jt.rowterm, tiles,
+                                       block_t=block_t)
+
+    found = jnp.sum(jnp.take(jt.tile_rows, tiles), axis=1)
+    exhausted = exhausted & (found.astype(jnp.float32) >= retrieved_sel)
+
+    lane = jnp.arange(block_t, dtype=jnp.int32)
+    gpos_all = (tiles[:, :, None] * block_t
+                + lane[None, None, :]).reshape(B, -1)
+
+    if method == PQ_PV_CALC:
+        kk = min(k * pvf, dists.shape[1])
+        cvals, cpos = topk_ops.top_k_smallest(dists, kk)
+        csel = jnp.take_along_axis(gpos_all, cpos, axis=-1)
+        cids = jnp.where(jnp.isfinite(cvals),
+                         jnp.take(jt.local_ids, csel), -1).astype(jnp.int32)
+        vals, ids = adc.post_verify(queries, cids, cvals, target_vecs, k)
+        return vals, ids, found, exhausted, predicted
+
+    k_eff = min(k, dists.shape[1])
+    vals, pos = topk_ops.top_k_smallest(dists, k_eff)
+    sel = jnp.take_along_axis(gpos_all, pos, axis=-1)
+    ids = jnp.where(jnp.isfinite(vals),
+                    jnp.take(jt.local_ids, sel), -1).astype(jnp.int32)
+    if k_eff < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)),
+                       constant_values=jnp.inf)
+        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    return vals, ids, found, exhausted, predicted
 
 
 def raw_target_vectors_full(target_vectors: Array, target_ids: Array):
@@ -379,15 +577,19 @@ class IVPQIndex:
                     use_targetlists: bool = True,
                     max_rounds: int = 8,
                     query_chunk: int = 1024,
+                    impl: str | None = None,
+                    budget_tiles: int | None = None,
                     return_info: bool = False):
         """Batched kNN-join (``ivpq_search_in`` parity) → (sqdists, ids).
 
-        ``use_targetlists`` is accepted for parity; the reference uses it to
-        switch candidate buffering strategies (ivpq_search_in.c:462-479) —
-        here the target-major dense layout *is* the target list, so it is a
-        no-op.
+        ``impl``: "budget" (selectivity-proportional tiled probe — cost
+        scales with alpha/confidence; default on TPU), "dense" (full-T ADC
+        + mask — the XLA reference path, default on CPU), or None for
+        auto. ``use_targetlists`` maps to the budget layout: the per-call
+        cell-sorted tiling IS the reference's per-query target-list
+        buffering (ivpq_search_in.c:462-479) reorganized target-major;
+        ``use_targetlists=False`` forces the dense path.
         """
-        del use_targetlists
         if target_mask is None:
             target_mask = jnp.ones(target_ids.shape, dtype=bool)
         if statistics is None:
@@ -395,6 +597,11 @@ class IVPQIndex:
         if method in (EXACT_CALC, PQ_PV_CALC) and vectors is None:
             raise ValueError("methods 1/2 need raw vectors for exact "
                              "distances")
+        if impl is None:
+            impl = "budget" if (_use_pallas() and use_targetlists) \
+                else "dense"
+        if not use_targetlists:
+            impl = "dense"
 
         t_ids = jnp.maximum(target_ids, 0)
         target_codes = jnp.take(self.codes, t_ids, axis=0)
@@ -404,14 +611,40 @@ class IVPQIndex:
                        jnp.zeros((target_ids.shape[0], queries.shape[1]),
                                  jnp.float32))
 
+        jt = None
+        if impl == "budget":
+            t = target_ids.shape[0]
+            block_t = 256 if t >= 50_000 else 128
+            jt = build_join_tiles(
+                target_codes, target_cells, target_mask, target_vecs,
+                block_t=block_t, num_cells=self.num_cells,
+                with_vecs=method == EXACT_CALC)
+            # jit converts the int leaves to arrays; restore static ints.
+            jt = jt._replace(
+                block_t=block_t,
+                inf_tile=int(jt.codes_t.shape[1]) // block_t - 1)
+
         B = queries.shape[0]
         out_vals, out_ids, infos = [], [], []
         for start in range(0, B, query_chunk):
             qc = queries[start:start + query_chunk]
+            pad_q = 0
+            if start > 0 and qc.shape[0] < query_chunk:
+                # pad the ragged final chunk to the compiled shape — a
+                # second program per (B % query_chunk) shape costs a full
+                # XLA compile and defeats warmup (round-1 weak spot #9).
+                pad_q = query_chunk - qc.shape[0]
+                qc = jnp.pad(qc, ((0, pad_q), (0, 0)))
             vals, ids, info = self._join_chunk(
                 qc, target_codes, target_cells, target_ids, target_mask,
                 target_vecs, statistics, k, alpha, pvf, method, confidence,
-                long_codes_threshold, max_rounds)
+                long_codes_threshold, max_rounds, jt=jt,
+                budget_tiles=budget_tiles)
+            if pad_q:
+                vals, ids = vals[:-pad_q], ids[:-pad_q]
+                info = {kk: (vv[:-pad_q] if hasattr(vv, "shape")
+                             and getattr(vv, "ndim", 0) > 0 else vv)
+                        for kk, vv in info.items()}
             out_vals.append(vals)
             out_ids.append(ids)
             infos.append(info)
@@ -429,7 +662,8 @@ class IVPQIndex:
 
     def _join_chunk(self, queries, target_codes, target_cells, target_ids,
                     target_mask, target_vecs, statistics, k, alpha, pvf,
-                    method, confidence, long_codes_threshold, max_rounds):
+                    method, confidence, long_codes_threshold, max_rounds,
+                    jt=None, budget_tiles=None):
         """Alpha-escalation loop over fixed-shape rounds
         (ivpq_search_in.c:639-684)."""
         conf_arr = jnp.float32(confidence)
@@ -441,7 +675,7 @@ class IVPQIndex:
         vals, ids, retrieved, exhausted, predicted = self._run_round(
             queries, target_codes, target_cells, target_ids, target_mask,
             target_vecs, statistics, k, cur_alpha, pvf, method, conf_arr,
-            use_double)
+            use_double, jt, budget_tiles)
         best_vals, best_ids = vals, ids
         best_retrieved, best_predicted = retrieved, predicted
         resolved = retrieved >= k
@@ -454,7 +688,7 @@ class IVPQIndex:
             vals, ids, retrieved, exhausted, predicted = self._run_round(
                 queries, target_codes, target_cells, target_ids, target_mask,
                 target_vecs, statistics, k, cur_alpha, pvf, method, conf_arr,
-                use_double)
+                use_double, jt, budget_tiles)
             upd = ~resolved
             best_vals = jnp.where(upd[:, None], vals, best_vals)
             best_ids = jnp.where(upd[:, None], ids, best_ids)
@@ -466,9 +700,30 @@ class IVPQIndex:
                 "rounds": rounds, "final_alpha": cur_alpha}
         return best_vals, best_ids, info
 
+    def _budget_for(self, jt, k, alpha, budget_tiles):
+        """Tile budget for one round: sized to the expected k·alpha
+        candidate rows (pow2 so escalation reuses compiled programs)."""
+        cap = max(int(jt.codes_t.shape[1]) // jt.block_t - 1, 1)
+        if budget_tiles is not None:
+            return max(1, min(budget_tiles, cap))
+        want = max(8, (2 * k * alpha) // jt.block_t + 4)
+        return min(1 << int(np.ceil(np.log2(want))), cap)
+
     def _run_round(self, queries, target_codes, target_cells, target_ids,
                    target_mask, target_vecs, statistics, k, alpha, pvf,
-                   method, confidence, use_double):
+                   method, confidence, use_double, jt=None,
+                   budget_tiles=None):
+        if jt is not None:
+            p = self._budget_for(jt, k, alpha, budget_tiles)
+            vals, lids, retrieved, exhausted, predicted = _ivpq_round_budget(
+                queries, self.coarse.centroids, self.codebook.centroids,
+                jt, target_vecs, statistics, k, alpha, pvf, method,
+                confidence, use_double, p_budget=p, block_t=jt.block_t,
+                use_pallas=_use_pallas())
+            ids = jnp.where(lids >= 0,
+                            jnp.take(target_ids, jnp.maximum(lids, 0)),
+                            -1).astype(jnp.int32)
+            return vals, ids, retrieved, exhausted, predicted
         if method == PQ_PV_CALC:
             # run with local ids 0..T-1 so post_verify gathers the (T, d)
             # target block, then map back to global ids.

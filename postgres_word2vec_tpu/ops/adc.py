@@ -99,6 +99,21 @@ def budget_adc_xla(luts: Array, codes_aligned: Array, rowterm: Array,
     return d + jnp.take(rowterm, pos)
 
 
+def budget_exact_xla(queries: Array, vecs_aligned: Array, rownorm: Array,
+                     tiles: Array, *, block_t: int) -> Array:
+    """XLA twin of ``budget_exact_pallas``: → (B, P·block_t) shifted
+    scores ``‖v‖² − 2·q·v`` (+inf padding). Reference backend; gathers
+    (B, P·block_t, d) so intended for test/small scales."""
+    B, d = queries.shape
+    lane = jnp.arange(block_t, dtype=jnp.int32)
+    pos = (tiles.astype(jnp.int32)[:, :, None] * block_t
+           + lane[None, None, :]).reshape(B, -1)
+    cand = jnp.take(vecs_aligned, pos, axis=0).astype(jnp.float32)
+    qv = jnp.einsum("bd,btd->bt", queries.astype(jnp.float32), cand,
+                    preferred_element_type=jnp.float32)
+    return jnp.take(rownorm, pos) - 2.0 * qv
+
+
 @functools.partial(jax.jit, static_argnames=("k", "chunk_size", "approx"))
 def adc_top_k(luts: Array, codes: Array, k: int, *,
               chunk_size: int = 131072, approx: bool = False

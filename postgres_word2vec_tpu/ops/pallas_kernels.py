@@ -398,6 +398,81 @@ def budget_adc_pallas(luts: Array, codes_t: Array, rowterm: Array,
     return out[:B] if pad_b else out
 
 
+def _budget_exact_kernel(tiles_ref, vecs_ref, norm_ref, q_ref, out_ref, *,
+                         block_t: int):
+    """One grid step: shifted exact scores ``norm − 2·q·v`` for one
+    (query, tile-slot) pair (same grid layout as ``_budget_adc_kernel``).
+
+    vecs_ref: (d_pad, block_t) bf16 — raw vector tile (transposed)
+    norm_ref: (1, block_t) f32 — ‖v‖² (+inf padding)
+    q_ref:    (8, d_pad) bf16 — this query group (row qs is current)
+    out_ref:  (8, block_t) f32
+    """
+    qs = pl.program_id(2)
+    # dynamic sublane loads are not provably aligned for Mosaic — select
+    # the current query row with a masked reduction instead.
+    rows = q_ref[:]                                          # (8, d_pad)
+    sel = (lax.broadcasted_iota(jnp.int32, rows.shape, 0) == qs)
+    q = jnp.sum(jnp.where(sel, rows, 0), axis=0,
+                keepdims=True).astype(rows.dtype)            # (1, d_pad)
+    s = jnp.dot(q, vecs_ref[:], preferred_element_type=jnp.float32)
+    out_ref[pl.ds(qs, 1), :] = norm_ref[:] - 2.0 * s
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
+def budget_exact_pallas(queries: Array, vecs_t: Array, rownorm: Array,
+                        tiles: Array, *, block_t: int,
+                        interpret: bool = False) -> Array:
+    """Budgeted tile-gather EXACT distances: each query scans its P
+    selected tiles of raw vectors → ``(B, P·block_t)`` shifted scores
+    ``‖v‖² − 2·q·v`` (add ‖q‖² back for squared L2; +inf marks padding).
+
+    The selectivity-proportional twin of the IVPQ join's EXACT_CALC method
+    (the reference fetches raw vectors only for rows of probed cells,
+    ivpq_search_in.c:381-395 method 1).
+    """
+    B, d = queries.shape
+    na = vecs_t.shape[1]
+    if na % block_t != 0:
+        raise ValueError(f"NA={na} not a multiple of block_t={block_t}")
+    P = tiles.shape[1]
+    inf_tile = na // block_t - 1
+    pad_b = (-B) % 8
+    pad_d = (-d) % 128                      # lane-align the contraction dim
+    q_in = queries.astype(jnp.bfloat16)
+    tiles_in = tiles.astype(jnp.int32)
+    vecs_in = vecs_t.astype(jnp.bfloat16)
+    if pad_b or pad_d:
+        q_in = jnp.pad(q_in, ((0, pad_b), (0, pad_d)))
+        tiles_in = jnp.pad(tiles_in, ((0, pad_b), (0, 0)),
+                           constant_values=inf_tile)
+        vecs_in = jnp.pad(vecs_in, ((0, pad_d), (0, 0)))
+    b8 = (B + pad_b) // 8
+    d_pad = d + pad_d
+    nrm = rownorm.reshape(1, na).astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b8, P, 8),
+        in_specs=[
+            pl.BlockSpec((d_pad, block_t),
+                         lambda g, p, q, t: (0, t[g * 8 + q, p])),
+            pl.BlockSpec((1, block_t),
+                         lambda g, p, q, t: (0, t[g * 8 + q, p])),
+            pl.BlockSpec((8, d_pad), lambda g, p, q, t: (g, 0)),
+        ],
+        out_specs=pl.BlockSpec((8, block_t), lambda g, p, q, t: (g, p)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_budget_exact_kernel, block_t=block_t),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B + pad_b, P * block_t),
+                                       jnp.float32),
+        interpret=interpret,
+    )(tiles_in, vecs_in, nrm, q_in)
+    return out[:B] if pad_b else out
+
+
 def supports_pallas() -> bool:
     """True when running on a TPU backend (incl. tunneled platforms)."""
     try:

@@ -176,3 +176,101 @@ def test_add_and_roundtrip(idx, dataset, tmp_path):
     idx3 = IVPQIndex.load(p)
     np.testing.assert_array_equal(np.asarray(idx3.codes),
                                   np.asarray(idx2.codes))
+
+
+def test_build_join_tiles_structure(idx, dataset):
+    from postgres_word2vec_tpu.models.ivpq import build_join_tiles
+
+    T = 900
+    tids = jnp.arange(T, dtype=jnp.int32)
+    mask = np.ones(T, bool)
+    mask[5] = mask[100] = False
+    codes = jnp.take(idx.codes, tids, axis=0)
+    cells = jnp.take(idx.cell_of, tids)
+    jt = build_join_tiles(codes, cells, jnp.asarray(mask),
+                          jnp.asarray(dataset[:T]), block_t=128,
+                          num_cells=idx.num_cells, with_vecs=True)
+    lids = np.asarray(jt.local_ids)
+    rt = np.asarray(jt.rowterm)
+    # every valid target appears exactly once with rowterm 0
+    placed = lids[lids >= 0]
+    assert sorted(placed.tolist()) == sorted(np.nonzero(mask)[0].tolist())
+    assert (rt[lids >= 0] == 0.0).all()
+    assert np.isinf(rt[lids < 0]).all()
+    # placed rows carry their own codes, grouped by cell within tiles
+    codes_np = np.asarray(codes)
+    cells_np = np.asarray(cells)
+    codes_al = np.asarray(jt.codes_t).T
+    tile_start = np.asarray(jt.tile_start)
+    tile_cnt = np.asarray(jt.tile_cnt)
+    pos = np.nonzero(lids >= 0)[0]
+    for p in pos[:50]:
+        t = lids[p]
+        np.testing.assert_array_equal(codes_al[p], codes_np[t])
+        tile = p // 128
+        c = cells_np[t]
+        assert tile_start[c] <= tile < tile_start[c] + tile_cnt[c]
+    # tile_rows accounting
+    assert int(np.asarray(jt.tile_rows).sum()) == int(mask.sum())
+    assert int(np.asarray(jt.t_real)) == int(mask.sum())
+
+
+@pytest.mark.parametrize("method", [0, 1, 2])
+def test_budget_join_matches_dense(idx, dataset, method):
+    """With an ample tile budget the selectivity-proportional path must
+    reproduce the dense path's results for every distance method."""
+    T = 1200
+    tids = jnp.arange(T, dtype=jnp.int32)
+    q = jnp.asarray(dataset[:12])
+    kw = dict(alpha=20, method=method, confidence=0.8,
+              vectors=jnp.asarray(dataset))
+    vd, idn = idx.search_join(q, 5, tids, impl="dense", **kw)
+    vb, idb = idx.search_join(q, 5, tids, impl="budget",
+                              budget_tiles=64, **kw)
+    # method 1 stores target vectors bf16 in the tiled layout (the MXU fast
+    # path; f32 norms keep the error ~1e-3 like exact_top_k_precast).
+    rtol = 5e-3 if method == 1 else 1e-4
+    np.testing.assert_allclose(np.asarray(vb), np.asarray(vd), rtol=rtol,
+                               atol=5e-3 if method == 1 else 1e-4)
+    for a, b in zip(np.asarray(idn), np.asarray(idb)):
+        assert set(a.tolist()) == set(b.tolist())
+
+
+def test_budget_join_respects_target_mask(idx, dataset):
+    T = 800
+    tids = jnp.arange(T, dtype=jnp.int32)
+    mask = np.ones(T, bool)
+    mask[200:] = False
+    q = jnp.asarray(dataset[:6])
+    _, ids = idx.search_join(q, 5, tids, target_mask=jnp.asarray(mask),
+                             impl="budget", budget_tiles=64, alpha=30)
+    assert (np.asarray(ids) < 200).all()
+
+
+def test_budget_join_double_codes(idx, dataset):
+    """Fused-pair LUTs on the budget path must match normal LUTs."""
+    T = 1000
+    tids = jnp.arange(T, dtype=jnp.int32)
+    q = jnp.asarray(dataset[:8])
+    v1, i1 = idx.search_join(q, 5, tids, impl="budget", budget_tiles=64,
+                             alpha=30, long_codes_threshold=1e9)
+    v2, i2 = idx.search_join(q, 5, tids, impl="budget", budget_tiles=64,
+                             alpha=30, long_codes_threshold=0)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_budget_scales_with_alpha(idx, dataset):
+    """The whole point: rows scanned must grow with alpha (selectivity-
+    proportional compute), unlike the dense path's constant full-T scan."""
+    T = 2000
+    tids = jnp.arange(T, dtype=jnp.int32)
+    q = jnp.asarray(dataset[:8])
+    _, _, lo = idx.search_join(q, 5, tids, impl="budget", alpha=3,
+                               max_rounds=1, return_info=True)
+    _, _, hi = idx.search_join(q, 5, tids, impl="budget", alpha=60,
+                               max_rounds=1, return_info=True)
+    assert (np.asarray(lo["retrieved"]).mean()
+            < np.asarray(hi["retrieved"]).mean())
+    # scanned rows stay far below T at small alpha
+    assert np.asarray(lo["retrieved"]).mean() < 0.5 * T
