@@ -298,7 +298,8 @@ def encode_residual_subspaces(x: Array, coarse_centroids: Array,
 
 
 def encode_subspaces(x: Array, codebooks: Array, *,
-                     chunk_size: int = 65536) -> Array:
+                     chunk_size: int = 65536,
+                     rotation: Array | None = None) -> Array:
     """PQ-encode: ``(n, d) × (m, k, dsub) → (n, m)`` small-int codes.
 
     Replaces the faiss per-subspace 1-NN encode loop (pq_index.py:31-63).
@@ -306,6 +307,9 @@ def encode_subspaces(x: Array, codebooks: Array, *,
     the full table is ever materialized (at 3M×300 that copy alone is
     3.6 GB and OOMs the chip alongside the resident tables). Each chunk is
     one batched-over-subspaces matmul + argmin on the MXU.
+
+    ``rotation``: optional (d, d) OPQ basis applied per chunk (fused here
+    for the same no-full-copy reason).
 
     Code dtype is uint8 when k ≤ 256 (the shipped-config regime), else int16
     — parity note: the reference stores int2 codes either way
@@ -323,6 +327,9 @@ def encode_subspaces(x: Array, codebooks: Array, *,
         # per-subspace dots (see encode_residual_subspaces for why not a
         # batched einsum inside lax.map).
         xf = xc.astype(jnp.float32)
+        if rotation is not None:
+            xf = jnp.dot(xf, rotation.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
         outs = []
         for j in range(m):
             s = jnp.dot(xf[:, j * dsub:(j + 1) * dsub], cb[j].T,

@@ -110,3 +110,77 @@ def test_save_load_roundtrip(pq, tmp_path):
     np.testing.assert_array_equal(np.asarray(pq2.codes), np.asarray(pq.codes))
     np.testing.assert_allclose(np.asarray(pq2.codebook.centroids),
                                np.asarray(pq.codebook.centroids))
+
+
+def test_opq_rotation_orthogonal_and_recall(rng):
+    import jax
+    from postgres_word2vec_tpu.models.pq import PQIndex
+
+    # anisotropic data where OPQ has something to learn
+    n, d = 3000, 24
+    scales = np.linspace(2.0, 0.1, d).astype(np.float32)
+    v = (rng.normal(size=(n, d)).astype(np.float32) * scales)
+    q_rot, _ = np.linalg.qr(rng.normal(size=(d, d)))
+    v = (v @ q_rot.astype(np.float32))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    vj = jnp.asarray(v)
+
+    plain = PQIndex.build(jax.random.PRNGKey(0), vj, m=6, k=16,
+                          train_size=None, iters=12, init="kmeans++")
+    opq = PQIndex.build(jax.random.PRNGKey(0), vj, m=6, k=16,
+                        train_size=None, iters=12, opq_iters=6)
+    r = np.asarray(opq.rotation)
+    np.testing.assert_allclose(r @ r.T, np.eye(d), atol=1e-4)
+
+    q = v[:40]
+    exact = np.argsort(((q[:, None] - v[None]) ** 2).sum(-1), -1)[:, :5]
+
+    def rec(idx):
+        _, ids = idx.search(jnp.asarray(q), 5)
+        return sum(len(set(a.tolist()) & set(e.tolist()))
+                   for a, e in zip(np.asarray(ids), exact)) / exact.size
+
+    assert rec(opq) >= rec(plain) - 0.02  # ≥ plain up to noise
+
+    # quantization error strictly improves on anisotropic data
+    from postgres_word2vec_tpu.models.pq import reconstruct
+    def mse(idx):
+        y = v @ np.asarray(idx.rotation) if idx.rotation is not None else v
+        rc = np.asarray(reconstruct(idx.codes, idx.codebook.centroids))
+        return float(((y - rc) ** 2).sum(-1).mean())
+    assert mse(opq) < mse(plain)
+
+
+def test_opq_save_load_roundtrip(rng, tmp_path):
+    import jax
+    from postgres_word2vec_tpu.models.pq import PQIndex
+
+    v = rng.normal(size=(500, 12)).astype(np.float32)
+    idx = PQIndex.build(jax.random.PRNGKey(1), jnp.asarray(v), m=3, k=8,
+                        train_size=None, iters=6, opq_iters=3)
+    p = tmp_path / "opq.npz"
+    idx.save(p)
+    idx2 = PQIndex.load(p)
+    np.testing.assert_array_equal(np.asarray(idx2.codes),
+                                  np.asarray(idx.codes))
+    np.testing.assert_allclose(np.asarray(idx2.rotation),
+                               np.asarray(idx.rotation), rtol=1e-6)
+    q = jnp.asarray(v[:4])
+    d1, i1 = idx.search(q, 3)
+    d2, i2 = idx2.search(q, 3)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_opq_encode_rotation_fused_matches_explicit(rng):
+    import jax
+    from postgres_word2vec_tpu.ops import kmeans as km
+
+    v = rng.normal(size=(700, 12)).astype(np.float32)
+    cb = jnp.asarray(rng.normal(size=(3, 8, 4)).astype(np.float32))
+    q_rot, _ = np.linalg.qr(rng.normal(size=(12, 12)))
+    rot = jnp.asarray(q_rot.astype(np.float32))
+    fused = km.encode_subspaces(jnp.asarray(v), cb, rotation=rot,
+                                chunk_size=128)
+    explicit = km.encode_subspaces(jnp.asarray(v @ q_rot.astype(np.float32)),
+                                   cb, chunk_size=4096)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(explicit))
