@@ -23,6 +23,7 @@ sql:511).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Sequence
 
 import jax
@@ -561,16 +562,11 @@ class Freddy:
         assign = np.zeros(len(toks), np.int64)
         for it in range(iters):
             d, i = join_fn(jnp.asarray(centroids), len(toks))
-            # token → its best (most similar) centroid, reference's greedy
-            # first-hit over a similarity-sorted stream.
-            dists = np.asarray(d)       # (k, T) sqdists over token ids local
-            ids = np.asarray(i)
-            best = np.full(len(toks), np.inf)
-            for c in range(k):
-                for dj, tj in zip(dists[c], ids[c]):
-                    if tj >= 0 and dj < best[tj]:
-                        best[tj] = dj
-                        assign[tj] = c
+            # token → its best (most similar) centroid. One device
+            # scatter-min over a (k, T) table replaces the round-1 host
+            # k×T python loop.
+            assign_new = np.asarray(_cluster_assign(d, i, len(toks)))
+            assign = np.where(assign_new >= 0, assign_new, assign)
             if it < iters - 1:
                 for c in range(k):
                     members = np.flatnonzero(assign == c)
@@ -768,13 +764,33 @@ class Freddy:
         return len(new_words)
 
 
+@functools.partial(jax.jit, static_argnames=("n_tokens",))
+def _cluster_assign(dists: Array, ids: Array, n_tokens: int) -> Array:
+    """From per-centroid join results (k, kk) pick each token's nearest
+    centroid: scatter-min into a dense (k, T) table, argmin over k.
+    Tokens never returned by any centroid's join get −1 (keep previous)."""
+    k = dists.shape[0]
+    safe_ids = jnp.maximum(ids, 0)
+    vals = jnp.where(ids >= 0, dists, jnp.inf)
+    table = jnp.full((k, n_tokens), jnp.inf, jnp.float32)
+    table = jax.vmap(lambda row, idx, v: row.at[idx].min(v))(
+        table, safe_ids, vals.astype(jnp.float32))
+    best = jnp.argmin(table, axis=0)
+    seen = jnp.isfinite(jnp.min(table, axis=0))
+    return jnp.where(seen, best, -1).astype(jnp.int32)
+
+
+@jax.jit
 def _globals_to_locals(ids: Array, tids: Array) -> Array:
-    """Map global row ids back to positions within ``tids`` (−1 passthrough)."""
-    tids_np = np.asarray(tids)
-    lookup = {int(t): j for j, t in enumerate(tids_np)}
-    ids_np = np.asarray(ids)
-    out = np.full_like(ids_np, -1)
-    for idx, val in np.ndenumerate(ids_np):
-        if val >= 0:
-            out[idx] = lookup.get(int(val), -1)
-    return jnp.asarray(out)
+    """Map global row ids back to positions within ``tids`` (−1 passthrough).
+
+    Device-side binary search over the sorted target ids (the round-1
+    version was a host dict + ``np.ndenumerate`` over B×k — quadratic pain
+    at production batch sizes)."""
+    order = jnp.argsort(tids)
+    sorted_t = jnp.take(tids, order)
+    pos = jnp.searchsorted(sorted_t, jnp.maximum(ids, 0))
+    pos = jnp.minimum(pos, sorted_t.shape[0] - 1)
+    hit = jnp.take(sorted_t, pos) == ids
+    loc = jnp.take(order, pos)
+    return jnp.where((ids >= 0) & hit, loc, -1).astype(jnp.int32)

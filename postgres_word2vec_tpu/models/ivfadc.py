@@ -208,6 +208,34 @@ def _ivfadc_probe_budget(queries: Array, coarse: Array, centroids: Array,
     return vals, ids, found, needed
 
 
+@functools.partial(jax.jit, static_argnames=("w_lo", "w_hi", "k"))
+def _tail_scan(queries: Array, coarse: Array, centroids: Array,
+               tail_codes: Array, tail_cells: Array, tail_ids: Array,
+               tail_count: Array, w_lo: int, w_hi: int, k: int
+               ) -> tuple[Array, Array, Array]:
+    """Scan the LSM insert tail against each query's probed-cell window
+    [w_lo, w_hi): dense residual ADC over the (small) slab, masked to rows
+    whose cell the query probes. Returns (vals, ids, rows_seen)."""
+    cap = tail_codes.shape[0]
+    cd = kmeans.pairwise_sqdist(queries, coarse)
+    _, cells = topk_ops.top_k_smallest(cd, w_hi)
+    cells = cells[:, w_lo:]
+    luts = lut.build_luts(queries, centroids)
+    rt = _compute_rowterm(coarse, centroids, tail_cells, tail_codes)
+    d = adc.adc_distances(luts, tail_codes)                  # (B, cap)
+    qq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1)
+    dist = (d + rt[None, :] + jnp.take(cd, tail_cells, axis=1)
+            - qq[:, None])
+    probed = jnp.any(tail_cells[None, :, None] == cells[:, None, :],
+                     axis=-1)
+    valid = (jnp.arange(cap) < tail_count)[None, :] & probed
+    dist = jnp.where(valid, jnp.maximum(dist, 0.0), jnp.inf)
+    vals, pos = topk_ops.top_k_smallest(dist, min(k, cap))
+    ids = jnp.where(jnp.isfinite(vals),
+                    jnp.take(tail_ids, pos), -1).astype(jnp.int32)
+    return vals, ids, jnp.sum(valid.astype(jnp.int32), axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("w", "k", "list_cap"))
 def _ivfadc_probe(queries: Array, coarse: Array, centroids: Array,
                   cell_offsets: Array, codes_sorted: Array, row_ids: Array,
@@ -263,12 +291,23 @@ class IVFADCIndex:
     assignments: Array            # (n,) original row id → coarse cell
     list_cap: int                 # static max cell length (gather window)
 
+    # LSM-style insert tail: fixed-capacity unsorted slab of freshly
+    # inserted rows (searched by a small dense ADC scan merged into every
+    # probe), flushed into the CSR when full — so inserts are O(batch)
+    # fixed-shape device writes, not an O(n) table rebuild.
+    tail_codes: Array | None = None   # (TAIL_CAP, m)
+    tail_cells: Array | None = None   # (TAIL_CAP,)
+    tail_ids: Array | None = None     # (TAIL_CAP,)
+    tail_count: int = 0
+
     _tiled: TiledIVF | None = dataclasses.field(default=None, repr=False,
                                                 compare=False)
 
+    TAIL_CAP = 8192
+
     @property
     def size(self) -> int:
-        return int(self.codes_sorted.shape[0])
+        return int(self.codes_sorted.shape[0]) + int(self.tail_count)
 
     @property
     def num_cells(self) -> int:
@@ -415,6 +454,14 @@ class IVFADCIndex:
             queries, self.coarse.centroids, self.codebook.centroids, t,
             w_lo=0, w_hi=w_eff, k=k, p_budget=p, block_t=t.block_t,
             use_pallas=pk.supports_pallas())
+        if self.tail_count:
+            tv, ti, tf = _tail_scan(
+                queries, self.coarse.centroids, self.codebook.centroids,
+                self.tail_codes, self.tail_cells, self.tail_ids,
+                jnp.int32(self.tail_count), w_lo=0, w_hi=w_eff, k=k)
+            vals, ids = topk_ops.merge_top_k_smallest(vals, ids, tv, ti, k)
+            found = found + tf
+            needed = needed + tf
         if return_info:
             return vals, ids, {"found": found, "needed": needed,
                                "budget_tiles": p}
@@ -443,6 +490,13 @@ class IVFADCIndex:
             w_lo=w_lo, w_hi=w_hi, k=k, p_budget=p, block_t=t.block_t,
             use_pallas=use_pallas)
         total_found = found
+        if self.tail_count:
+            tv, ti, tf = _tail_scan(
+                queries, self.coarse.centroids, self.codebook.centroids,
+                self.tail_codes, self.tail_cells, self.tail_ids,
+                jnp.int32(self.tail_count), w_lo=0, w_hi=w_hi, k=k)
+            vals, ids = topk_ops.merge_top_k_smallest(vals, ids, tv, ti, k)
+            total_found = total_found + tf
         for _ in range(max_rounds - 1):
             if bool(jnp.all(total_found >= k)) or w_hi >= self.num_cells:
                 break
@@ -455,6 +509,14 @@ class IVFADCIndex:
                 use_pallas=use_pallas)
             vals, ids = topk_ops.merge_top_k_smallest(vals, ids, v2, i2, k)
             total_found = total_found + found
+            if self.tail_count:
+                tv, ti, tf = _tail_scan(
+                    queries, self.coarse.centroids, self.codebook.centroids,
+                    self.tail_codes, self.tail_cells, self.tail_ids,
+                    jnp.int32(self.tail_count), w_lo=w_lo, w_hi=w_hi, k=k)
+                vals, ids = topk_ops.merge_top_k_smallest(vals, ids, tv, ti,
+                                                          k)
+                total_found = total_found + tf
         return vals, ids
 
     def search_pv(self, queries: Array, k: int, pvf: int, vectors: Array, *,
@@ -468,25 +530,131 @@ class IVFADCIndex:
     def add(self, new_vectors: Array) -> "IVFADCIndex":
         """Online insert (``insert_batch``'s IVFADC leg, freddy.c:1573-1587):
         flat coarse assignment, residual encode with running-mean residual
-        codebook update, CSR rebuild."""
+        codebook update, LSM-style tail append.
+
+        New rows land in a fixed-capacity unsorted tail slab (one
+        fixed-shape device write — compiles once per batch size, runs in
+        ms); every search scans the tail with a small dense residual-ADC
+        pass restricted to each query's probed cells and merges it with the
+        main probe. When the tail fills, it splices into the CSR in one
+        O(n) device pass (no O(n log n) re-sort — round-1 weak spot #6).
+
+        Codebook drift note: like the reference, existing codes are not
+        re-encoded after the running-mean codebook update; the cached tiled
+        rowterm likewise keeps the pre-update codebook until the next flush
+        (error O(‖δcentroid‖) = O(1/count) per insert).
+        """
         assign_new = kmeans.assign(new_vectors, self.coarse.centroids)
         resid = new_vectors - jnp.take(self.coarse.centroids, assign_new,
                                        axis=0)
         cb, new_codes = online_codebook_update(self.codebook, resid)
-        all_codes_unsorted = jnp.concatenate(
-            [jnp.take(self.codes_sorted,
-                      jnp.argsort(self.row_ids), axis=0),
-             new_codes.astype(self.codes_sorted.dtype)], axis=0)
-        all_assign = jnp.concatenate([self.assignments,
-                                      assign_new.astype(jnp.int32)])
-        counts = jnp.bincount(all_assign,
-                              length=self.num_cells).astype(jnp.int32)
-        return IVFADCIndex._assemble(
-            CoarseQuantizer(self.coarse.centroids, counts), cb,
-            all_codes_unsorted, all_assign)
+        a_new = assign_new.astype(jnp.int32)
+        m_new = int(a_new.shape[0])
+        new_codes = new_codes.astype(self.codes_sorted.dtype)
+        new_ids = jnp.arange(m_new, dtype=jnp.int32) + self.size
+        counts = self.coarse.counts + jnp.bincount(
+            a_new, length=self.num_cells).astype(jnp.int32)
+        coarse2 = CoarseQuantizer(self.coarse.centroids, counts)
+
+        if self.tail_count + m_new > self.TAIL_CAP:
+            # flush: splice tail + new rows into the CSR in one pass.
+            tc = self.tail_count
+            if tc:
+                codes_m = jnp.concatenate(
+                    [self.tail_codes[:tc], new_codes], axis=0)
+                cells_m = jnp.concatenate([self.tail_cells[:tc], a_new])
+                ids_m = jnp.concatenate([self.tail_ids[:tc], new_ids])
+            else:
+                codes_m, cells_m, ids_m = new_codes, a_new, new_ids
+            return self._splice(coarse2, cb, codes_m, cells_m, ids_m)
+
+        m = self.codes_sorted.shape[1]
+        t_codes = (self.tail_codes if self.tail_codes is not None
+                   else jnp.zeros((self.TAIL_CAP, m),
+                                  self.codes_sorted.dtype))
+        t_cells = (self.tail_cells if self.tail_cells is not None
+                   else jnp.zeros((self.TAIL_CAP,), jnp.int32))
+        t_ids = (self.tail_ids if self.tail_ids is not None
+                 else jnp.full((self.TAIL_CAP,), -1, jnp.int32))
+        t_codes = lax.dynamic_update_slice(t_codes, new_codes,
+                                           (self.tail_count, 0))
+        t_cells = lax.dynamic_update_slice(t_cells, a_new,
+                                           (self.tail_count,))
+        t_ids = lax.dynamic_update_slice(t_ids, new_ids, (self.tail_count,))
+        return IVFADCIndex(
+            coarse=coarse2, codebook=cb, cell_offsets=self.cell_offsets,
+            codes_sorted=self.codes_sorted, row_ids=self.row_ids,
+            assignments=self.assignments, list_cap=self.list_cap,
+            tail_codes=t_codes, tail_cells=t_cells, tail_ids=t_ids,
+            tail_count=self.tail_count + m_new, _tiled=self._tiled)
+
+    def flush(self) -> "IVFADCIndex":
+        """Merge the insert tail into the CSR (no-op when empty)."""
+        if not self.tail_count:
+            return self
+        tc = self.tail_count
+        return self._splice(self.coarse, self.codebook,
+                            self.tail_codes[:tc], self.tail_cells[:tc],
+                            self.tail_ids[:tc])
+
+    def _splice(self, coarse2: CoarseQuantizer, cb: PQCodebook,
+                new_codes: Array, a_new: Array,
+                new_ids: Array) -> "IVFADCIndex":
+        """Device-side CSR splice: new rows sort by cell among themselves
+        and append to each cell's region; old rows shift without a global
+        re-sort. Nothing leaves HBM."""
+        c_count = self.num_cells
+        n_old = int(self.codes_sorted.shape[0])
+        m_new = int(a_new.shape[0])
+        order_new = jnp.argsort(a_new, stable=True)
+        cells_ns = jnp.take(a_new, order_new)
+        codes_ns = jnp.take(new_codes, order_new, axis=0).astype(
+            self.codes_sorted.dtype)
+        rid_ns = jnp.take(new_ids.astype(jnp.int32), order_new)
+
+        counts_new = jnp.bincount(a_new, length=c_count)
+        old_off = self.cell_offsets.astype(jnp.int32)
+        old_sizes = jnp.diff(old_off)
+        shift = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                 jnp.cumsum(counts_new).astype(jnp.int32)])
+        new_off = old_off + shift
+
+        # old rows keep their order, shifted by the new rows of earlier cells
+        cells_old = jnp.repeat(jnp.arange(c_count, dtype=jnp.int32),
+                               old_sizes, total_repeat_length=n_old)
+        dest_old = jnp.arange(n_old, dtype=jnp.int32) + jnp.take(shift,
+                                                                 cells_old)
+        # new rows append after their cell's old rows
+        rank_new = (jnp.arange(m_new, dtype=jnp.int32)
+                    - jnp.take(shift, cells_ns))
+        dest_new = (jnp.take(old_off, cells_ns + 1)
+                    + jnp.take(shift, cells_ns) + rank_new)
+
+        n_tot = n_old + m_new
+        codes_out = jnp.zeros((n_tot, self.codes_sorted.shape[1]),
+                              self.codes_sorted.dtype)
+        codes_out = codes_out.at[dest_old].set(self.codes_sorted)
+        codes_out = codes_out.at[dest_new].set(codes_ns)
+        rids_out = jnp.zeros((n_tot,), jnp.int32)
+        rids_out = rids_out.at[dest_old].set(self.row_ids.astype(jnp.int32))
+        rids_out = rids_out.at[dest_new].set(rid_ns)
+
+        # coarse2 already carries the updated per-cell counts (add()
+        # maintains them eagerly, including for tail rows).
+        return IVFADCIndex(
+            coarse=coarse2,
+            codebook=cb,
+            cell_offsets=new_off,
+            codes_sorted=codes_out,
+            row_ids=rids_out,
+            assignments=jnp.concatenate([self.assignments, a_new]),
+            list_cap=int(jnp.max(jnp.diff(new_off))) if c_count else 1)
 
     # --------------------------------------------------------- persistence
     def save(self, path: str | Path) -> None:
+        if self.tail_count:           # persist in canonical CSR form
+            self.flush().save(path)
+            return
         np.savez_compressed(
             path,
             coarse_centroids=np.asarray(self.coarse.centroids),

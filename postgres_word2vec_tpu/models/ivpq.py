@@ -314,10 +314,10 @@ def _ivpq_round(queries: Array, coarse_centroids: Array, codebook_cent: Array,
         cvals, cpos = topk_ops.top_k_smallest(dists, kk)
         cids = jnp.where(jnp.isfinite(cvals),
                          jnp.take(target_ids, cpos), -1).astype(jnp.int32)
+        # callers pass target-LOCAL ids for method 2 (see _run_round), so
+        # post_verify gathers within the (T, d) target block.
         vals, ids = adc.post_verify(queries, cids, cvals,
-                                    raw_target_vectors_full(
-                                        raw_target_vectors, target_ids), k)
-        # post_verify gathered within the target-local table; map to global.
+                                    raw_target_vectors, k)
         return vals, ids, retrieved, exhausted, predicted
 
     k_eff = min(k, dists.shape[1])
@@ -506,16 +506,6 @@ def _ivpq_round_budget(queries: Array, coarse_centroids: Array,
                        constant_values=jnp.inf)
         ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
     return vals, ids, found, exhausted, predicted
-
-
-def raw_target_vectors_full(target_vectors: Array, target_ids: Array):
-    """Scatter target-local raw vectors into a gatherable table keyed by
-    *local* position; post_verify then receives local candidate positions.
-
-    (Helper so method 2 re-ranks against the already-gathered (T, d) block
-    instead of the full N-row store.)
-    """
-    return target_vectors
 
 
 @dataclasses.dataclass

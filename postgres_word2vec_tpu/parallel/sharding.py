@@ -264,6 +264,7 @@ def shard_ivfadc(index, mesh: Mesh):
     largest shard) while row ids stay global. Returns the array bundle for
     :func:`sharded_ivfadc_probe`.
     """
+    index = index.flush()  # fold any pending insert tail into the CSR
     n_shards = mesh.shape[ROWS_AXIS]
     offsets = np.asarray(index.cell_offsets)
     n_cells = index.num_cells

@@ -114,9 +114,12 @@ def test_add_and_roundtrip(ivf, dataset, tmp_path):
     p = tmp_path / "ivf.npz"
     ivf2.save(p)
     ivf3 = IVFADCIndex.load(p)
-    assert ivf3.list_cap == ivf2.list_cap
+    # save() flushes the insert tail, so the loaded list_cap reflects the
+    # merged CSR.
+    assert ivf3.list_cap == ivf2.flush().list_cap
+    assert ivf3.size == ivf2.size
     np.testing.assert_array_equal(np.asarray(ivf3.codes_sorted),
-                                  np.asarray(ivf2.codes_sorted))
+                                  np.asarray(ivf2.flush().codes_sorted))
 
 
 def test_budget_probe_matches_padded_probe(ivf, dataset):
@@ -216,3 +219,63 @@ def test_rowterm_decomposition_exact(ivf, dataset):
             lut_sum = sum(luts[b, j, codes[r, j]] for j in range(m))
             got = lut_sum + rt[r] + cd - (q[b] ** 2).sum()
             np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_tail_insert_searchable_and_flush_equivalent(ivf, dataset):
+    """Inserted rows must be findable immediately (tail scan) and results
+    must match the flushed (CSR-merged) index."""
+    rng = np.random.default_rng(11)
+    new = rng.normal(size=(9, 24)).astype(np.float32)
+    new /= np.linalg.norm(new, axis=-1, keepdims=True)
+    ivf2 = ivf.add(jnp.asarray(new))
+    assert ivf2.tail_count == 9
+    assert ivf2.size == ivf.size + 9
+    # tail rows findable through search (their own nearest neighbor)
+    d, i = ivf2.search_adaptive(jnp.asarray(new), 1, w=4)
+    assert (np.asarray(i)[:, 0] >= 3000).mean() > 0.5
+    # flush merges and preserves results
+    ivf3 = ivf2.flush()
+    assert ivf3.tail_count == 0 and ivf3.size == ivf2.size
+    q = jnp.asarray(dataset[:8])
+    d2, i2 = ivf2.search(q, 5, w=3)
+    d3, i3 = ivf3.search(q, 5, w=3)
+    # the online codebook update drifts centroids; the tail-holding index
+    # keeps its cached pre-update rowterm until flush (documented in add()),
+    # so distances agree only to O(centroid drift) ≈ 1e-3 here.
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d3), rtol=1e-2,
+                               atol=1e-3)
+    overlap = np.mean([len(set(a.tolist()) & set(b.tolist())) / 5
+                       for a, b in zip(np.asarray(i2), np.asarray(i3))])
+    assert overlap >= 0.8
+    # CSR invariants after splice
+    off = np.asarray(ivf3.cell_offsets)
+    assert off[-1] == ivf3.size
+    assert sorted(np.asarray(ivf3.row_ids).tolist()) == list(range(
+        ivf3.size))
+    assign = np.asarray(ivf3.assignments)
+    rid = np.asarray(ivf3.row_ids)
+    for c in range(ivf3.num_cells):
+        assert (assign[rid[off[c]:off[c + 1]]] == c).all()
+
+
+def test_tail_overflow_triggers_splice(dataset):
+    small = IVFADCIndex.build(jax.random.PRNGKey(7),
+                              jnp.asarray(dataset[:500]), m=6, k=8,
+                              k_coarse=10, train_size=None, iters=4)
+    try:
+        IVFADCIndex.TAIL_CAP = 16
+        rng = np.random.default_rng(3)
+        idx = small
+        for _ in range(5):
+            new = rng.normal(size=(7, 24)).astype(np.float32)
+            new /= np.linalg.norm(new, axis=-1, keepdims=True)
+            idx = idx.add(jnp.asarray(new))
+        assert idx.size == 500 + 35
+        assert idx.tail_count < 16
+        # every row findable with a full-width probe
+        off = np.asarray(idx.cell_offsets)
+        assert off[-1] + idx.tail_count == idx.size
+        d, i = idx.search(jnp.asarray(dataset[:4]), 5, w=idx.num_cells)
+        assert (np.asarray(i) >= 0).all()
+    finally:
+        IVFADCIndex.TAIL_CAP = 8192
