@@ -297,11 +297,46 @@ def main():
 
         t, _ = timeit(lambda q: ivf.search(q, K, w=3), V[:1])
         tp = timeit_piped(lambda q: ivf.search(q, K, w=3), V[:1])
+
+        # RTT decomposition: chain 32 data-dependent single-query probes
+        # inside ONE jit — wall/32 is pure device time, free of the
+        # tunnel's per-call transport RTT (~30-60 ms on this dev setup).
+        from postgres_word2vec_tpu.models.ivfadc import _ivfadc_probe_budget
+        from postgres_word2vec_tpu.ops import pallas_kernels as pk
+        td = ivf.tiled()
+        p3 = ivf._auto_budget(3, None, full=True)
+        chain_n = 32
+
+        @jax.jit
+        def chain(q0):
+            def body(i, carry):
+                q, acc = carry
+                vals, ids, _, _ = _ivfadc_probe_budget(
+                    q, ivf.coarse.centroids, ivf.codebook.centroids, td,
+                    w_lo=0, w_hi=3, k=K, p_budget=p3, block_t=td.block_t,
+                    use_pallas=pk.supports_pallas())
+                # data dependency serializes the chain without changing q
+                q = q + 0.0 * vals[:, :1]
+                return q, acc + vals[0, 0]
+            return jax.lax.fori_loop(0, chain_n, body,
+                                     (q0, jnp.float32(0.0)))[1]
+
+        np.asarray(chain(V[:1]))
+        t0 = time.perf_counter()
+        np.asarray(chain(V[:1]))
+        device_ms = (time.perf_counter() - t0) / chain_n * 1e3
+
         results["ivfadc_single"] = {
             "per_query_ms": t * 1e3, "per_query_ms_pipelined": tp * 1e3,
+            "device_ms": device_ms,
             "recall": results["ivfadc_batch_w3"]["recall"],
             "recall5": results["ivfadc_batch_w3"]["recall5"],
-            "ref_s": 0.03, "ref_recall": 0.35, "note": "single query w=3"}
+            "ref_s": 0.03, "ref_recall": 0.35,
+            "note": ("single query w=3; per_query_ms is dominated by the "
+                     "dev tunnel's transport RTT — device_ms (chained "
+                     "in-jit) is the hardware latency")}
+        log(f"[ivfadc_single] wall={t * 1e3:.2f}ms piped={tp * 1e3:.2f}ms "
+            f"device={device_ms:.3f}ms")
 
         t, _ = timeit(lambda q: ivf.search_pv(q, K, 20, V, w=3), V[:B])
         _, ids = ivf.search_pv(queries_eval, K, 20, V, w=3)

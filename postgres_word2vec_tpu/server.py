@@ -22,8 +22,12 @@ Endpoints (POST JSON unless noted):
     /config       {"set_pvf": 20, "set_alpha": 3, …}  (any setter)
     /health       GET — engine + device status
 
-Device execution is serialized with a lock (one TPU computation at a time;
-the batched kernels are the throughput path — clients should batch).
+Device execution is serialized with a lock (one TPU computation at a time).
+Batch-shaped endpoints are the throughput path; concurrent single-query
+``/knn`` requests are additionally MICRO-BATCHED: a coalescing queue gathers
+requests for up to ``batch_window_ms`` (default 2 ms) and runs them as one
+device call on the dispatched index family, so a fleet of single-query
+clients gets batched-kernel throughput without changing their requests.
 """
 
 from __future__ import annotations
@@ -42,19 +46,119 @@ class UnknownEndpoint(KeyError):
     """Routing failure (404) — distinct from domain KeyErrors (400)."""
 
 
+class _MicroBatcher:
+    """Coalesce concurrent single-item requests into one batched call.
+
+    ``fn(items) -> results`` runs on a worker thread; ``submit(item)``
+    blocks until the item's result is ready. The worker drains whatever is
+    queued after the first item has waited ``window_ms`` (or immediately at
+    ``max_batch``).
+    """
+
+    def __init__(self, fn, *, max_batch: int = 64, window_ms: float = 2.0):
+        self._fn = fn
+        self._max_batch = max_batch
+        self._window = window_ms / 1e3
+        self._cv = threading.Condition()
+        self._queue: list[dict] = []
+        self.batched_calls = 0
+        self.max_coalesced = 0
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, item):
+        slot = {"item": item, "event": threading.Event(), "result": None,
+                "error": None}
+        with self._cv:
+            self._queue.append(slot)
+            self._cv.notify()
+        slot["event"].wait()
+        if slot["error"] is not None:
+            raise slot["error"]
+        return slot["result"]
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._queue:
+                    self._cv.wait()
+                deadline = time.monotonic() + self._window
+                while (len(self._queue) < self._max_batch):
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(timeout=remaining)
+                batch = self._queue[:self._max_batch]
+                del self._queue[:len(batch)]
+            try:
+                results = self._fn([s["item"] for s in batch])
+                for s, r in zip(batch, results):
+                    s["result"] = r
+            except Exception as e:  # noqa: BLE001 — propagate per item
+                for s in batch:
+                    s["error"] = e
+            self.batched_calls += 1
+            self.max_coalesced = max(self.max_coalesced, len(batch))
+            for s in batch:
+                s["event"].set()
+
+
 class QueryServer:
     """Wraps an engine with a threaded HTTP server."""
 
     def __init__(self, engine: Freddy, host: str = "127.0.0.1",
-                 port: int = 8765):
+                 port: int = 8765, batch_window_ms: float = 2.0,
+                 max_batch: int = 64):
         self.engine = engine
         self._lock = threading.Lock()
         self._requests = 0
         self._started = time.time()
+        self._knn_batcher = _MicroBatcher(self._run_knn_batch,
+                                          max_batch=max_batch,
+                                          window_ms=batch_window_ms)
         handler = self._make_handler()
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.port = self.httpd.server_address[1]
         self._thread: threading.Thread | None = None
+
+    # -------------------------------------------------- knn micro-batching
+    def _run_knn_batch(self, items: list[tuple]) -> list:
+        """One device call for a coalesced batch of (query, k) items.
+
+        Queries group by k (usually one group); each group stacks into a
+        (B, d) matrix and runs the dispatched family's BATCH search, then
+        formats per query.
+        """
+        eng = self.engine
+        impl = eng.dispatch["knn"]
+        out: list = [None] * len(items)
+        groups: dict[int, list[int]] = {}
+        for j, (_q, k) in enumerate(items):
+            groups.setdefault(int(k), []).append(j)
+        with self._lock:
+            for k, idxs in groups.items():
+                q = np.stack([np.asarray(eng._query_matrix(items[j][0])[0])
+                              for j in idxs])
+                import jax.numpy as jnp
+                qj = jnp.asarray(q)
+                p = eng.params
+                if impl == "k_nearest_neighbour_pq":
+                    d, i = eng._require(eng.pq, "PQ").search(qj, k)
+                elif impl == "k_nearest_neighbour_pq_pv":
+                    d, i = eng._require(eng.pq, "PQ").search_pv(
+                        qj, k, p.pvf, eng.store.vectors_norm)
+                elif impl == "k_nearest_neighbour_ivfadc":
+                    d, i = eng._require(eng.ivfadc, "IVFADC").search_adaptive(
+                        qj, k, w=p.w)
+                elif impl == "k_nearest_neighbour_ivfadc_pv":
+                    d, i = eng._require(eng.ivfadc, "IVFADC").search_pv(
+                        qj, k, p.pvf, eng.store.vectors_norm, w=p.w)
+                else:  # exact default
+                    d, i = eng.exact.search(qj, k)
+                rows = eng._format_knn(d, i)
+                for j, r in zip(idxs, rows):
+                    out[j] = r
+        return out
 
     # ------------------------------------------------------------- control
     def start(self) -> "QueryServer":
@@ -75,12 +179,15 @@ class QueryServer:
     # ------------------------------------------------------------ dispatch
     def _handle(self, path: str, body: dict):
         eng = self.engine
+        if path == "/knn":
+            # micro-batched: coalesces concurrent single-query requests
+            # into one device call (takes the lock inside the batcher).
+            self._requests += 1
+            q = body.get("query")
+            q = q if isinstance(q, str) else np.asarray(q, np.float32)
+            return self._knn_batcher.submit((q, int(body.get("k", 5))))
         with self._lock:
             self._requests += 1
-            if path == "/knn":
-                q = body.get("query")
-                q = q if isinstance(q, str) else np.asarray(q, np.float32)
-                return eng.knn(q, int(body.get("k", 5)))
             if path == "/knn_in":
                 q = body.get("query")
                 q = q if isinstance(q, str) else np.asarray(q, np.float32)
@@ -132,6 +239,8 @@ class QueryServer:
             },
             "device": str(jax.devices()[0]),
             "requests": self._requests,
+            "knn_batched_calls": self._knn_batcher.batched_calls,
+            "knn_max_coalesced": self._knn_batcher.max_coalesced,
             "uptime_s": round(time.time() - self._started, 1),
         }
 

@@ -87,3 +87,40 @@ def test_target_count_eval(engine):
     assert len(out["predicted"]) == 2
     assert len(out["retrieved"]) == 2
     assert out["mean_abs_rel_divergence"] >= 0.0
+
+
+def test_time_measurement_cli_sweep_modes(tmp_path, capsys):
+    """The sizedependend and postverification CLI modes (reference
+    evaluation_utils.py:390-456) run end-to-end and report monotone-sane
+    sweeps."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]
+                           / "evaluation"))
+    import time_measurement as tm
+
+    cfg = tmp_path / "cfg.json"
+    base = {"synthetic": {"n": 800, "d": 24, "seed": 3},
+            "build": {"pq_m": 6, "pq_k": 16, "ivfadc_m": 6, "ivfadc_k": 16,
+                      "k_coarse": 10, "ivpq_m": 6, "ivpq_k": 8,
+                      "ivpq_k_coarse": 4, "train_size": None, "iters": 5},
+            "k": 3, "query_sample": 4, "resolution": 3, "basis": 50}
+
+    cfg.write_text(json.dumps({**base, "method": "sizedependend"}))
+    tm.main(str(cfg))
+    out = json.loads(capsys.readouterr().out)
+    assert len(out["sizes"]) == 3
+    for row in out["sizes"].values():
+        assert 0.0 <= row["precision"] <= 1.0
+        assert row["exact_mean_s"] > 0 and row["pq_mean_s"] > 0
+
+    cfg.write_text(json.dumps({**base, "method": "postverification"}))
+    tm.main(str(cfg))
+    out = json.loads(capsys.readouterr().out)
+    assert len(out["factors"]) == 3
+    precs = [row["k_nearest_neighbour_pq_pv"]["precision"]
+             for row in out["factors"].values()]
+    # precision should not degrade as the shortlist factor grows
+    assert precs[-1] >= precs[0] - 0.05

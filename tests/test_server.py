@@ -83,3 +83,34 @@ def test_error_paths(server):
     assert code == 400 and "KeyError" in out["error"]
     code, out = _post(server, "/config", {"set_bogus": 1})
     assert code == 404
+
+
+def test_knn_microbatching_coalesces(server):
+    """Concurrent /knn requests must coalesce into shared device calls and
+    all return correct results."""
+    import threading
+    from postgres_word2vec_tpu.server import QueryServer
+
+    srv = QueryServer(server.engine, port=0, batch_window_ms=60.0).start()
+    try:
+        results = [None] * 12
+
+        def one(j):
+            results[j] = _post(srv, "/knn", {"query": f"w{j}", "k": 3})
+
+        threads = [threading.Thread(target=one, args=(j,))
+                   for j in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for j, (code, r) in enumerate(results):
+            assert code == 200
+            assert r["result"][0][0] == f"w{j}"   # own nearest neighbor
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/health") as resp:
+            health = json.loads(resp.read())
+        assert health["knn_max_coalesced"] >= 2
+        assert health["knn_batched_calls"] < 12
+    finally:
+        srv.stop()
