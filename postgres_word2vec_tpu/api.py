@@ -90,6 +90,32 @@ class Freddy:
         self.statistics: dict[str, Array] = {}
         self.tracker = GLOBAL_TRACKER
         self.exact = ExactIndex(store.vectors_norm)
+        self.mesh = None          # set by enable_sharding()
+        self._shard: dict = {}
+
+    # ------------------------------------------------------------ sharding
+    def enable_sharding(self, mesh) -> None:
+        """Multi-chip mode: shard the vector table, PQ code table, and
+        IVFADC inverted lists across the mesh's "rows" axis and route the
+        query families through the collective search paths
+        (parallel/sharding.py). The reference has no distributed story
+        (SURVEY §2.5) — this is the TPU framework's scale-out axis.
+        """
+        from postgres_word2vec_tpu.parallel import sharding
+
+        rows = mesh.shape[sharding.ROWS_AXIS]
+        vpad, n_valid = sharding.pad_rows(self.store.vectors_norm, rows)
+        self._shard = {
+            "vectors": sharding.shard_rows(vpad, mesh),
+            "valid": n_valid,
+        }
+        if self.pq is not None:
+            cpad, _ = sharding.pad_rows(self.pq.codes, rows)
+            self._shard["pq_codes"] = sharding.shard_rows(cpad, mesh)
+        if self.ivfadc is not None:
+            self._shard["ivf_bundle"] = sharding.shard_ivfadc(self.ivfadc,
+                                                              mesh)
+        self.mesh = mesh
 
     # ------------------------------------------------------------- builders
     @classmethod
@@ -98,10 +124,13 @@ class Freddy:
               with_ivpq: bool = True, pq_m: int = 12, pq_k: int = 256,
               ivfadc_m: int = 12, ivfadc_k: int = 256, k_coarse: int = 1000,
               ivpq_m: int = 30, ivpq_k: int = 32, ivpq_k_coarse: int = 32,
-              train_size: int | None = 100_000, iters: int = 10) -> "Freddy":
+              train_size: int | None = 100_000, iters: int = 10,
+              mesh=None) -> "Freddy":
         """Train every requested index family on the store's normalized
         vectors (build drivers pq_index.py / ivfadc.py / ivpq.py parity;
-        hyperparameter defaults from index_creation/config/*.json)."""
+        hyperparameter defaults from index_creation/config/*.json).
+        ``mesh``: optional jax Mesh — the engine comes up in multi-chip
+        mode (see :meth:`enable_sharding`)."""
         key = jax.random.PRNGKey(seed)
         kp, ki, kv = jax.random.split(key, 3)
         vecs = store.vectors_norm
@@ -116,7 +145,10 @@ class Freddy:
         ivpq = IVPQIndex.build(
             kv, vecs, m=ivpq_m, k=ivpq_k, k_coarse=ivpq_k_coarse,
             train_size=eff_train, iters=iters) if with_ivpq else None
-        return cls(store, pq=pq, ivfadc=ivf, ivpq=ivpq)
+        eng = cls(store, pq=pq, ivfadc=ivf, ivpq=ivpq)
+        if mesh is not None:
+            eng.enable_sharding(mesh)
+        return eng
 
     # ----------------------------------------------------- config setters
     # (sql:21-75 — each one-liner regenerated a SQL getter; here they are
@@ -220,6 +252,16 @@ class Freddy:
         return [(q, w, s) for q, rows in zip(queries, per_query)
                 for (w, s) in rows]
 
+    def _pad_q(self, q: Array) -> tuple[Array, int]:
+        """Pad the query batch to a multiple of the mesh's q axis."""
+        from postgres_word2vec_tpu.parallel import sharding
+        qx = self.mesh.shape[sharding.Q_AXIS]
+        b = q.shape[0]
+        pad = (-b) % qx
+        if pad:
+            q = jnp.pad(q, ((0, pad), (0, 0)))
+        return q, b
+
     def _require(self, index, name: str):
         if index is None:
             raise RuntimeError(f"{name} index not built — pass it to the "
@@ -240,7 +282,15 @@ class Freddy:
         """Exact full-scan kNN (sql:426-454)."""
         q = self._query_matrix(query)
         with self.tracker.stage("total_time"):
-            d, i = self.exact.search(q, k)
+            if self.mesh is not None:
+                from postgres_word2vec_tpu.parallel import sharding
+                qp, b = self._pad_q(q)
+                d, i = sharding.sharded_exact_top_k(
+                    self.mesh, qp, self._shard["vectors"], k,
+                    valid_rows=self._shard["valid"])
+                d, i = d[:b], i[:b]
+            else:
+                d, i = self.exact.search(q, k)
         return self._format_knn(d, i)[0]
 
     def k_nearest_neighbour_pq(self, query, k: int) -> list[tuple]:
@@ -248,7 +298,18 @@ class Freddy:
         pq = self._require(self.pq, "PQ")
         q = self._query_matrix(query)
         with self.tracker.stage("total_time"):
-            d, i = pq.search(q, k)
+            if self.mesh is not None:
+                from postgres_word2vec_tpu.ops import lut as lut_mod
+                from postgres_word2vec_tpu.parallel import sharding
+                qp, b = self._pad_q(q)
+                luts = lut_mod.build_luts(pq._rotate(qp),
+                                          pq.codebook.centroids)
+                d, i = sharding.sharded_adc_top_k(
+                    self.mesh, luts, self._shard["pq_codes"], k,
+                    valid_rows=pq.size)
+                d, i = d[:b], i[:b]
+            else:
+                d, i = pq.search(q, k)
         return self._format_knn(d, i)[0]
 
     def k_nearest_neighbour_pq_pv(self, query, k: int) -> list[tuple]:
@@ -288,7 +349,15 @@ class Freddy:
         ivf = self._require(self.ivfadc, "IVFADC")
         q = self._query_matrix(list(queries))
         with self.tracker.stage("total_time"):
-            d, i = ivf.search_adaptive(q, k, w=self.params.w)
+            if self.mesh is not None:
+                from postgres_word2vec_tpu.parallel import sharding
+                qp, b = self._pad_q(q)
+                d, i = sharding.sharded_ivfadc_probe(
+                    self.mesh, qp, self._shard["ivf_bundle"],
+                    w=self.params.w, k=k)
+                d, i = d[:b], i[:b]
+            else:
+                d, i = ivf.search_adaptive(q, k, w=self.params.w)
         return self._format_join(list(queries), d, i)
 
     def knn_batch_exact(self, queries: Sequence[str], k: int) -> list[tuple]:
@@ -375,18 +444,31 @@ class Freddy:
                 tids, tmask = self._target_ids(targets)
             self.tracker.track("data_retrieval_time", 0.0)
             with self.tracker.stage("computation_time"):
-                d, i, info = ivpq.search_join(
-                    q, k, tids, target_mask=tmask,
-                    vectors=self.store.vectors_norm,
-                    statistics=self._active_statistics(),
-                    alpha=p.alpha, pvf=p.pvf, method=p.method,
-                    confidence=p.confidence,
-                    long_codes_threshold=p.long_codes_threshold,
-                    use_targetlists=p.use_targetlist, return_info=True)
-            for r in np.asarray(info["retrieved"]):
-                self.tracker.track("retrieved", float(r))
-            for t in np.asarray(info["target_count"]):
-                self.tracker.track("target_count", float(t))
+                if self.mesh is not None:
+                    from postgres_word2vec_tpu.parallel import sharding
+                    qp, b = self._pad_q(q)
+                    d, i = sharding.sharded_ivpq_join(
+                        self.mesh, ivpq, qp, k, tids, target_mask=tmask,
+                        vectors=self.store.vectors_norm,
+                        statistics=self._active_statistics(),
+                        alpha=p.alpha, pvf=p.pvf, method=p.method,
+                        confidence=p.confidence)
+                    d, i = d[:b], i[:b]
+                    info = None
+                else:
+                    d, i, info = ivpq.search_join(
+                        q, k, tids, target_mask=tmask,
+                        vectors=self.store.vectors_norm,
+                        statistics=self._active_statistics(),
+                        alpha=p.alpha, pvf=p.pvf, method=p.method,
+                        confidence=p.confidence,
+                        long_codes_threshold=p.long_codes_threshold,
+                        use_targetlists=p.use_targetlist, return_info=True)
+            if info is not None:
+                for r in np.asarray(info["retrieved"]):
+                    self.tracker.track("retrieved", float(r))
+                for t in np.asarray(info["target_count"]):
+                    self.tracker.track("target_count", float(t))
         return self._format_join(names, d, i)
 
     # ============================================================= analogy
@@ -711,7 +793,7 @@ class Freddy:
         (d / "engine.json").write_text(json.dumps(meta, indent=2))
 
     @classmethod
-    def load(cls, directory) -> "Freddy":
+    def load(cls, directory, *, mesh=None) -> "Freddy":
         import json
         from pathlib import Path
 
@@ -731,6 +813,8 @@ class Freddy:
         if stats_path.exists():
             with np.load(stats_path) as f:
                 eng.statistics = {k: jnp.asarray(f[k]) for k in f.files}
+        if mesh is not None:
+            eng.enable_sharding(mesh)
         return eng
 
     # ============================================================== insert

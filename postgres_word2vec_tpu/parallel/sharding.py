@@ -256,6 +256,66 @@ def sharded_ivpq_join_round(mesh: Mesh, queries: Array, coarse_cent: Array,
                target_vecs)
 
 
+def sharded_ivpq_join(mesh: Mesh, index, queries: Array, k: int,
+                      target_ids: Array, *,
+                      target_mask: Array | None = None,
+                      vectors: Array | None = None,
+                      statistics: Array | None = None,
+                      alpha: int = 3, pvf: int = 20, method: int = 0,
+                      confidence: float = 0.8,
+                      max_rounds: int = 4) -> tuple[Array, Array]:
+    """Multi-chip multi-round IVPQ kNN-join: targets sharded over "rows",
+    alpha-doubling escalation across rounds (the single-device
+    ``IVPQIndex._join_chunk`` loop, ivpq_search_in.c:639-684, over
+    :func:`sharded_ivpq_join_round`)."""
+    from postgres_word2vec_tpu.models import ivpq as ivpq_mod
+
+    if target_mask is None:
+        target_mask = jnp.ones(target_ids.shape, dtype=bool)
+    if statistics is None:
+        statistics = ivpq_mod.uniform_statistics(index.coarse.cell_counts)
+
+    rows = mesh.shape[ROWS_AXIS]
+    t_safe = jnp.maximum(target_ids, 0)
+    t_codes = jnp.take(index.codes, t_safe, axis=0)
+    t_cells = jnp.take(index.cell_of, t_safe)
+    t_vecs = (jnp.take(vectors, t_safe, axis=0) if vectors is not None
+              else jnp.zeros((target_ids.shape[0], queries.shape[1]),
+                             jnp.float32))
+    pad = (-target_ids.shape[0]) % rows
+    if pad:
+        target_ids = jnp.pad(target_ids, (0, pad))
+        target_mask = jnp.pad(target_mask, (0, pad))
+        t_codes = jnp.pad(t_codes, ((0, pad), (0, 0)))
+        t_cells = jnp.pad(t_cells, (0, pad))
+        t_vecs = jnp.pad(t_vecs, ((0, pad), (0, 0)))
+    args = [shard_rows(x, mesh) for x in
+            (t_codes, t_cells, target_ids, target_mask, t_vecs)]
+    cc = replicate(index.coarse.centroids, mesh)
+    cb = replicate(index.codebook.centroids, mesh)
+    stats = replicate(statistics, mesh)
+
+    cur_alpha = int(alpha)
+    vals, ids, retrieved = sharded_ivpq_join_round(
+        mesh, queries, cc, cb, args[0], args[1], args[2], args[3], stats,
+        args[4], k=k, alpha=cur_alpha, pvf=pvf, method=method,
+        confidence=confidence)
+    resolved = retrieved >= k
+    for _ in range(max_rounds - 1):
+        if bool(jnp.all(resolved)):
+            break
+        cur_alpha += cur_alpha
+        v2, i2, retrieved = sharded_ivpq_join_round(
+            mesh, queries, cc, cb, args[0], args[1], args[2], args[3],
+            stats, args[4], k=k, alpha=cur_alpha, pvf=pvf, method=method,
+            confidence=confidence)
+        upd = ~resolved
+        vals = jnp.where(upd[:, None], v2, vals)
+        ids = jnp.where(upd[:, None], i2, ids)
+        resolved = resolved | (retrieved >= k)
+    return vals, ids
+
+
 def shard_ivfadc(index, mesh: Mesh):
     """Partition an IVFADCIndex's inverted lists across the rows axis.
 

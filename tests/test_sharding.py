@@ -181,3 +181,44 @@ def test_sharded_ivfadc_matches_single_device(mesh, rng):
     # distances identical; id sets must match (ties may reorder)
     for a, b in zip(np.asarray(i1), np.asarray(i2)):
         assert set(a.tolist()) == set(b.tolist())
+
+
+def test_engine_sharded_mode_parity(mesh, rng):
+    """Freddy.enable_sharding must route knn / pq / join / batch through
+    the collective paths with results matching single-device."""
+    from postgres_word2vec_tpu import Freddy, VectorStore
+
+    n = 1600  # divisible by rows=4
+    v = rng.normal(size=(n, 16)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    words = [f"w{i}" for i in range(n)]
+    store = VectorStore.from_arrays(words, v, normalized=True)
+    eng = Freddy.build(store, seed=0, pq_m=4, pq_k=8, ivfadc_m=4,
+                       ivfadc_k=8, k_coarse=8, ivpq_m=4, ivpq_k=8,
+                       ivpq_k_coarse=4, train_size=None, iters=4)
+    eng.set_knn_join_function("knn_in_ivpq_batch")
+    targets = list(range(800))
+
+    base_knn = eng.knn("w5", 4)
+    base_pq = eng.k_nearest_neighbour_pq("w5", 4)
+    base_join = eng.knn_join(["w0", "w1", "w2"], 3, targets)
+
+    eng.enable_sharding(mesh)
+    assert eng.mesh is mesh
+    shard_knn = eng.knn("w5", 4)
+    shard_pq = eng.k_nearest_neighbour_pq("w5", 4)
+    shard_join = eng.knn_join(["w0", "w1", "w2"], 3, targets)
+    shard_batch = eng.knn_batch(["w0", "w1", "w2"], 3)
+
+    assert [w for w, _ in shard_knn] == [w for w, _ in base_knn]
+    assert {w for w, _ in shard_pq} == {w for w, _ in base_pq}
+
+    def by_query(rows_):
+        g = {}
+        for q_, w_, _s in rows_:
+            g.setdefault(q_, set()).add(w_)
+        return g
+
+    assert by_query(shard_join) == by_query(base_join)
+    assert len(shard_batch) == 9
+    assert all(w in store.word_to_id for _q, w, _s in shard_batch)
