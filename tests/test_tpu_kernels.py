@@ -1,0 +1,169 @@
+"""Compiled Pallas kernels vs XLA reference paths on the REAL chip.
+
+Round-1 gap: the Pallas kernels were only ever exercised in interpret mode
+(CPU conftest); the compiled TPU lowerings ran solely inside bench. These
+tests run the actual Mosaic-compiled kernels and compare against the XLA
+paths, including block-boundary shapes.
+
+Run with:  PW2V_TPU_TESTS=1 python -m pytest tests/test_tpu_kernels.py -q
+(auto-skipped in the regular CPU suite).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+@pytest.fixture(scope="module")
+def pk():
+    from postgres_word2vec_tpu.ops import pallas_kernels as pk
+    assert pk.supports_pallas(), "these tests need the TPU backend"
+    return pk
+
+
+@pytest.mark.parametrize("t", [2048, 4096, 6144])   # block multiples
+def test_adc_scan_compiled_matches_xla(pk, rng, t):
+    from postgres_word2vec_tpu.ops import adc
+
+    B, m, k = 16, 12, 256
+    codes = rng.integers(0, k, size=(t, m)).astype(np.int32)
+    luts = rng.normal(size=(B, m, k)).astype(np.float32)
+    want = np.asarray(adc.adc_distances(jnp.asarray(luts),
+                                        jnp.asarray(codes)))
+    got = np.asarray(pk.adc_scan_pallas(jnp.asarray(luts),
+                                        jnp.asarray(codes.T),
+                                        block_n=2048))
+    # bf16 LUT: |err| ≤ m · ulp(bf16) · |lut| ≈ 0.05 at these magnitudes
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=6e-2)
+
+
+@pytest.mark.parametrize("t_real", [2047, 2048, 2049])  # boundary shapes
+def test_adc_distances_auto_boundary(pk, rng, t_real):
+    """adc_distances_auto pads ragged row counts to the kernel block and
+    slices back — boundary shapes must match the XLA path exactly."""
+    from postgres_word2vec_tpu.ops import adc
+
+    B, m, k = 8, 6, 32
+    codes = rng.integers(0, k, size=(t_real, m)).astype(np.int32)
+    luts = rng.normal(size=(B, m, k)).astype(np.float32)
+    want = np.asarray(adc.adc_distances(jnp.asarray(luts),
+                                        jnp.asarray(codes)))
+    got = np.asarray(adc.adc_distances_auto(jnp.asarray(luts),
+                                            jnp.asarray(codes), True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_adc_scan_binned_compiled(pk, rng):
+    from postgres_word2vec_tpu.ops import adc
+
+    B, m, k, t = 8, 12, 256, 4096
+    codes = rng.integers(0, k, size=(t, m)).astype(np.int32)
+    luts = rng.normal(size=(B, m, k)).astype(np.float32) ** 2
+    dense = np.asarray(adc.adc_distances(jnp.asarray(luts),
+                                         jnp.asarray(codes)))
+    mins, ids = pk.adc_scan_binned_pallas(jnp.asarray(luts),
+                                          jnp.asarray(codes.T),
+                                          block_n=2048, bins=128)
+    mins, ids = np.asarray(mins), np.asarray(ids)
+    # every reported min is the dense value at its reported id
+    np.testing.assert_allclose(np.take_along_axis(dense, ids, axis=-1),
+                               mins, rtol=2e-2, atol=2e-2)
+    # strided-bin partition: the global min survives in some bin
+    np.testing.assert_allclose(mins.min(-1), dense.min(-1), rtol=2e-2,
+                               atol=2e-2)
+
+
+def test_fused_exact_scan_compiled(pk, rng):
+    B, d, n = 16, 300, 16384
+    v = rng.normal(size=(n, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    q = v[:B]
+    tiled, norms, valid = pk.tile_table(jnp.asarray(v), block_n=8192)
+    d5, i5 = pk.fused_exact_top_k(jnp.asarray(q), tiled, norms, 5,
+                                  valid_n=valid)
+    dists_true = ((q[:, None, :] - v[None]) ** 2).sum(-1)
+    want = np.sort(dists_true, -1)[:, :5]
+    # bf16 table: compare distances loosely, top-1 must be the query itself
+    assert (np.asarray(i5)[:, 0] == np.arange(B)).all()
+    np.testing.assert_allclose(np.asarray(d5), want, atol=5e-2)
+
+
+def test_budget_adc_compiled_matches_xla(pk, rng):
+    from postgres_word2vec_tpu.ops import adc
+
+    B, m, k, block_t = 12, 12, 256, 256
+    nt = 7
+    na = (nt + 1) * block_t
+    codes_rows = rng.integers(0, k, size=(na, m)).astype(np.int32)
+    rowterm = rng.normal(size=(na,)).astype(np.float32)
+    rowterm[3 * block_t + 77:4 * block_t] = np.inf   # intra-tile padding
+    rowterm[nt * block_t:] = np.inf                  # inf tile
+    luts = rng.normal(size=(B, m, k)).astype(np.float32)
+    tiles = rng.integers(0, nt, size=(B, 5)).astype(np.int32)
+    tiles[0, -1] = nt  # unused slot
+
+    want = np.asarray(adc.budget_adc_xla(
+        jnp.asarray(luts), jnp.asarray(codes_rows), jnp.asarray(rowterm),
+        jnp.asarray(tiles), block_t=block_t))
+    got = np.asarray(pk.budget_adc_pallas(
+        jnp.asarray(luts), jnp.asarray(codes_rows.T), jnp.asarray(rowterm),
+        jnp.asarray(tiles), block_t=block_t))
+    fin = np.isfinite(want)
+    np.testing.assert_array_equal(np.isfinite(got), fin)
+    np.testing.assert_allclose(got[fin], want[fin], rtol=2e-2, atol=2e-2)
+
+
+def test_budget_exact_compiled_matches_xla(pk, rng):
+    from postgres_word2vec_tpu.ops import adc
+
+    B, d, block_t = 10, 300, 256
+    nt = 5
+    na = (nt + 1) * block_t
+    vecs = rng.normal(size=(na, d)).astype(np.float32)
+    rownorm = (vecs ** 2).sum(-1).astype(np.float32)
+    rownorm[nt * block_t:] = np.inf
+    queries = rng.normal(size=(B, d)).astype(np.float32)
+    tiles = rng.integers(0, nt, size=(B, 4)).astype(np.int32)
+
+    want = np.asarray(adc.budget_exact_xla(
+        jnp.asarray(queries), jnp.asarray(vecs), jnp.asarray(rownorm),
+        jnp.asarray(tiles), block_t=block_t))
+    got = np.asarray(pk.budget_exact_pallas(
+        jnp.asarray(queries), jnp.asarray(vecs.T), jnp.asarray(rownorm),
+        jnp.asarray(tiles), block_t=block_t))
+    fin = np.isfinite(want)
+    np.testing.assert_array_equal(np.isfinite(got), fin)
+    # bf16 q·v cross term
+    np.testing.assert_allclose(got[fin], want[fin], rtol=3e-2, atol=0.3)
+
+
+def test_ivfadc_tiled_probe_compiled_end_to_end(pk, rng):
+    """Full IVFADC budget probe (cell selection + Pallas kernel + top-k) on
+    the chip vs the XLA path."""
+    from postgres_word2vec_tpu.models import ivfadc as ivf_mod
+    from postgres_word2vec_tpu.models.ivfadc import IVFADCIndex
+
+    v = rng.normal(size=(6000, 24)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    idx = IVFADCIndex.build(jax.random.PRNGKey(1), jnp.asarray(v), m=6,
+                            k=16, k_coarse=20, train_size=None, iters=6)
+    t = idx.tiled(block_t=256)
+    q = jnp.asarray(v[:8])
+    p = idx._auto_budget(3, None, full=True)
+    d_tpu, i_tpu, f_tpu, _ = ivf_mod._ivfadc_probe_budget(
+        q, idx.coarse.centroids, idx.codebook.centroids, t, w_lo=0, w_hi=3,
+        k=5, p_budget=p, block_t=t.block_t, use_pallas=True)
+    d_xla, i_xla, f_xla, _ = ivf_mod._ivfadc_probe_budget(
+        q, idx.coarse.centroids, idx.codebook.centroids, t, w_lo=0, w_hi=3,
+        k=5, p_budget=p, block_t=t.block_t, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(f_tpu), np.asarray(f_xla))
+    np.testing.assert_allclose(np.asarray(d_tpu), np.asarray(d_xla),
+                               rtol=2e-2, atol=2e-2)
+    overlap = np.mean([len(set(a.tolist()) & set(b.tolist())) / 5
+                       for a, b in zip(np.asarray(i_tpu),
+                                       np.asarray(i_xla))])
+    assert overlap >= 0.9  # bf16 LUT may flip exact near-ties
