@@ -30,10 +30,22 @@ def engine_from_config(cfg: Configuration) -> Freddy:
     else:
         syn = cfg.get_value_or("synthetic",
                                {"n": 20000, "d": 300, "seed": 0})
-        rng = np.random.default_rng(syn.get("seed", 0))
-        vecs = rng.normal(size=(syn["n"], syn["d"])).astype(np.float32)
-        words = [f"word{i}" for i in range(syn["n"])]
-        store = VectorStore.from_arrays(words, vecs)
+        if syn.get("generator") == "wordlike":
+            # the calibrated GoogleNews-like generator (the bench dataset).
+            import jax
+
+            from postgres_word2vec_tpu.evaluation import synth
+            vecs = np.asarray(synth.generate_wordlike(
+                jax.random.PRNGKey(syn.get("seed", 0)), syn["n"],
+                syn.get("d", 300)))
+            store = VectorStore.from_arrays(
+                [f"word{i}" for i in range(syn["n"])], vecs,
+                normalized=True)
+        else:
+            rng = np.random.default_rng(syn.get("seed", 0))
+            vecs = rng.normal(size=(syn["n"], syn["d"])).astype(np.float32)
+            words = [f"word{i}" for i in range(syn["n"])]
+            store = VectorStore.from_arrays(words, vecs)
 
     build = cfg.get_value_or("build", {})
     indexes = {}
@@ -55,8 +67,15 @@ def engine_from_config(cfg: Configuration) -> Freddy:
         k_coarse=build.get("k_coarse", 1000),
         ivpq_m=build.get("ivpq_m", 30), ivpq_k=build.get("ivpq_k", 32),
         ivpq_k_coarse=build.get("ivpq_k_coarse", 32),
+        ivpq_coarse_positions=build.get("ivpq_coarse_positions", 2),
         train_size=build.get("train_size", 100_000),
-        iters=build.get("iters", 10))
+        iters=build.get("iters", 10),
+        init=build.get("init", "sample"),
+        restarts=build.get("restarts", 1),
+        opq_iters=build.get("opq_iters", 0),
+        with_pq=build.get("with_pq", True),
+        with_ivfadc=build.get("with_ivfadc", True),
+        with_ivpq=build.get("with_ivpq", True))
     for fam, idx in indexes.items():
         setattr(eng, fam, idx)
     return eng

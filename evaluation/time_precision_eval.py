@@ -34,6 +34,11 @@ def main(config_path: str) -> None:
                            cfg.get_value_or("seed", 0))
     targets = sample_words(eng, cfg.get_value_or("target_sample", 10_000),
                            cfg.get_value_or("seed", 0) + 1)
+    if cfg.get_value_or("statistics_domain", False):
+        # per-cell frequency statistics over the target domain — the
+        # reference's create_statistics + set_statistics_table setup
+        # (freddy--0.0.1.sql:150-186) its figure ran with.
+        eng.create_statistics("targets", targets)
 
     records = time_precision_sweep(
         eng, queries, k, targets,

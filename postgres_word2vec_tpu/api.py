@@ -124,27 +124,38 @@ class Freddy:
               with_ivpq: bool = True, pq_m: int = 12, pq_k: int = 256,
               ivfadc_m: int = 12, ivfadc_k: int = 256, k_coarse: int = 1000,
               ivpq_m: int = 30, ivpq_k: int = 32, ivpq_k_coarse: int = 32,
+              ivpq_coarse_positions: int = 2,
               train_size: int | None = 100_000, iters: int = 10,
-              mesh=None) -> "Freddy":
+              init: str = "sample", restarts: int = 1,
+              opq_iters: int = 0, mesh=None) -> "Freddy":
         """Train every requested index family on the store's normalized
         vectors (build drivers pq_index.py / ivfadc.py / ivpq.py parity;
         hyperparameter defaults from index_creation/config/*.json).
-        ``mesh``: optional jax Mesh — the engine comes up in multi-chip
-        mode (see :meth:`enable_sharding`)."""
+
+        Quality knobs beyond the reference: ``init``/``restarts`` (k-means
+        quality), ``opq_iters`` (OPQ rotation for the PQ family),
+        ``ivpq_coarse_positions=1`` (flat coarse quantizer — the
+        reference's non-USE_MULTI_COARSE variant, far better cell locality
+        on TPU). ``mesh``: optional jax Mesh — the engine comes up in
+        multi-chip mode (see :meth:`enable_sharding`)."""
         key = jax.random.PRNGKey(seed)
         kp, ki, kv = jax.random.split(key, 3)
         vecs = store.vectors_norm
         n = vecs.shape[0]
         eff_train = None if train_size is None else min(train_size, n)
         pq = PQIndex.build(kp, vecs, m=pq_m, k=pq_k, train_size=eff_train,
-                           iters=iters) if with_pq else None
+                           iters=iters, init=init, restarts=restarts,
+                           opq_iters=opq_iters) if with_pq else None
         ivf = IVFADCIndex.build(
             ki, vecs, m=ivfadc_m, k=ivfadc_k,
             k_coarse=min(k_coarse, max(n // 2, 1)), train_size=eff_train,
-            iters=iters) if with_ivfadc else None
+            iters=iters, init=init,
+            restarts=restarts) if with_ivfadc else None
         ivpq = IVPQIndex.build(
             kv, vecs, m=ivpq_m, k=ivpq_k, k_coarse=ivpq_k_coarse,
-            train_size=eff_train, iters=iters) if with_ivpq else None
+            coarse_positions=ivpq_coarse_positions,
+            train_size=eff_train, iters=iters, init=init,
+            restarts=restarts) if with_ivpq else None
         eng = cls(store, pq=pq, ivfadc=ivf, ivpq=ivpq)
         if mesh is not None:
             eng.enable_sharding(mesh)
@@ -403,6 +414,26 @@ class Freddy:
         """Generic kNN-join façade (sql:248-266) → [(query, target, sim)]."""
         return getattr(self, self.dispatch["knn_join"])(queries, k, targets)
 
+    def _chunked_q(self, q: Array, fn, chunk: int = 1024):
+        """Run a (B, d)-batched search in fixed-size query chunks (padded,
+        so every chunk reuses one compiled program) — bounds the (B, T)
+        intermediates at large join shapes."""
+        B = q.shape[0]
+        if B <= chunk:
+            return fn(q)
+        outs_d, outs_i = [], []
+        for s in range(0, B, chunk):
+            qc = q[s:s + chunk]
+            pad = chunk - qc.shape[0] if s > 0 else 0
+            if pad:
+                qc = jnp.pad(qc, ((0, pad), (0, 0)))
+            d, i = fn(qc)
+            if pad:
+                d, i = d[:-pad], i[:-pad]
+            outs_d.append(d)
+            outs_i.append(i)
+        return jnp.concatenate(outs_d, 0), jnp.concatenate(outs_i, 0)
+
     def knn_search_in_batch(self, queries: Sequence[str], k: int,
                             targets) -> list[tuple]:
         """Exact kNN-join (sql:456-501) — one batched masked matmul instead
@@ -410,7 +441,8 @@ class Freddy:
         q = self._query_matrix(list(queries))
         tids, tmask = self._target_ids(targets)
         with self.tracker.stage("total_time"):
-            d, i = self.exact.search_in(q, k, tids, tmask)
+            d, i = self._chunked_q(
+                q, lambda qc: self.exact.search_in(qc, k, tids, tmask))
         return self._format_join(list(queries), d, i)
 
     def knn_in_pq_batch(self, queries: Sequence[str], k: int,
@@ -420,7 +452,8 @@ class Freddy:
         q = self._query_matrix(list(queries))
         tids, tmask = self._target_ids(targets)
         with self.tracker.stage("total_time"):
-            d, i = pq.search_in(q, k, tids, tmask)
+            d, i = self._chunked_q(
+                q, lambda qc: pq.search_in(qc, k, tids, tmask), chunk=512)
         return self._format_join(list(queries), d, i)
 
     def knn_in_ivpq_batch(self, queries, k: int, targets) -> list[tuple]:
