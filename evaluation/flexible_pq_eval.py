@@ -34,12 +34,16 @@ def main(config_path: str) -> None:
         eng.set_alpha(max(1, len(targets) // (2 * k)))  # ref: size/(2k)
         exact = get_exact_results(eng, queries, k, targets)
         rec = {"targets": len(targets), "alpha": eng.params.alpha}
+        num_iters = cfg.get_value_or("num_iters", 1)  # ref: num_iters
         for label, threshold in (("long_codes", 1e7), ("short_codes", 0.0)):
             eng.set_long_codes_threshold(threshold)
-            t0 = time.perf_counter()
-            rows = eng.knn_in_ivpq_batch(queries, k, targets)
+            times = []
+            for _ in range(num_iters):
+                t0 = time.perf_counter()
+                rows = eng.knn_in_ivpq_batch(queries, k, targets)
+                times.append(time.perf_counter() - t0)
             rec[label] = {
-                "time_s": time.perf_counter() - t0,
+                "time_s": min(times), "times_s": times,
                 "precision": calculate_precision(rows, exact)}
         out.append(rec)
     eng.set_long_codes_threshold(1e7)
