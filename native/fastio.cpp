@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <string>
 #include <fcntl.h>
 #include <sys/mman.h>
 #include <sys/stat.h>
@@ -83,19 +84,28 @@ inline float parse_float(const char*& p, const char* end) {
   if (!any || (p < end && (*p == 'x' || *p == 'X'))) {
     // strtof on the raw mmap region could scan past a mapping that ends
     // exactly at a page boundary (SIGBUS) — copy the token into a
-    // NUL-terminated stack buffer first.
+    // NUL-terminated buffer first. Tokens longer than the stack buffer
+    // (pathological but legal) heap-copy instead of truncating: a
+    // truncated parse would leave p mid-token and silently shift every
+    // following column.
     char buf[64];
     const char* tend = start;
     while (tend < end && *tend != ' ' && *tend != '\t' && *tend != '\n' &&
            *tend != '\r')
       ++tend;
     size_t len = static_cast<size_t>(tend - start);
-    if (len >= sizeof(buf)) len = sizeof(buf) - 1;
-    std::memcpy(buf, start, len);
-    buf[len] = '\0';
+    char* tok = buf;
+    std::string heap;
+    if (len >= sizeof(buf)) {
+      heap.assign(start, len);
+      tok = heap.data();
+    } else {
+      std::memcpy(buf, start, len);
+      buf[len] = '\0';
+    }
     char* q = nullptr;
-    float v = std::strtof(buf, &q);
-    p = start + (q - buf);
+    float v = std::strtof(tok, &q);
+    p = start + (q - tok);
     return v;
   }
   if (p < end && (*p == 'e' || *p == 'E')) {

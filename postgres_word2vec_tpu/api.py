@@ -289,64 +289,94 @@ class Freddy:
         """Generic kNN façade (sql:204-214) → [(word, similarity), …]."""
         return getattr(self, self.dispatch["knn"])(query, k)
 
+    # Per-family batched cores: (B, d) query matrix → (dists, ids), with
+    # mesh-sharded routing where a collective path exists. The single-query
+    # façades and the server's /knn micro-batcher (which coalesces many
+    # clients into one matrix) both run through these.
+    def _exact_knn_core(self, q: Array, k: int) -> tuple[Array, Array]:
+        if self.mesh is not None:
+            from postgres_word2vec_tpu.parallel import sharding
+            qp, b = self._pad_q(q)
+            d, i = sharding.sharded_exact_top_k(
+                self.mesh, qp, self._shard["vectors"], k,
+                valid_rows=self._shard["valid"])
+            return d[:b], i[:b]
+        return self.exact.search(q, k)
+
+    def _pq_knn_core(self, q: Array, k: int) -> tuple[Array, Array]:
+        pq = self._require(self.pq, "PQ")
+        if self.mesh is not None:
+            from postgres_word2vec_tpu.ops import lut as lut_mod
+            from postgres_word2vec_tpu.parallel import sharding
+            qp, b = self._pad_q(q)
+            luts = lut_mod.build_luts(pq._rotate(qp),
+                                      pq.codebook.centroids)
+            d, i = sharding.sharded_adc_top_k(
+                self.mesh, luts, self._shard["pq_codes"], k,
+                valid_rows=pq.size)
+            return d[:b], i[:b]
+        return pq.search(q, k)
+
+    def _pq_pv_knn_core(self, q: Array, k: int) -> tuple[Array, Array]:
+        pq = self._require(self.pq, "PQ")
+        return pq.search_pv(q, k, self.params.pvf, self.store.vectors_norm)
+
+    def _ivfadc_knn_core(self, q: Array, k: int) -> tuple[Array, Array]:
+        ivf = self._require(self.ivfadc, "IVFADC")
+        return ivf.search_adaptive(q, k, w=self.params.w)
+
+    def _ivfadc_pv_knn_core(self, q: Array, k: int) -> tuple[Array, Array]:
+        ivf = self._require(self.ivfadc, "IVFADC")
+        return ivf.search_pv(q, k, self.params.pvf,
+                             self.store.vectors_norm, w=self.params.w)
+
+    _KNN_CORES = {
+        "k_nearest_neighbour": "_exact_knn_core",
+        "k_nearest_neighbour_pq": "_pq_knn_core",
+        "k_nearest_neighbour_pq_pv": "_pq_pv_knn_core",
+        "k_nearest_neighbour_ivfadc": "_ivfadc_knn_core",
+        "k_nearest_neighbour_ivfadc_pv": "_ivfadc_pv_knn_core",
+    }
+
+    def knn_matrix(self, q: Array, k: int) -> tuple[Array, Array]:
+        """Batched kNN over a prepared (B, d) matrix, honoring the
+        ``dispatch['knn']`` family (incl. mesh-sharded routing)."""
+        impl = self.dispatch["knn"]
+        return getattr(self, self._KNN_CORES[impl])(q, k)
+
     def k_nearest_neighbour(self, query, k: int) -> list[tuple]:
         """Exact full-scan kNN (sql:426-454)."""
         q = self._query_matrix(query)
         with self.tracker.stage("total_time"):
-            if self.mesh is not None:
-                from postgres_word2vec_tpu.parallel import sharding
-                qp, b = self._pad_q(q)
-                d, i = sharding.sharded_exact_top_k(
-                    self.mesh, qp, self._shard["vectors"], k,
-                    valid_rows=self._shard["valid"])
-                d, i = d[:b], i[:b]
-            else:
-                d, i = self.exact.search(q, k)
+            d, i = self._exact_knn_core(q, k)
         return self._format_knn(d, i)[0]
 
     def k_nearest_neighbour_pq(self, query, k: int) -> list[tuple]:
         """PQ ADC kNN (sql:593-622 → pq_search)."""
-        pq = self._require(self.pq, "PQ")
         q = self._query_matrix(query)
         with self.tracker.stage("total_time"):
-            if self.mesh is not None:
-                from postgres_word2vec_tpu.ops import lut as lut_mod
-                from postgres_word2vec_tpu.parallel import sharding
-                qp, b = self._pad_q(q)
-                luts = lut_mod.build_luts(pq._rotate(qp),
-                                          pq.codebook.centroids)
-                d, i = sharding.sharded_adc_top_k(
-                    self.mesh, luts, self._shard["pq_codes"], k,
-                    valid_rows=pq.size)
-                d, i = d[:b], i[:b]
-            else:
-                d, i = pq.search(q, k)
+            d, i = self._pq_knn_core(q, k)
         return self._format_knn(d, i)[0]
 
     def k_nearest_neighbour_pq_pv(self, query, k: int) -> list[tuple]:
         """PQ + post-verification (sql:625-662)."""
-        pq = self._require(self.pq, "PQ")
         q = self._query_matrix(query)
         with self.tracker.stage("total_time"):
-            d, i = pq.search_pv(q, k, self.params.pvf,
-                                self.store.vectors_norm)
+            d, i = self._pq_pv_knn_core(q, k)
         return self._format_knn(d, i)[0]
 
     def k_nearest_neighbour_ivfadc(self, query, k: int) -> list[tuple]:
         """IVFADC kNN with widening semantics (sql:503-532 → ivfadc_search)."""
-        ivf = self._require(self.ivfadc, "IVFADC")
         q = self._query_matrix(query)
         with self.tracker.stage("total_time"):
-            d, i = ivf.search_adaptive(q, k, w=self.params.w)
+            d, i = self._ivfadc_knn_core(q, k)
         return self._format_knn(d, i)[0]
 
     def k_nearest_neighbour_ivfadc_pv(self, query, k: int) -> list[tuple]:
         """IVFADC + post-verification (sql:556-591)."""
-        ivf = self._require(self.ivfadc, "IVFADC")
         q = self._query_matrix(query)
         with self.tracker.stage("total_time"):
-            d, i = ivf.search_pv(q, k, self.params.pvf,
-                                 self.store.vectors_norm, w=self.params.w)
+            d, i = self._ivfadc_pv_knn_core(q, k)
         return self._format_knn(d, i)[0]
 
     # ------------------------------------------------------------- batches
@@ -857,9 +887,11 @@ class Freddy:
         built index's codebooks incrementally (running-mean k-means step).
         Returns the number of inserted terms."""
         new_words, norm_rows, raw_rows = [], [], []
+        seen: set[str] = set()
         for term in terms:
-            if term in self.store or term in new_words:
+            if term in self.store or term in seen:
                 continue  # freddy.c:1498-1514 skips existing words
+            seen.add(term)
             v_norm = self.tokenize(term)
             if v_norm is None:
                 continue  # every word OOV → NULL vector in the reference
@@ -878,6 +910,11 @@ class Freddy:
             self.ivfadc = self.ivfadc.add(norm_new)
         if self.ivpq is not None:
             self.ivpq = self.ivpq.add(norm_new)
+        if self.mesh is not None:
+            # refresh the sharded snapshots — otherwise mesh-mode searches
+            # serve the pre-insert tables (and the PQ path's valid_rows,
+            # which tracks pq.size, would unmask padding rows).
+            self.enable_sharding(self.mesh)
         return len(new_words)
 
 

@@ -211,20 +211,22 @@ def _ivfadc_probe_budget(queries: Array, coarse: Array, centroids: Array,
 @functools.partial(jax.jit, static_argnames=("w_lo", "w_hi", "k"))
 def _tail_scan(queries: Array, coarse: Array, centroids: Array,
                tail_codes: Array, tail_cells: Array, tail_ids: Array,
-               tail_count: Array, w_lo: int, w_hi: int, k: int
-               ) -> tuple[Array, Array, Array]:
+               tail_rowterm: Array, tail_count: Array, w_lo: int, w_hi: int,
+               k: int) -> tuple[Array, Array, Array]:
     """Scan the LSM insert tail against each query's probed-cell window
     [w_lo, w_hi): dense residual ADC over the (small) slab, masked to rows
-    whose cell the query probes. Returns (vals, ids, rows_seen)."""
+    whose cell the query probes. Returns (vals, ids, rows_seen).
+
+    ``tail_rowterm`` is maintained incrementally by ``add()`` (recomputing
+    the (C, m, k) einsum per search call was the dominant tail cost)."""
     cap = tail_codes.shape[0]
     cd = kmeans.pairwise_sqdist(queries, coarse)
     _, cells = topk_ops.top_k_smallest(cd, w_hi)
     cells = cells[:, w_lo:]
     luts = lut.build_luts(queries, centroids)
-    rt = _compute_rowterm(coarse, centroids, tail_cells, tail_codes)
     d = adc.adc_distances(luts, tail_codes)                  # (B, cap)
     qq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1)
-    dist = (d + rt[None, :] + jnp.take(cd, tail_cells, axis=1)
+    dist = (d + tail_rowterm[None, :] + jnp.take(cd, tail_cells, axis=1)
             - qq[:, None])
     probed = jnp.any(tail_cells[None, :, None] == cells[:, None, :],
                      axis=-1)
@@ -298,6 +300,7 @@ class IVFADCIndex:
     tail_codes: Array | None = None   # (TAIL_CAP, m)
     tail_cells: Array | None = None   # (TAIL_CAP,)
     tail_ids: Array | None = None     # (TAIL_CAP,)
+    tail_rowterm: Array | None = None  # (TAIL_CAP,) f32, kept by add()
     tail_count: int = 0
 
     _tiled: TiledIVF | None = dataclasses.field(default=None, repr=False,
@@ -458,7 +461,7 @@ class IVFADCIndex:
             tv, ti, tf = _tail_scan(
                 queries, self.coarse.centroids, self.codebook.centroids,
                 self.tail_codes, self.tail_cells, self.tail_ids,
-                jnp.int32(self.tail_count), w_lo=0, w_hi=w_eff, k=k)
+                self.tail_rowterm, jnp.int32(self.tail_count), w_lo=0, w_hi=w_eff, k=k)
             vals, ids = topk_ops.merge_top_k_smallest(vals, ids, tv, ti, k)
             found = found + tf
             needed = needed + tf
@@ -494,7 +497,7 @@ class IVFADCIndex:
             tv, ti, tf = _tail_scan(
                 queries, self.coarse.centroids, self.codebook.centroids,
                 self.tail_codes, self.tail_cells, self.tail_ids,
-                jnp.int32(self.tail_count), w_lo=0, w_hi=w_hi, k=k)
+                self.tail_rowterm, jnp.int32(self.tail_count), w_lo=0, w_hi=w_hi, k=k)
             vals, ids = topk_ops.merge_top_k_smallest(vals, ids, tv, ti, k)
             total_found = total_found + tf
         for _ in range(max_rounds - 1):
@@ -513,7 +516,7 @@ class IVFADCIndex:
                 tv, ti, tf = _tail_scan(
                     queries, self.coarse.centroids, self.codebook.centroids,
                     self.tail_codes, self.tail_cells, self.tail_ids,
-                    jnp.int32(self.tail_count), w_lo=w_lo, w_hi=w_hi, k=k)
+                    self.tail_rowterm, jnp.int32(self.tail_count), w_lo=w_lo, w_hi=w_hi, k=k)
                 vals, ids = topk_ops.merge_top_k_smallest(vals, ids, tv, ti,
                                                           k)
                 total_found = total_found + tf
@@ -576,17 +579,23 @@ class IVFADCIndex:
                    else jnp.zeros((self.TAIL_CAP,), jnp.int32))
         t_ids = (self.tail_ids if self.tail_ids is not None
                  else jnp.full((self.TAIL_CAP,), -1, jnp.int32))
+        t_rt = (self.tail_rowterm if self.tail_rowterm is not None
+                else jnp.zeros((self.TAIL_CAP,), jnp.float32))
+        rt_new = _compute_rowterm(self.coarse.centroids, cb.centroids,
+                                  a_new, new_codes)
         t_codes = lax.dynamic_update_slice(t_codes, new_codes,
                                            (self.tail_count, 0))
         t_cells = lax.dynamic_update_slice(t_cells, a_new,
                                            (self.tail_count,))
         t_ids = lax.dynamic_update_slice(t_ids, new_ids, (self.tail_count,))
+        t_rt = lax.dynamic_update_slice(t_rt, rt_new, (self.tail_count,))
         return IVFADCIndex(
             coarse=coarse2, codebook=cb, cell_offsets=self.cell_offsets,
             codes_sorted=self.codes_sorted, row_ids=self.row_ids,
             assignments=self.assignments, list_cap=self.list_cap,
             tail_codes=t_codes, tail_cells=t_cells, tail_ids=t_ids,
-            tail_count=self.tail_count + m_new, _tiled=self._tiled)
+            tail_rowterm=t_rt, tail_count=self.tail_count + m_new,
+            _tiled=self._tiled)
 
     def flush(self) -> "IVFADCIndex":
         """Merge the insert tail into the CSR (no-op when empty)."""

@@ -93,8 +93,14 @@ class _MicroBatcher:
             try:
                 results = self._fn([s["item"] for s in batch])
                 for s, r in zip(batch, results):
-                    s["result"] = r
-            except Exception as e:  # noqa: BLE001 — propagate per item
+                    # fn may return an Exception per slot (item-level
+                    # failure — e.g. one unknown word must not 400 every
+                    # request coalesced into the same batch).
+                    if isinstance(r, Exception):
+                        s["error"] = r
+                    else:
+                        s["result"] = r
+            except Exception as e:  # noqa: BLE001 — batch-level failure
                 for s in batch:
                     s["error"] = e
             self.batched_calls += 1
@@ -126,35 +132,28 @@ class QueryServer:
         """One device call for a coalesced batch of (query, k) items.
 
         Queries group by k (usually one group); each group stacks into a
-        (B, d) matrix and runs the dispatched family's BATCH search, then
-        formats per query.
+        (B, d) matrix and runs through ``Freddy.knn_matrix`` — the engine's
+        own dispatched batch path (incl. mesh-sharded routing) — then
+        formats per query. A bad item (unknown word, malformed vector)
+        fails only its own slot, not the whole coalesced batch.
         """
+        import jax.numpy as jnp
+
         eng = self.engine
-        impl = eng.dispatch["knn"]
         out: list = [None] * len(items)
         groups: dict[int, list[int]] = {}
-        for j, (_q, k) in enumerate(items):
+        rows_by_item: dict[int, np.ndarray] = {}
+        for j, (query, k) in enumerate(items):
+            try:
+                rows_by_item[j] = np.asarray(eng._query_matrix(query)[0])
+            except Exception as e:  # noqa: BLE001 — isolate per item
+                out[j] = e
+                continue
             groups.setdefault(int(k), []).append(j)
         with self._lock:
             for k, idxs in groups.items():
-                q = np.stack([np.asarray(eng._query_matrix(items[j][0])[0])
-                              for j in idxs])
-                import jax.numpy as jnp
-                qj = jnp.asarray(q)
-                p = eng.params
-                if impl == "k_nearest_neighbour_pq":
-                    d, i = eng._require(eng.pq, "PQ").search(qj, k)
-                elif impl == "k_nearest_neighbour_pq_pv":
-                    d, i = eng._require(eng.pq, "PQ").search_pv(
-                        qj, k, p.pvf, eng.store.vectors_norm)
-                elif impl == "k_nearest_neighbour_ivfadc":
-                    d, i = eng._require(eng.ivfadc, "IVFADC").search_adaptive(
-                        qj, k, w=p.w)
-                elif impl == "k_nearest_neighbour_ivfadc_pv":
-                    d, i = eng._require(eng.ivfadc, "IVFADC").search_pv(
-                        qj, k, p.pvf, eng.store.vectors_norm, w=p.w)
-                else:  # exact default
-                    d, i = eng.exact.search(qj, k)
+                qj = jnp.asarray(np.stack([rows_by_item[j] for j in idxs]))
+                d, i = eng.knn_matrix(qj, k)
                 rows = eng._format_knn(d, i)
                 for j, r in zip(idxs, rows):
                     out[j] = r
@@ -182,7 +181,8 @@ class QueryServer:
         if path == "/knn":
             # micro-batched: coalesces concurrent single-query requests
             # into one device call (takes the lock inside the batcher).
-            self._requests += 1
+            with self._lock:
+                self._requests += 1
             q = body.get("query")
             q = q if isinstance(q, str) else np.asarray(q, np.float32)
             return self._knn_batcher.submit((q, int(body.get("k", 5))))

@@ -114,3 +114,52 @@ def test_knn_microbatching_coalesces(server):
         assert health["knn_batched_calls"] < 12
     finally:
         srv.stop()
+
+
+def test_knn_microbatch_isolates_bad_items(server):
+    """One unknown word in a coalesced batch must fail ONLY its own
+    request — concurrent valid queries still get 200s (round-2 review)."""
+    import threading
+    from postgres_word2vec_tpu.server import QueryServer
+
+    srv = QueryServer(server.engine, port=0, batch_window_ms=60.0).start()
+    try:
+        results = [None] * 6
+
+        def one(j):
+            q = "definitely_not_a_word" if j == 2 else f"w{j}"
+            results[j] = _post(srv, "/knn", {"query": q, "k": 3})
+
+        threads = [threading.Thread(target=one, args=(j,))
+                   for j in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for j, (code, r) in enumerate(results):
+            if j == 2:
+                assert code == 400 and "KeyError" in r["error"]
+            else:
+                assert code == 200
+                assert r["result"][0][0] == f"w{j}"
+    finally:
+        srv.stop()
+
+
+def test_knn_microbatch_honors_dispatch(server):
+    """The micro-batched /knn must run the dispatched family, not a
+    hardcoded exact fallback (round-2 review)."""
+    eng = server.engine
+    old = eng.dispatch["knn"]
+    try:
+        eng.set_knn_function("k_nearest_neighbour_pq_pv")
+        code, out = _post(server, "/knn", {"query": "w10", "k": 3})
+        assert code == 200
+        assert out["result"][0][0] == "w10"
+        # unknown-to-the-batcher dispatch values must raise, not silently
+        # degrade to exact
+        eng.dispatch["knn"] = "bogus_impl"
+        with pytest.raises(KeyError):
+            eng.knn_matrix(eng.store.vectors_norm[:1], 2)
+    finally:
+        eng.dispatch["knn"] = old

@@ -222,3 +222,22 @@ def test_engine_sharded_mode_parity(mesh, rng):
     assert by_query(shard_join) == by_query(base_join)
     assert len(shard_batch) == 9
     assert all(w in store.word_to_id for _q, w, _s in shard_batch)
+
+
+def test_engine_sharded_insert_refreshes_shards(mesh, rng):
+    """insert_batch under mesh mode must refresh the sharded snapshots —
+    a stale table would never return the new word and the PQ path's grown
+    valid_rows would unmask padding rows (round-2 review)."""
+    from postgres_word2vec_tpu import Freddy, VectorStore
+
+    v = rng.normal(size=(320, 16)).astype("float32")
+    words = [f"w{i}" for i in range(320)]
+    store = VectorStore.from_arrays(words, v)
+    eng = Freddy.build(store, seed=0, pq_m=4, pq_k=8, with_ivfadc=False,
+                       with_ivpq=False, train_size=None, iters=4)
+    eng.enable_sharding(mesh)
+    assert eng.insert_batch(["w3 w7"]) == 1
+    knn = eng.knn("w3 w7", 3)
+    assert knn[0][0] == "w3 w7"          # finds itself through the mesh path
+    pq_rows = eng.k_nearest_neighbour_pq("w3 w7", 3)
+    assert all(w in eng.store.word_to_id for w, _ in pq_rows)

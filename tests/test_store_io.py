@@ -74,3 +74,19 @@ def test_store_save_load_extend(sample, tmp_path):
     assert s3.size == 51 and s3.get_id("new1") == 50
     with pytest.raises(ValueError):
         s3.extend(["tok0"], vecs[:1])
+
+
+def test_native_long_slowpath_token(sample, tmp_path):
+    """A >63-char slow-path token (hex float) must parse whole — a
+    truncated strtof would silently shift every later column (round-2
+    review of the SIGBUS guard)."""
+    longtok = "0x1." + "0" * 70 + "p0"   # == 1.0, forces the strtof path
+    p = tmp_path / "long.txt"
+    p.write_text("2 3\n" f"w0 {longtok} 2.0 3.0\n" "w1 4.0 5.0 6.0\n")
+    try:
+        s = VectorStore.from_text_file(p, use_native=True)
+    except OSError:
+        pytest.skip("native fastio unavailable")
+    np.testing.assert_allclose(np.asarray(s.vectors),
+                               [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]],
+                               atol=1e-6)
