@@ -430,21 +430,29 @@ def _ivpq_round_budget(queries: Array, coarse_centroids: Array,
                        target_vecs: Array, statistics: Array, k: int,
                        alpha: int, pvf: int, method: int, confidence: Array,
                        use_double: bool, p_budget: int, block_t: int,
-                       use_pallas: bool
+                       use_pallas: bool,
+                       t_real_override: Array | None = None,
+                       cell_counts_override: Array | None = None
                        ) -> tuple[Array, Array, Array, Array, Array]:
     """One selectivity-proportional probe round: scans only the tiles of
     each query's selected cells (budget ``p_budget`` tiles/query).
 
     Same return contract as ``_ivpq_round`` but ids are TARGET-LOCAL;
     ``retrieved`` counts rows actually scanned so truncated queries are
-    never wrongly retired.
+    never wrongly retired. The overrides replicate cell selection across
+    target shards (each shard's tiles cover a partial target set, but the
+    probe-prefix decision must use GLOBAL counts — see
+    ``parallel.sharding.sharded_ivpq_join_round_budget``).
     """
     from postgres_word2vec_tpu.models.ivfadc import plan_probe_tiles
 
     B = queries.shape[0]
     num_cells = statistics.shape[0] - 1
+    sel_counts = (jt.cell_sizes if cell_counts_override is None
+                  else cell_counts_override)
+    sel_t_real = jt.t_real if t_real_override is None else t_real_override
     order, n_sel, exhausted, predicted, retrieved_sel = _select_cells(
-        queries, coarse_centroids, statistics, jt.cell_sizes, jt.t_real,
+        queries, coarse_centroids, statistics, sel_counts, sel_t_real,
         k, alpha, confidence)
 
     rank_lt = (jnp.arange(num_cells, dtype=jnp.int32)[None, :]

@@ -263,17 +263,51 @@ def sharded_ivpq_join(mesh: Mesh, index, queries: Array, k: int,
                       statistics: Array | None = None,
                       alpha: int = 3, pvf: int = 20, method: int = 0,
                       confidence: float = 0.8,
-                      max_rounds: int = 4) -> tuple[Array, Array]:
+                      max_rounds: int = 4,
+                      impl: str = "dense") -> tuple[Array, Array]:
     """Multi-chip multi-round IVPQ kNN-join: targets sharded over "rows",
     alpha-doubling escalation across rounds (the single-device
     ``IVPQIndex._join_chunk`` loop, ivpq_search_in.c:639-684, over
-    :func:`sharded_ivpq_join_round`)."""
+    :func:`sharded_ivpq_join_round`).
+
+    ``impl="budget"`` probes with the selectivity-proportional tiled layout
+    (:func:`sharded_ivpq_join_round_budget`) — per-shard cost tracks each
+    query's probed rows; ``"dense"`` scans every shard's full slice and
+    masks."""
     from postgres_word2vec_tpu.models import ivpq as ivpq_mod
 
     if target_mask is None:
         target_mask = jnp.ones(target_ids.shape, dtype=bool)
     if statistics is None:
         statistics = ivpq_mod.uniform_statistics(index.coarse.cell_counts)
+
+    if impl == "budget":
+        t_vecs = (jnp.take(vectors, jnp.maximum(target_ids, 0), axis=0)
+                  if vectors is not None
+                  else jnp.zeros((target_ids.shape[0], queries.shape[1]),
+                                 jnp.float32))
+        bundle = shard_join_tiles(index, target_ids, target_mask, t_vecs,
+                                  mesh, with_vecs=method == 1)
+        cc = replicate(index.coarse.centroids, mesh)
+        cb = replicate(index.codebook.centroids, mesh)
+        stats = replicate(statistics, mesh)
+        cur_alpha = int(alpha)
+        vals, ids, retrieved = sharded_ivpq_join_round_budget(
+            mesh, queries, cc, cb, bundle, stats, k=k, alpha=cur_alpha,
+            pvf=pvf, method=method, confidence=confidence)
+        resolved = retrieved >= k
+        for _ in range(max_rounds - 1):
+            if bool(jnp.all(resolved)):
+                break
+            cur_alpha += cur_alpha
+            v2, i2, retrieved = sharded_ivpq_join_round_budget(
+                mesh, queries, cc, cb, bundle, stats, k=k, alpha=cur_alpha,
+                pvf=pvf, method=method, confidence=confidence)
+            upd = ~resolved
+            vals = jnp.where(upd[:, None], v2, vals)
+            ids = jnp.where(upd[:, None], i2, ids)
+            resolved = resolved | (retrieved >= k)
+        return vals, ids
 
     rows = mesh.shape[ROWS_AXIS]
     t_safe = jnp.maximum(target_ids, 0)
@@ -314,6 +348,113 @@ def sharded_ivpq_join(mesh: Mesh, index, queries: Array, k: int,
         ids = jnp.where(upd[:, None], i2, ids)
         resolved = resolved | (retrieved >= k)
     return vals, ids
+
+
+def shard_join_tiles(index, target_ids: Array, target_mask: Array,
+                     target_vecs: Array, mesh: Mesh, *,
+                     block_t: int = 128, with_vecs: bool = False) -> dict:
+    """Build per-shard cell-aligned join tiles for the budget IVPQ join.
+
+    Targets split into ``rows`` equal contiguous slices (padded, pad rows
+    masked); each slice gets its own :class:`models.ivpq.JoinTiles` layout
+    (equal static shapes across shards since the slices are equal), and the
+    leaves stack on a leading shard axis sharded over "rows" — the join-time
+    analog of :func:`shard_ivfadc`'s host-side repack.
+    """
+    from postgres_word2vec_tpu.models import ivpq as ivpq_mod
+
+    n_shards = mesh.shape[ROWS_AXIS]
+    t = target_ids.shape[0]
+    pad = (-t) % n_shards
+    t_safe = jnp.maximum(target_ids, 0)
+    t_codes = jnp.take(index.codes, t_safe, axis=0)
+    t_cells = jnp.take(index.cell_of, t_safe)
+    if pad:
+        target_ids = jnp.pad(target_ids, (0, pad))
+        target_mask = jnp.pad(target_mask, (0, pad))
+        t_codes = jnp.pad(t_codes, ((0, pad), (0, 0)))
+        t_cells = jnp.pad(t_cells, (0, pad))
+        target_vecs = jnp.pad(target_vecs, ((0, pad), (0, 0)))
+    per = (t + pad) // n_shards
+
+    leaves: list = []
+    for s in range(n_shards):
+        sl = slice(s * per, (s + 1) * per)
+        jt = ivpq_mod.build_join_tiles(
+            t_codes[sl], t_cells[sl], target_mask[sl], target_vecs[sl],
+            block_t=block_t, num_cells=index.num_cells, with_vecs=with_vecs)
+        leaves.append(jt)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *leaves)
+
+    def put(x):
+        return jax.device_put(x, NamedSharding(mesh, P(ROWS_AXIS)))
+
+    na = int(leaves[0].codes_t.shape[1])
+    return {
+        "jt": jax.tree.map(put, stacked),
+        "t_ids": put(target_ids.reshape(n_shards, per)),
+        "t_vecs": put(target_vecs.reshape(n_shards, per, -1)),
+        "block_t": block_t,
+        "inf_tile": na // block_t - 1,
+        "n_tiles": na // block_t,
+        "per_shard": per,
+    }
+
+
+def sharded_ivpq_join_round_budget(mesh: Mesh, queries: Array,
+                                   coarse_cent: Array, codebook_cent: Array,
+                                   bundle: dict, statistics: Array, *,
+                                   k: int, alpha: int, pvf: int = 20,
+                                   method: int = 0, confidence: float = 0.8,
+                                   p_budget: int | None = None
+                                   ) -> tuple[Array, Array, Array]:
+    """Selectivity-proportional multi-chip IVPQ join round: each shard
+    probes only the tiles of each query's selected cells within its target
+    slice (``models.ivpq._ivpq_round_budget``), with the probe-prefix
+    decision replicated via ``psum``'d GLOBAL cell counts; k candidates per
+    shard merge with one all_gather. Cost per shard tracks the shard's
+    share of the probed rows instead of its full dense slice
+    (:func:`sharded_ivpq_join_round`'s layout).
+    """
+    from postgres_word2vec_tpu.models import ivpq as ivpq_mod
+    from postgres_word2vec_tpu.ops import pallas_kernels as pk
+
+    block_t = bundle["block_t"]
+    n_rows = mesh.shape[ROWS_AXIS]
+    if p_budget is None:
+        want = max(8, (2 * k * alpha) // (block_t * n_rows) + 4)
+        p_budget = min(1 << int(np.ceil(np.log2(want))),
+                       max(bundle["n_tiles"] - 1, 1))
+    use_pallas = pk.supports_pallas()
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(Q_AXIS), P(), P(),
+                  jax.tree.map(lambda _: P(ROWS_AXIS), bundle["jt"]),
+                  P(ROWS_AXIS), P(ROWS_AXIS), P()),
+        out_specs=(P(Q_AXIS), P(Q_AXIS), P(Q_AXIS)), check_vma=False)
+    def run(q, cc, cb, jt_stack, t_ids, t_vecs, stats):
+        jt = jax.tree.map(lambda x: x[0], jt_stack)
+        # restore the static ints the stacking turned into arrays
+        jt = jt._replace(block_t=block_t, inf_tile=bundle["inf_tile"])
+        t_real = lax.psum(jt.t_real, ROWS_AXIS)
+        global_counts = lax.psum(jt.cell_sizes, ROWS_AXIS)
+        vals, lids, found, _, _ = ivpq_mod._ivpq_round_budget(
+            q, cc, cb, jt, t_vecs[0], stats, k, alpha, pvf, method,
+            jnp.float32(confidence), use_double=False, p_budget=p_budget,
+            block_t=block_t, use_pallas=use_pallas,
+            t_real_override=t_real, cell_counts_override=global_counts)
+        ids = jnp.where(lids >= 0,
+                        jnp.take(t_ids[0], jnp.maximum(lids, 0)),
+                        -1).astype(jnp.int32)
+        all_vals = lax.all_gather(vals, ROWS_AXIS, axis=1, tiled=True)
+        all_ids = lax.all_gather(ids, ROWS_AXIS, axis=1, tiled=True)
+        neg, pos = lax.top_k(-all_vals, k)
+        merged_ids = jnp.take_along_axis(all_ids, pos, axis=-1)
+        return -neg, merged_ids, lax.psum(found, ROWS_AXIS)
+
+    return run(queries, coarse_cent, codebook_cent, bundle["jt"],
+               bundle["t_ids"], bundle["t_vecs"], statistics)
 
 
 def shard_ivfadc(index, mesh: Mesh):

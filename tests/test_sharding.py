@@ -241,3 +241,35 @@ def test_engine_sharded_insert_refreshes_shards(mesh, rng):
     assert knn[0][0] == "w3 w7"          # finds itself through the mesh path
     pq_rows = eng.k_nearest_neighbour_pq("w3 w7", 3)
     assert all(w in eng.store.word_to_id for w, _ in pq_rows)
+
+
+def test_sharded_budget_join_matches_dense(mesh, rng):
+    """The selectivity-proportional sharded join (tiled budget probe per
+    target shard, global-count cell selection via psum) must reproduce the
+    dense sharded round's results."""
+    import jax
+    from postgres_word2vec_tpu.models import ivpq as ivpq_mod
+    from postgres_word2vec_tpu.models.ivpq import IVPQIndex
+
+    v = rng.normal(size=(2000, 16)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    idx = IVPQIndex.build(jax.random.PRNGKey(2), jnp.asarray(v), m=4, k=8,
+                          k_coarse=4, train_size=None, iters=5)
+    stats = ivpq_mod.uniform_statistics(idx.coarse.cell_counts)
+    t = 800
+    tids = jnp.arange(500, 500 + t, dtype=jnp.int32)
+    q = jnp.asarray(v[:8])
+
+    for method, vectors in ((0, None), (2, jnp.asarray(v))):
+        vd, idd = sharding.sharded_ivpq_join(
+            mesh, idx, q, 5, tids, vectors=vectors, statistics=stats,
+            alpha=50, pvf=10, method=method, confidence=0.8, impl="dense")
+        vb, idb = sharding.sharded_ivpq_join(
+            mesh, idx, q, 5, tids, vectors=vectors, statistics=stats,
+            alpha=50, pvf=10, method=method, confidence=0.8, impl="budget")
+        np.testing.assert_allclose(np.asarray(vb), np.asarray(vd),
+                                   rtol=1e-4, atol=1e-5)
+        # ids may tie-swap only where distances tie; require same id SETS
+        for b in range(8):
+            assert set(np.asarray(idb)[b].tolist()) \
+                == set(np.asarray(idd)[b].tolist()), (method, b)
