@@ -204,6 +204,17 @@ def main():
             add(f"pq_pv_{pvf}", ids5, ids, per_query_ms=t / B * 1e3,
                 batch=B, ref_s=1.29, ref_recall=0.87,
                 note=f"pallas ADC + exact re-rank pvf={pvf}")
+
+        # throughput-shaped point: B=256 fills the kernel's 128-row sublane
+        # tiles and amortizes the code stream (B=64 above is the
+        # reference's batch shape; see reports/ROOFLINE.md).
+        B2 = 256
+        t, _ = timeit(lambda q: pq.search(q, K), V[:B2])
+        _, ids = pq.search(queries_eval, K)
+        _, ids5 = pq.search(queries_eval, 5)
+        add("pq_scan_b256", ids5, ids, per_query_ms=t / B2 * 1e3, batch=B2,
+            ref_s=1.06, ref_recall=0.38,
+            note="same kernel at batch 256 (throughput shape)")
         del pq
     except Exception as e:  # pragma: no cover
         log(f"pq bench failed: {e!r}")
