@@ -247,6 +247,34 @@ def main():
 
     log_mem("pq_opq")
 
+    # ---------------------- 4-bit PQ (Quick-ADC regime, arXiv:1704.07355)
+    # More subquantizers × fewer centroids at similar code budget: the
+    # grouped one-hot kernel fuses 128/k subspaces per MXU matmul, so the
+    # small-k regime runs at full contraction depth (reports/ROOFLINE.md).
+    try:
+        t0 = time.perf_counter()
+        pq = PQIndex.build(jax.random.PRNGKey(1), V, m=60, k=16, **BUILD)
+        pq.transposed_codes()
+        log(f"PQ 60x16 built in {time.perf_counter() - t0:.1f}s")
+        B = 256
+        t, _ = timeit(lambda q: pq.search(q, K), V[:B])
+        _, ids = pq.search(queries_eval, K)
+        _, ids5 = pq.search(queries_eval, 5)
+        add("pq4bit_scan", ids5, ids, per_query_ms=t / B * 1e3, batch=B,
+            ref_s=1.06, ref_recall=0.38,
+            note="60x16 4-bit codes, grouped one-hot Pallas scan")
+        t, _ = timeit(lambda q: pq.search_pv(q, K, 20, V), V[:B])
+        _, ids = pq.search_pv(queries_eval, K, 20, V)
+        _, ids5 = pq.search_pv(queries_eval, 5, 20, V)
+        add("pq4bit_pv_20", ids5, ids, per_query_ms=t / B * 1e3, batch=B,
+            ref_s=1.29, ref_recall=0.87,
+            note="60x16 ADC + exact re-rank pvf=20")
+        del pq
+    except Exception as e:  # pragma: no cover
+        log(f"pq4bit bench failed: {e!r}")
+
+    log_mem("pq4bit")
+
     # ------------------------------- PQ k=1024 (the README.md:125 regime)
     try:
         t0 = time.perf_counter()

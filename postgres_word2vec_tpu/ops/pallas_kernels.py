@@ -33,20 +33,45 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _adc_kernel(codes_ref, luts_ref, out_ref, *, m: int, k: int,
+def _group_size(m: int, k: int) -> int:
+    """Subspaces fused per one-hot matmul: small-k codebooks (k < 128,
+    e.g. the 4-bit Quick-ADC regime or IVPQ's k=32 fine codebook) leave the
+    MXU's 128-deep contraction mostly idle, so ``g = 128 // k`` subspaces
+    stack into one (g·k, block_n) one-hot with g ones per column — the ADC
+    sum over the group in a single full-depth matmul (g× fewer, g× deeper
+    matmuls; the compare count is unchanged)."""
+    if k >= 128 or 128 % k != 0:
+        return 1
+    return min(128 // k, m)
+
+
+def _group_onehot(codes_ref, jg: int, g: int, k: int, block_n: int):
+    """One-hot for subspace group ``jg``: rows ``j·k + codes[j]`` are 1 for
+    each of the group's g subspaces → (g·k, block_n) bf16."""
+    cj = codes_ref[pl.ds(jg * g, g), :]                       # (g, block_n)
+    off = lax.broadcasted_iota(jnp.int32, (g, block_n), 0) * k
+    target = cj + off                                         # (g, block_n)
+    # row r of the fused one-hot compares against target[r // k]: a
+    # lane-preserving broadcast-reshape expands the targets k-fold.
+    expanded = jnp.broadcast_to(target[:, None, :],
+                                (g, k, block_n)).reshape(g * k, block_n)
+    iota = lax.broadcasted_iota(jnp.int32, (g * k, block_n), 0)
+    return (iota == expanded).astype(jnp.bfloat16)
+
+
+def _adc_kernel(codes_ref, luts_ref, out_ref, *, m: int, k: int, g: int,
                 block_n: int):
     """One grid step: distances for a ``(B, block_n)`` output tile.
 
-    codes_ref: (m, block_n) int32 (pre-widened codes, transposed layout)
-    luts_ref:  (m, B, k) bf16
+    codes_ref: (m, block_n) int32 (pre-widened codes, transposed layout;
+               m padded to a multiple of g with zero-LUT subspaces)
+    luts_ref:  (m//g, B, g·k) bf16 (group-fused layout)
     out_ref:   (B, block_n) f32
     """
-    iota = lax.broadcasted_iota(jnp.int32, (k, block_n), 0)
     acc = jnp.zeros(out_ref.shape, jnp.float32)
-    for j in range(m):
-        cj = codes_ref[j, :]                                  # (block_n,)
-        onehot = (iota == cj[None, :]).astype(jnp.bfloat16)   # (k, block_n)
-        acc += jnp.dot(luts_ref[j], onehot,
+    for jg in range(m // g):
+        onehot = _group_onehot(codes_ref, jg, g, k, block_n)
+        acc += jnp.dot(luts_ref[jg], onehot,
                        preferred_element_type=jnp.float32)    # (B, block_n)
     out_ref[:] = acc
 
@@ -68,21 +93,31 @@ def adc_scan_pallas(luts: Array, codes_t: Array, *, block_n: int = 2048,
         raise ValueError(f"N={n} not a multiple of block_n={block_n}")
     bb = min(block_b, _round_up(B, 8))
     pad_b = (-B) % bb
+    g = _group_size(m, k)
+    pad_m = (-m) % g
     # bf16 LUT halves MXU cost; distances are ~unit scale so the mantissa
     # loss is far below PQ quantization error.
-    luts_in = jnp.moveaxis(luts, 0, 1).astype(jnp.bfloat16)   # (B, ...)→
-    if pad_b:
-        luts_in = jnp.pad(luts_in, ((0, 0), (0, pad_b), (0, 0)))
+    luts_in = luts.astype(jnp.bfloat16)
     codes_in = codes_t.astype(jnp.int32)
+    if pad_m:
+        # zero-LUT padding subspaces contribute nothing to the ADC sum.
+        luts_in = jnp.pad(luts_in, ((0, 0), (0, pad_m), (0, 0)))
+        codes_in = jnp.pad(codes_in, ((0, pad_m), (0, 0)))
+    mp = m + pad_m
+    if pad_b:
+        luts_in = jnp.pad(luts_in, ((0, pad_b), (0, 0), (0, 0)))
+    # group-fused LUT layout: (B, m, k) → (m/g, B, g·k).
+    luts_in = jnp.moveaxis(
+        luts_in.reshape(B + pad_b, mp // g, g * k), 0, 1)
 
     grid = ((B + pad_b) // bb, n // block_n)
     out = pl.pallas_call(
-        functools.partial(_adc_kernel, m=m, k=k, block_n=block_n),
+        functools.partial(_adc_kernel, m=mp, k=k, g=g, block_n=block_n),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((m, block_n), lambda b, i: (0, i),
+            pl.BlockSpec((mp, block_n), lambda b, i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, bb, k), lambda b, i: (0, b, 0),
+            pl.BlockSpec((mp // g, bb, g * k), lambda b, i: (0, b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bb, block_n), lambda b, i: (b, i),
@@ -98,7 +133,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _adc_binned_kernel(codes_ref, luts_ref, mins_ref, args_ref, *, m: int,
-                       k: int, block_n: int, bins: int):
+                       k: int, g: int, block_n: int, bins: int):
     """ADC + fused binned min-reduction: per (B, block_n) tile emit only the
     per-bin minimum and its argmin — (B, bins) instead of (B, block_n).
 
@@ -106,12 +141,10 @@ def _adc_binned_kernel(codes_ref, luts_ref, mins_ref, args_ref, *, m: int,
     top-k costs ~35 ms at 64×3M; reducing in VMEM cuts the kernel output to
     ~6 MB and makes the scan compute-bound.
     """
-    iota = lax.broadcasted_iota(jnp.int32, (k, block_n), 0)
     acc = jnp.zeros((luts_ref.shape[1], block_n), jnp.float32)
-    for j in range(m):
-        cj = codes_ref[j, :]
-        onehot = (iota == cj[None, :]).astype(jnp.bfloat16)
-        acc += jnp.dot(luts_ref[j], onehot,
+    for jg in range(m // g):
+        onehot = _group_onehot(codes_ref, jg, g, k, block_n)
+        acc += jnp.dot(luts_ref[jg], onehot,
                        preferred_element_type=jnp.float32)
     bb = acc.shape[0]
     # Lane-preserving reshape (last dim stays the 128-lane tile): bins are
@@ -142,23 +175,31 @@ def adc_scan_binned_pallas(luts: Array, codes_t: Array, *,
         raise ValueError(f"N={n} not a multiple of block_n={block_n}")
     bb = min(block_b, _round_up(B, 8))
     pad_b = (-B) % bb
-    luts_in = jnp.moveaxis(luts, 0, 1).astype(jnp.bfloat16)
-    if pad_b:
-        luts_in = jnp.pad(luts_in, ((0, 0), (0, pad_b), (0, 0)))
+    g = _group_size(m, k)
+    pad_m = (-m) % g
+    luts_in = luts.astype(jnp.bfloat16)
     codes_in = codes_t.astype(jnp.int32)
+    if pad_m:
+        luts_in = jnp.pad(luts_in, ((0, 0), (0, pad_m), (0, 0)))
+        codes_in = jnp.pad(codes_in, ((0, pad_m), (0, 0)))
+    mp = m + pad_m
+    if pad_b:
+        luts_in = jnp.pad(luts_in, ((0, pad_b), (0, 0), (0, 0)))
+    luts_in = jnp.moveaxis(
+        luts_in.reshape(B + pad_b, mp // g, g * k), 0, 1)
     n_tiles = n // block_n
 
     if bins % 128 != 0:
         raise ValueError("bins must be a multiple of 128 (output lane tile)")
     grid = ((B + pad_b) // bb, n_tiles)
     mins, args = pl.pallas_call(
-        functools.partial(_adc_binned_kernel, m=m, k=k, block_n=block_n,
-                          bins=bins),
+        functools.partial(_adc_binned_kernel, m=mp, k=k, g=g,
+                          block_n=block_n, bins=bins),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((m, block_n), lambda b, i: (0, i),
+            pl.BlockSpec((mp, block_n), lambda b, i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, bb, k), lambda b, i: (0, b, 0),
+            pl.BlockSpec((mp // g, bb, g * k), lambda b, i: (0, b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -315,7 +356,7 @@ def fused_exact_top_k(queries: Array, table_t: Array, norms: Array, k: int,
 
 
 def _budget_adc_kernel(tiles_ref, codes_ref, rt_ref, luts_ref, out_ref, *,
-                       m: int, k: int, block_t: int):
+                       m: int, k: int, g: int, block_t: int):
     """One grid step: ADC distances for one (query, tile-slot) pair.
 
     The grid is (B/8, P, 8): eight queries share one (8, block_t) output
@@ -324,16 +365,14 @@ def _budget_adc_kernel(tiles_ref, codes_ref, rt_ref, luts_ref, out_ref, *,
 
     codes_ref: (m, block_t) int32 — the tile selected by this slot's tile id
     rt_ref:    (1, block_t) f32 — query-independent row term (+inf padding)
-    luts_ref:  (1, m, k) bf16 — this query's LUT
+    luts_ref:  (1, m//g, g·k) bf16 — this query's group-fused LUT
     out_ref:   (8, block_t) f32 — lut-sum + rowterm, one row per query
     """
     qs = pl.program_id(2)
-    iota = lax.broadcasted_iota(jnp.int32, (k, block_t), 0)
     acc = jnp.zeros((1, block_t), jnp.float32)
-    for j in range(m):
-        cj = codes_ref[j, :]
-        onehot = (iota == cj[None, :]).astype(jnp.bfloat16)
-        acc += jnp.dot(luts_ref[0, j][None, :], onehot,
+    for jg in range(m // g):
+        onehot = _group_onehot(codes_ref, jg, g, k, block_t)
+        acc += jnp.dot(luts_ref[0, jg][None, :], onehot,
                        preferred_element_type=jnp.float32)
     out_ref[pl.ds(qs, 1), :] = acc + rt_ref[:]
 
@@ -367,12 +406,20 @@ def budget_adc_pallas(luts: Array, codes_t: Array, rowterm: Array,
     P = tiles.shape[1]
     inf_tile = na // block_t - 1
     pad_b = (-B) % 8
+    grp = _group_size(m, k)
+    pad_m = (-m) % grp
     luts_in = luts.astype(jnp.bfloat16)
+    codes_in = codes_t.astype(jnp.int32)
+    if pad_m:
+        luts_in = jnp.pad(luts_in, ((0, 0), (0, pad_m), (0, 0)))
+        codes_in = jnp.pad(codes_in, ((0, pad_m), (0, 0)))
+    mp = m + pad_m
     tiles_in = tiles.astype(jnp.int32)
     if pad_b:
         luts_in = jnp.pad(luts_in, ((0, pad_b), (0, 0), (0, 0)))
         tiles_in = jnp.pad(tiles_in, ((0, pad_b), (0, 0)),
                            constant_values=inf_tile)
+    luts_in = luts_in.reshape(B + pad_b, mp // grp, grp * k)
     b8 = (B + pad_b) // 8
     rt = rowterm.reshape(1, na).astype(jnp.float32)
 
@@ -380,21 +427,23 @@ def budget_adc_pallas(luts: Array, codes_t: Array, rowterm: Array,
         num_scalar_prefetch=1,
         grid=(b8, P, 8),
         in_specs=[
-            pl.BlockSpec((m, block_t),
+            pl.BlockSpec((mp, block_t),
                          lambda g, p, q, t: (0, t[g * 8 + q, p])),
             pl.BlockSpec((1, block_t),
                          lambda g, p, q, t: (0, t[g * 8 + q, p])),
-            pl.BlockSpec((1, m, k), lambda g, p, q, t: (g * 8 + q, 0, 0)),
+            pl.BlockSpec((1, mp // grp, grp * k),
+                         lambda g, p, q, t: (g * 8 + q, 0, 0)),
         ],
         out_specs=pl.BlockSpec((8, block_t), lambda g, p, q, t: (g, p)),
     )
     out = pl.pallas_call(
-        functools.partial(_budget_adc_kernel, m=m, k=k, block_t=block_t),
+        functools.partial(_budget_adc_kernel, m=mp, k=k, g=grp,
+                          block_t=block_t),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B + pad_b, P * block_t),
                                        jnp.float32),
         interpret=interpret,
-    )(tiles_in, codes_t.astype(jnp.int32), rt, luts_in)
+    )(tiles_in, codes_in, rt, luts_in)
     return out[:B] if pad_b else out
 
 

@@ -109,3 +109,19 @@ def test_budget_adc_interpret_matches_xla(rng):
     np.testing.assert_array_equal(np.isfinite(got), fin)
     # bf16 LUT in the kernel: compare at bf16 tolerance
     np.testing.assert_allclose(got[fin], want[fin], rtol=2e-2, atol=2e-2)
+
+
+def test_adc_scan_grouped_m_padding(rng):
+    """Small-k grouping with m % g != 0 (m=10, k=16 → g=8, 6 zero-LUT pad
+    subspaces) and a non-dividing k (k=12 → g=1) must both match the
+    gather path."""
+    for m, k in ((10, 16), (5, 12), (3, 32)):
+        d = m * 4
+        cb = jnp.asarray(rng.normal(size=(m, k, 4)).astype(np.float32))
+        q = jnp.asarray(rng.normal(size=(4, d)).astype(np.float32))
+        codes = rng.integers(0, k, size=(512, m)).astype(np.uint8)
+        luts = lut.build_luts(q, cb)
+        want = np.asarray(adc.adc_distances(luts, jnp.asarray(codes)))
+        got = np.asarray(pk.adc_scan_pallas(luts, jnp.asarray(codes.T),
+                                            block_n=256, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2), (m, k)
