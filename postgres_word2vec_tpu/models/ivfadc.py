@@ -83,7 +83,7 @@ class TiledIVF(NamedTuple):
     freddy.c:306-314).
     """
     block_t: int
-    codes_t: Array     # (m, NA) int32, transposed, cell-aligned
+    codes_t: Array     # (m, NA) storage dtype, transposed, cell-aligned
     codes_rows: Array  # (NA, m) original dtype — XLA path layout
     rowterm: Array     # (NA,) f32; +inf on padding rows
     row_ids: Array     # (NA,) int32; -1 on padding rows
@@ -407,7 +407,7 @@ class IVFADCIndex:
 
         tiled = TiledIVF(
             block_t=bt,
-            codes_t=jnp.asarray(rows_aligned.T.astype(np.int32)),
+            codes_t=jnp.asarray(rows_aligned.T),
             codes_rows=jnp.asarray(rows_aligned),
             rowterm=jnp.asarray(rowterm),
             row_ids=jnp.asarray(rid_aligned),

@@ -342,7 +342,7 @@ class JoinTiles(NamedTuple):
     lost (it ADC'd all T targets and masked).
     """
     block_t: int
-    codes_t: Array      # (m, NA) int32 transposed aligned codes
+    codes_t: Array      # (m, NA) transposed aligned codes (storage dtype)
     rowterm: Array      # (NA,) f32: 0 on real rows, +inf padding
     local_ids: Array    # (NA,) int32 target-local row ids, -1 padding
     tile_start: Array   # (C,) int32
@@ -390,8 +390,10 @@ def build_join_tiles(target_codes: Array, target_cells: Array,
         na - 1)
 
     codes_sorted = jnp.take(target_codes, order, axis=0)
-    codes_al = jnp.zeros((na, m), jnp.int32).at[apos].set(
-        codes_sorted.astype(jnp.int32))
+    # keep the storage dtype (uint8/int16): the Pallas kernels stream codes
+    # narrow and widen in VMEM, so HBM traffic is the true code bytes.
+    codes_al = jnp.zeros((na, m), target_codes.dtype).at[apos].set(
+        codes_sorted)
     rowterm = jnp.full((na,), jnp.inf, jnp.float32).at[apos].set(
         jnp.where(valid_s, 0.0, jnp.inf))
     lids = jnp.full((na,), -1, jnp.int32).at[apos].set(
@@ -479,7 +481,10 @@ def _ivpq_round_budget(queries: Array, coarse_centroids: Array,
             # fused-pair layout directly on the transposed aligned codes.
             kcb = codebook_cent.shape[1]
             luts = lut.build_double_luts(luts)
-            codes_t = codes_t[0::2] * kcb + codes_t[1::2]
+            # widen before fusing: pair codes reach kcb²−1, which overflows
+            # the narrow (uint8) storage dtype.
+            codes_t = (codes_t[0::2].astype(jnp.int32) * kcb
+                       + codes_t[1::2])
         if use_pallas:
             from postgres_word2vec_tpu.ops import pallas_kernels as pk
             dists = pk.budget_adc_pallas(luts, codes_t, jt.rowterm, tiles,

@@ -189,11 +189,13 @@ class PQIndex:
     _BLOCK_N = 2048
 
     def transposed_codes(self) -> Array:
-        """Cached subspace-major int32 codes, padded to the kernel block."""
+        """Cached subspace-major codes (storage dtype), kernel-block padded."""
         if self._codes_t is None:
             n = self.codes.shape[0]
             pad = (-n) % self._BLOCK_N
-            ct = jnp.pad(self.codes, ((0, pad), (0, 0))).T.astype(jnp.int32)
+            # storage dtype preserved: the ADC kernels stream codes narrow
+            # (uint8/int16) and widen per-tile in VMEM.
+            ct = jnp.pad(self.codes, ((0, pad), (0, 0))).T
             object.__setattr__(self, "_codes_t", ct)
         return self._codes_t
 

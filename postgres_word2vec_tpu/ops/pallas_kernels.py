@@ -45,10 +45,15 @@ def _group_size(m: int, k: int) -> int:
     return min(128 // k, m)
 
 
-def _group_onehot(codes_ref, jg: int, g: int, k: int, block_n: int):
+def _group_onehot(codes, jg: int, g: int, k: int, block_n: int):
     """One-hot for subspace group ``jg``: rows ``j·k + codes[j]`` are 1 for
-    each of the group's g subspaces → (g·k, block_n) bf16."""
-    cj = codes_ref[pl.ds(jg * g, g), :]                       # (g, block_n)
+    each of the group's g subspaces → (g·k, block_n) bf16.
+
+    ``codes`` is the already-loaded, int32-widened (m, block_n) tile —
+    codes stream from HBM in their narrow storage dtype (uint8/int16) and
+    widen once in VMEM, so the scan's HBM traffic is the true code bytes,
+    not a 4×-inflated int32 copy."""
+    cj = codes[jg * g:(jg + 1) * g, :]                        # (g, block_n)
     off = lax.broadcasted_iota(jnp.int32, (g, block_n), 0) * k
     target = cj + off                                         # (g, block_n)
     # row r of the fused one-hot compares against target[r // k]: a
@@ -63,14 +68,15 @@ def _adc_kernel(codes_ref, luts_ref, out_ref, *, m: int, k: int, g: int,
                 block_n: int):
     """One grid step: distances for a ``(B, block_n)`` output tile.
 
-    codes_ref: (m, block_n) int32 (pre-widened codes, transposed layout;
-               m padded to a multiple of g with zero-LUT subspaces)
+    codes_ref: (m, block_n) integer codes (narrow storage dtype, transposed
+               layout; m padded to a multiple of g with zero-LUT subspaces)
     luts_ref:  (m//g, B, g·k) bf16 (group-fused layout)
     out_ref:   (B, block_n) f32
     """
+    codes = codes_ref[:].astype(jnp.int32)
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for jg in range(m // g):
-        onehot = _group_onehot(codes_ref, jg, g, k, block_n)
+        onehot = _group_onehot(codes, jg, g, k, block_n)
         acc += jnp.dot(luts_ref[jg], onehot,
                        preferred_element_type=jnp.float32)    # (B, block_n)
     out_ref[:] = acc
@@ -98,7 +104,10 @@ def adc_scan_pallas(luts: Array, codes_t: Array, *, block_n: int = 2048,
     # bf16 LUT halves MXU cost; distances are ~unit scale so the mantissa
     # loss is far below PQ quantization error.
     luts_in = luts.astype(jnp.bfloat16)
-    codes_in = codes_t.astype(jnp.int32)
+    # keep the storage dtype (uint8/int16) — the kernel widens in VMEM,
+    # so HBM streams the true code bytes.
+    codes_in = (codes_t if jnp.issubdtype(codes_t.dtype, jnp.integer)
+                else codes_t.astype(jnp.int32))
     if pad_m:
         # zero-LUT padding subspaces contribute nothing to the ADC sum.
         luts_in = jnp.pad(luts_in, ((0, 0), (0, pad_m), (0, 0)))
@@ -141,9 +150,10 @@ def _adc_binned_kernel(codes_ref, luts_ref, mins_ref, args_ref, *, m: int,
     top-k costs ~35 ms at 64×3M; reducing in VMEM cuts the kernel output to
     ~6 MB and makes the scan compute-bound.
     """
+    codes = codes_ref[:].astype(jnp.int32)
     acc = jnp.zeros((luts_ref.shape[1], block_n), jnp.float32)
     for jg in range(m // g):
-        onehot = _group_onehot(codes_ref, jg, g, k, block_n)
+        onehot = _group_onehot(codes, jg, g, k, block_n)
         acc += jnp.dot(luts_ref[jg], onehot,
                        preferred_element_type=jnp.float32)
     bb = acc.shape[0]
@@ -178,7 +188,10 @@ def adc_scan_binned_pallas(luts: Array, codes_t: Array, *,
     g = _group_size(m, k)
     pad_m = (-m) % g
     luts_in = luts.astype(jnp.bfloat16)
-    codes_in = codes_t.astype(jnp.int32)
+    # keep the storage dtype (uint8/int16) — the kernel widens in VMEM,
+    # so HBM streams the true code bytes.
+    codes_in = (codes_t if jnp.issubdtype(codes_t.dtype, jnp.integer)
+                else codes_t.astype(jnp.int32))
     if pad_m:
         luts_in = jnp.pad(luts_in, ((0, 0), (0, pad_m), (0, 0)))
         codes_in = jnp.pad(codes_in, ((0, pad_m), (0, 0)))
@@ -363,15 +376,16 @@ def _budget_adc_kernel(tiles_ref, codes_ref, rt_ref, luts_ref, out_ref, *,
     block (Mosaic requires sublane-divisible output blocks); the inner
     axis walks the 8 queries, each writing its own row.
 
-    codes_ref: (m, block_t) int32 — the tile selected by this slot's tile id
+    codes_ref: (m, block_t) integer codes — the tile selected by this slot's tile id
     rt_ref:    (1, block_t) f32 — query-independent row term (+inf padding)
     luts_ref:  (1, m//g, g·k) bf16 — this query's group-fused LUT
     out_ref:   (8, block_t) f32 — lut-sum + rowterm, one row per query
     """
     qs = pl.program_id(2)
+    codes = codes_ref[:].astype(jnp.int32)
     acc = jnp.zeros((1, block_t), jnp.float32)
     for jg in range(m // g):
-        onehot = _group_onehot(codes_ref, jg, g, k, block_t)
+        onehot = _group_onehot(codes, jg, g, k, block_t)
         acc += jnp.dot(luts_ref[0, jg][None, :], onehot,
                        preferred_element_type=jnp.float32)
     out_ref[pl.ds(qs, 1), :] = acc + rt_ref[:]
@@ -391,7 +405,8 @@ def budget_adc_pallas(luts: Array, codes_t: Array, rowterm: Array,
     freddy.c:325-338 / ivpq_search_in.c:355-401).
 
     luts:    (B, m, k) per-query LUTs (cell-independent)
-    codes_t: (m, NA) int32, NA a multiple of block_t, CELL-ALIGNED: each
+    codes_t: (m, NA) integer codes (narrow storage dtype streams
+             narrow), NA a multiple of block_t, CELL-ALIGNED: each
              cell's rows padded to whole tiles; one trailing all-padding
              "inf tile" absorbs unused slots
     rowterm: (NA,) f32 additive per-row term, +inf on padding rows (this is
@@ -409,7 +424,10 @@ def budget_adc_pallas(luts: Array, codes_t: Array, rowterm: Array,
     grp = _group_size(m, k)
     pad_m = (-m) % grp
     luts_in = luts.astype(jnp.bfloat16)
-    codes_in = codes_t.astype(jnp.int32)
+    # keep the storage dtype (uint8/int16) — the kernel widens in VMEM,
+    # so HBM streams the true code bytes.
+    codes_in = (codes_t if jnp.issubdtype(codes_t.dtype, jnp.integer)
+                else codes_t.astype(jnp.int32))
     if pad_m:
         luts_in = jnp.pad(luts_in, ((0, 0), (0, pad_m), (0, 0)))
         codes_in = jnp.pad(codes_in, ((0, pad_m), (0, 0)))

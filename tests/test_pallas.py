@@ -125,3 +125,50 @@ def test_adc_scan_grouped_m_padding(rng):
         got = np.asarray(pk.adc_scan_pallas(luts, jnp.asarray(codes.T),
                                             block_n=256, interpret=True))
         np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2), (m, k)
+
+
+def test_narrow_code_dtypes_match_int32(rng):
+    """uint8/int8/int16 code streams produce bit-identical distances to the
+    int32 path: the kernels widen in VMEM, so the storage dtype must only
+    change HBM traffic, never results (incl. the budget tile-gather)."""
+    from postgres_word2vec_tpu.ops import adc
+
+    B, m, k, n = 4, 6, 200, 512   # k=200: uint8 codes reach 199
+    cb = jnp.asarray(rng.normal(size=(m, k, 5)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(B, 30)).astype(np.float32))
+    codes32 = rng.integers(0, k, size=(n, m)).astype(np.int32)
+    luts = lut.build_luts(q, cb)
+    ref = np.asarray(pk.adc_scan_pallas(luts, jnp.asarray(codes32.T),
+                                        block_n=256, interpret=True))
+    for dt in (np.uint8, np.int16):
+        got = np.asarray(pk.adc_scan_pallas(
+            luts, jnp.asarray(codes32.T.astype(dt)), block_n=256,
+            interpret=True))
+        np.testing.assert_array_equal(got, ref), dt
+    # int8 regime (k=16 codes fit signed bytes)
+    codes16 = rng.integers(0, 16, size=(n, m)).astype(np.int32)
+    cb16 = jnp.asarray(rng.normal(size=(m, 16, 5)).astype(np.float32))
+    luts16 = lut.build_luts(q, cb16)
+    ref16 = np.asarray(pk.adc_scan_pallas(luts16, jnp.asarray(codes16.T),
+                                          block_n=256, interpret=True))
+    got16 = np.asarray(pk.adc_scan_pallas(
+        luts16, jnp.asarray(codes16.T.astype(np.int8)), block_n=256,
+        interpret=True))
+    np.testing.assert_array_equal(got16, ref16)
+
+    # budget kernel: uint8 == int32
+    block_t = 128
+    nt = 3
+    na = (nt + 1) * block_t
+    codes_rows = rng.integers(0, k, size=(na, m)).astype(np.int32)
+    rowterm = rng.normal(size=(na,)).astype(np.float32)
+    rowterm[nt * block_t:] = np.inf
+    tiles = np.array([[0, 1], [2, nt], [1, 1], [nt, nt]], np.int32)
+    ref_b = np.asarray(pk.budget_adc_pallas(
+        luts, jnp.asarray(codes_rows.T), jnp.asarray(rowterm),
+        jnp.asarray(tiles), block_t=block_t, interpret=True))
+    got_b = np.asarray(pk.budget_adc_pallas(
+        luts, jnp.asarray(codes_rows.T.astype(np.uint8)),
+        jnp.asarray(rowterm), jnp.asarray(tiles), block_t=block_t,
+        interpret=True))
+    np.testing.assert_array_equal(got_b, ref_b)
