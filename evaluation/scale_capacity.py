@@ -1,0 +1,186 @@
+#!/usr/bin/env python3
+"""Single-chip capacity experiment: 10M x 300-d on one TPU.
+
+The reference's headline dataset is 3M x 300 (GoogleNews,
+/root/reference/README.md:151-156), bounded by Postgres shared buffers and
+per-query SPI streaming. This experiment shows the TPU build's headroom on
+ONE chip: a 10.24M-row corpus fully HBM-resident (bf16 table 6.1 GiB +
+uint8 PQ codes 0.12 GiB), exact and PQ search measured at production batch
+sizes.
+
+Memory design (HBM is the binding constraint):
+- vectors are generated in f32 CHUNKS (independent `generate_wordlike`
+  shards), norms taken in f32, then cast to bf16 — no full-size f32 table
+  ever exists on device;
+- `ExactIndex` is bypassed (its constructor materializes an f32 copy for
+  norms); `exact_top_k_precast` consumes the pre-cast table directly;
+- PQ scans use batch 64 (the dense (B, N) f32 distance buffer at B=256
+  would not fit next to the table; the binned kernel covers that regime).
+
+Usage: python evaluation/scale_capacity.py [--n 10240000] [--out FILE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(
+                      os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def log_mem(tag):
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        log(f"[mem {tag}] in_use={stats.get('bytes_in_use', 0) / 2**30:.2f}"
+            f"GiB peak={stats.get('peak_bytes_in_use', 0) / 2**30:.2f}GiB")
+    except Exception:
+        pass
+
+
+def materialize(out):
+    for leaf in jax.tree.leaves(out):
+        np.asarray(leaf[..., :1])
+
+
+def timeit(fn, *args, iters=5):
+    out = fn(*args)
+    materialize(out)
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        materialize(out)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)), out
+
+
+def recall_at_k(ids, exact_ids):
+    ids = np.asarray(ids)
+    exact_ids = np.asarray(exact_ids)[:, :ids.shape[1]]
+    hits = sum(len(set(a.tolist()) & set(e.tolist()))
+               for a, e in zip(ids, exact_ids))
+    return hits / exact_ids.size
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10_240_000)
+    ap.add_argument("--d", type=int, default=300)
+    ap.add_argument("--chunk", type=int, default=1_280_000)
+    ap.add_argument("--eval-q", type=int, default=256)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "reports",
+        "scale_10M.json"))
+    args = ap.parse_args()
+
+    from postgres_word2vec_tpu.evaluation import synth
+    from postgres_word2vec_tpu.models.exact import exact_top_k_precast
+    from postgres_word2vec_tpu.models.pq import PQIndex
+
+    N, D = args.n, args.d
+    log(f"scale_capacity: N={N} D={D} devices={jax.devices()}")
+    results = {"n": N, "d": D}
+
+    # ---------------------------------------------- chunked generation
+    t0 = time.perf_counter()
+    n_chunks = -(-N // args.chunk)
+    parts, norm_parts = [], []
+    for i in range(n_chunks):
+        rows = min(args.chunk, N - i * args.chunk)
+        vf = synth.generate_wordlike(jax.random.PRNGKey(1000 + i), rows, D)
+        norm_parts.append(jnp.sum(vf.astype(jnp.float32) ** 2, axis=-1))
+        parts.append(vf.astype(jnp.bfloat16))
+        jax.block_until_ready(parts[-1])
+        del vf
+    table = jnp.concatenate(parts)
+    norms = jnp.concatenate(norm_parts)
+    del parts, norm_parts
+    jax.block_until_ready((table, norms))
+    log(f"table built in {time.perf_counter() - t0:.1f}s "
+        f"({table.nbytes / 2**30:.2f} GiB bf16)")
+    log_mem("table")
+
+    queries_eval = table[:args.eval_q].astype(jnp.float32)
+
+    # ------------------------------------------ exact ground truth (f32
+    # accumulation over the bf16 table, exact merge top-k)
+    t0 = time.perf_counter()
+    _, gt10 = exact_top_k_precast(queries_eval, table, norms, 10,
+                                  chunk_size=1_048_576, approx=False)
+    gt10 = np.asarray(gt10)
+    gt5 = gt10[:, :5]
+    log(f"ground truth in {time.perf_counter() - t0:.1f}s")
+
+    # --------------------------------------------------- exact batch scan
+    B = 1024
+    qb = table[:B].astype(jnp.float32)
+    t, _ = timeit(lambda q: exact_top_k_precast(q, table, norms, 10,
+                                                approx=True), qb)
+    _, ids = exact_top_k_precast(queries_eval, table, norms, 10, approx=True)
+    _, ids5 = exact_top_k_precast(queries_eval, table, norms, 5, approx=True)
+    results["exact_batch"] = dict(
+        per_query_ms=t / B * 1e3, batch=B,
+        recall=recall_at_k(ids, gt10), recall5=recall_at_k(ids5, gt5),
+        note="bf16 table + approx_max_k, one chip, 10M rows")
+    log(f"[exact_batch] {results['exact_batch']['per_query_ms']:.4g} ms/q "
+        f"recall@10={results['exact_batch']['recall']:.3f}")
+    log_mem("exact")
+
+    # --------------------------------------------------------- PQ (12x256)
+    t0 = time.perf_counter()
+    pq = PQIndex.build(jax.random.PRNGKey(7), table, m=12, k=256,
+                       train_size=100_000, iters=25, init="kmeans++")
+    pq.transposed_codes()
+    log(f"PQ built in {time.perf_counter() - t0:.1f}s "
+        f"(codes {pq.codes.nbytes / 2**20:.0f} MiB {pq.codes.dtype})")
+    log_mem("pq")
+
+    B = 64
+    t, _ = timeit(lambda q: pq.search(q, 10), table[:B].astype(jnp.float32))
+    _, ids = pq.search(queries_eval, 10)
+    _, ids5 = pq.search(queries_eval, 5)
+    results["pq_scan"] = dict(
+        per_query_ms=t / B * 1e3, batch=B,
+        recall=recall_at_k(ids, gt10), recall5=recall_at_k(ids5, gt5),
+        note="dense Pallas ADC scan over 10M uint8 codes")
+    log(f"[pq_scan] {results['pq_scan']['per_query_ms']:.4g} ms/q "
+        f"recall@10={results['pq_scan']['recall']:.3f}")
+
+    t, _ = timeit(lambda q: pq.search_pv(q, 10, 20, table),
+                  table[:B].astype(jnp.float32))
+    _, ids = pq.search_pv(queries_eval, 10, 20, table)
+    _, ids5 = pq.search_pv(queries_eval, 5, 20, table)
+    results["pq_pv_20"] = dict(
+        per_query_ms=t / B * 1e3, batch=B,
+        recall=recall_at_k(ids, gt10), recall5=recall_at_k(ids5, gt5),
+        note="ADC + exact re-rank pvf=20 against the bf16 table")
+    log(f"[pq_pv_20] {results['pq_pv_20']['per_query_ms']:.4g} ms/q "
+        f"recall@10={results['pq_pv_20']['recall']:.3f}")
+    log_mem("pq_pv")
+
+    out = os.path.abspath(args.out)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from postgres_word2vec_tpu.ops import topk as topk_ops
+from postgres_word2vec_tpu.utils.shapes import snap_chunk as _snap_chunk
 
 Array = jax.Array
 
@@ -54,8 +55,9 @@ def exact_top_k(queries: Array, vectors: Array, k: int, *,
     if n <= chunk_size:
         dists = _sqdist_block(queries, vectors, compute_dtype)
         return topk_ops.top_k_smallest(dists, min(k, n), approx=approx)
+    chunk_size = _snap_chunk(n, chunk_size)
     pad = (-n) % chunk_size
-    vp = jnp.pad(vectors, ((0, pad), (0, 0)))
+    vp = jnp.pad(vectors, ((0, pad), (0, 0))) if pad else vectors
 
     def score_chunk(start):
         chunk = lax.dynamic_slice(vp, (start, 0), (chunk_size, d))
@@ -113,9 +115,10 @@ def exact_top_k_precast(queries: Array, table: Array, norms: Array, k: int,
                      precision=prec)
         dists = jnp.maximum(qq - 2.0 * qv + norms[None, :], 0.0)
         return topk_ops.top_k_smallest(dists, min(k, n), approx=approx)
+    chunk_size = _snap_chunk(n, chunk_size)
     pad = (-n) % chunk_size
-    tp = jnp.pad(table, ((0, pad), (0, 0)))
-    np_ = jnp.pad(norms, (0, pad))
+    tp = jnp.pad(table, ((0, pad), (0, 0))) if pad else table
+    np_ = jnp.pad(norms, (0, pad)) if pad else norms
 
     def score_chunk(start):
         chunk = lax.dynamic_slice(tp, (start, 0), (chunk_size, d))
@@ -176,10 +179,11 @@ def exact_top_k_int8(queries: Array, table_i8: Array, scales: Array,
     if n <= chunk_size:
         dists = block(table_i8, scales, norms)
         return topk_ops.top_k_smallest(dists, min(k, n), approx=approx)
+    chunk_size = _snap_chunk(n, chunk_size)
     pad = (-n) % chunk_size
-    tp = jnp.pad(table_i8, ((0, pad), (0, 0)))
-    sp = jnp.pad(scales, (0, pad))
-    np_ = jnp.pad(norms, (0, pad))
+    tp = jnp.pad(table_i8, ((0, pad), (0, 0))) if pad else table_i8
+    sp = jnp.pad(scales, (0, pad)) if pad else scales
+    np_ = jnp.pad(norms, (0, pad)) if pad else norms
 
     def score_chunk(start):
         chunk = lax.dynamic_slice(tp, (start, 0), (chunk_size, d))

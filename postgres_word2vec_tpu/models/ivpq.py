@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from postgres_word2vec_tpu.models.pq import PQCodebook, online_codebook_update
+from postgres_word2vec_tpu.utils.shapes import snap_chunk
 from postgres_word2vec_tpu.ops import adc, kmeans, lut
 from postgres_word2vec_tpu.ops import topk as topk_ops
 
@@ -130,10 +131,20 @@ def assign_cells(vectors: Array, coarse_centroids: Array, *,
 
     if n <= chunk_size:
         return chunk_fn(vectors)
+    # fori + dynamic_slice (see ops/kmeans.py encoders: a padded/reshaped
+    # lax.map view can double the table in HBM at capacity scale).
+    chunk_size = snap_chunk(n, chunk_size)
     pad = (-n) % chunk_size
-    xp = jnp.pad(vectors, ((0, pad), (0, 0)))
-    out = jax.lax.map(chunk_fn, xp.reshape(-1, chunk_size, d))
-    return out.reshape(-1)[:n]
+    xp = jnp.pad(vectors, ((0, pad), (0, 0))) if pad else vectors
+    out = jnp.zeros((n + pad,), jnp.int32)
+
+    def body(i, acc):
+        start = i * chunk_size
+        xc = jax.lax.dynamic_slice(xp, (start, 0), (chunk_size, d))
+        return jax.lax.dynamic_update_slice(acc, chunk_fn(xc), (start,))
+
+    out = jax.lax.fori_loop(0, (n + pad) // chunk_size, body, out)
+    return out[:n]
 
 
 def cell_distances(queries: Array, coarse_centroids: Array) -> Array:

@@ -187,6 +187,7 @@ class PQIndex:
                                                compare=False)
 
     _BLOCK_N = 2048
+    _DENSE_SCAN_BYTES = 1_610_612_736  # 1.5 GiB
 
     def transposed_codes(self) -> Array:
         """Cached subspace-major codes (storage dtype), kernel-block padded."""
@@ -269,8 +270,15 @@ class PQIndex:
             impl = "pallas" if pk.supports_pallas() else "xla"
         luts = lut.build_luts(self._rotate(queries), self.codebook.centroids)
         if impl == "pallas":
-            return pk.adc_top_k_pallas(luts, self.transposed_codes(), k,
-                                       valid_n=self.size,
+            ct = self.transposed_codes()
+            # the dense scan materializes a (B, N) f32 distance matrix;
+            # beyond ~1.5 GiB switch to the fused binned kernel, which
+            # keeps only per-bin minima (the 10M-row capacity regime).
+            dense_bytes = queries.shape[0] * ct.shape[1] * 4
+            if dense_bytes > self._DENSE_SCAN_BYTES:
+                return pk.adc_top_k_binned_pallas(
+                    luts, ct, k, valid_n=self.size, block_n=self._BLOCK_N)
+            return pk.adc_top_k_pallas(luts, ct, k, valid_n=self.size,
                                        block_n=self._BLOCK_N, approx=approx)
         return adc.adc_top_k(luts, self.codes, k, approx=approx)
 

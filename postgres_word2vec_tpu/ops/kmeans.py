@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from postgres_word2vec_tpu.utils.shapes import snap_chunk
+
 Array = jax.Array
 
 
@@ -69,8 +71,9 @@ def assign(x: Array, centroids: Array, *, chunk_size: int = 65536) -> Array:
 
     if n <= chunk_size:
         return chunk_fn(x)
+    chunk_size = snap_chunk(n, chunk_size)
     pad = (-n) % chunk_size
-    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
     xp = xp.reshape(-1, chunk_size, x.shape[1])
     out = lax.map(chunk_fn, xp)
     return out.reshape(-1)[:n]
@@ -94,8 +97,10 @@ def assign_with_dist(x: Array, centroids: Array, *,
 
     if n <= chunk_size:
         return chunk_fn(x)
+    chunk_size = snap_chunk(n, chunk_size)
     pad = (-n) % chunk_size
-    xp = jnp.pad(x, ((0, pad), (0, 0))).reshape(-1, chunk_size, x.shape[1])
+    xp = (jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+          ).reshape(-1, chunk_size, x.shape[1])
     a, d = lax.map(chunk_fn, xp)
     return a.reshape(-1)[:n], d.reshape(-1)[:n]
 
@@ -289,12 +294,23 @@ def encode_residual_subspaces(x: Array, coarse_centroids: Array,
 
     if n <= chunk_size:
         return chunk_fn((x, assignments))
+    # fori + dynamic_slice on the ORIGINAL buffer: lax.map over a
+    # reshaped view can materialize a second full copy of the table under
+    # TPU tiled layouts (observed OOM at 10M x 300 bf16).
+    chunk_size = snap_chunk(n, chunk_size)
     pad = (-n) % chunk_size
-    xp = jnp.pad(x, ((0, pad), (0, 0)))
-    ap = jnp.pad(assignments, (0, pad))
-    out = lax.map(chunk_fn, (xp.reshape(-1, chunk_size, d),
-                             ap.reshape(-1, chunk_size)))
-    return out.reshape(-1, m)[:n]
+    xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+    ap = jnp.pad(assignments, (0, pad)) if pad else assignments
+    out = jnp.zeros((n + pad, m), dtype)
+
+    def body(i, acc):
+        start = i * chunk_size
+        xc = lax.dynamic_slice(xp, (start, 0), (chunk_size, d))
+        ac = lax.dynamic_slice(ap, (start,), (chunk_size,))
+        return lax.dynamic_update_slice(acc, chunk_fn((xc, ac)), (start, 0))
+
+    out = lax.fori_loop(0, (n + pad) // chunk_size, body, out)
+    return out[:n]
 
 
 def encode_subspaces(x: Array, codebooks: Array, *,
@@ -341,7 +357,17 @@ def encode_subspaces(x: Array, codebooks: Array, *,
 
     if n <= chunk_size:
         return chunk_fn(x)
+    # fori + dynamic_slice (see encode_residual_subspaces: a reshaped
+    # lax.map view can double the table in HBM).
+    chunk_size = snap_chunk(n, chunk_size)
     pad = (-n) % chunk_size
-    xp = jnp.pad(x, ((0, pad), (0, 0)))
-    out = lax.map(chunk_fn, xp.reshape(-1, chunk_size, d))
-    return out.reshape(-1, m)[:n]
+    xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+    out = jnp.zeros((n + pad, m), dtype)
+
+    def body(i, acc):
+        start = i * chunk_size
+        xc = lax.dynamic_slice(xp, (start, 0), (chunk_size, d))
+        return lax.dynamic_update_slice(acc, chunk_fn(xc), (start, 0))
+
+    out = lax.fori_loop(0, (n + pad) // chunk_size, body, out)
+    return out[:n]

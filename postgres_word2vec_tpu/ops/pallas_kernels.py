@@ -571,3 +571,34 @@ def adc_top_k_pallas(luts: Array, codes_t: Array, k: int, *,
         return lax.approx_min_k(dists, k=k)
     neg, idx = lax.top_k(-dists, k)
     return -neg, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "valid_n", "block_n",
+                                             "bins", "approx"))
+def adc_top_k_binned_pallas(luts: Array, codes_t: Array, k: int, *,
+                            valid_n: int | None = None, block_n: int = 2048,
+                            bins: int = 128, approx: bool = True
+                            ) -> tuple[Array, Array]:
+    """Memory-lean exhaustive ADC top-k via the fused binned scan.
+
+    The dense wrapper materializes a ``(B, N)`` float32 distance matrix —
+    2.6 GiB at 64×10M, which does not fit beside a large resident table.
+    This variant keeps only the per-bin minima (``block_n/bins``× smaller,
+    16× at the defaults) and top-ks those. Candidates are per-strided-bin
+    minima, so results are approximate in the same sense as
+    ``lax.approx_min_k`` (one survivor per bin); the global minimum always
+    survives. ``valid_n`` masking is post-hoc: a final-tile bin whose
+    minimum lands on a padding row is dropped rather than re-examined —
+    at most ``bins`` candidates of one partial tile, negligible at the
+    scales where this path is selected.
+    """
+    mins, ids = adc_scan_binned_pallas(luts, codes_t, block_n=block_n,
+                                       bins=bins)
+    if valid_n is not None and valid_n < codes_t.shape[1]:
+        mins = jnp.where(ids < valid_n, mins, jnp.inf)
+    if approx:
+        vals, pos = lax.approx_min_k(mins, k=k)
+    else:
+        neg, pos = lax.top_k(-mins, k)
+        vals = -neg
+    return vals, jnp.take_along_axis(ids, pos, axis=-1)

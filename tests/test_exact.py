@@ -101,3 +101,35 @@ def test_int8_quantization_roundtrip(rng):
     assert q.dtype == jnp.int8
     back = np.asarray(q, np.float32) * np.asarray(s)[:, None]
     np.testing.assert_allclose(back, v, atol=np.abs(v).max() / 120)
+
+
+def test_snap_chunk_divisor_selection():
+    """_snap_chunk must return a dividing, 8-aligned chunk when one exists
+    in [c/2, c] (no tail pad => no full-table copy), else pass through."""
+    from postgres_word2vec_tpu.models.exact import _snap_chunk
+
+    c = _snap_chunk(10_240_000, 1_048_576)
+    assert 10_240_000 % c == 0 and c % 8 == 0 and 524_288 <= c <= 1_048_576
+    c = _snap_chunk(3_072_000, 1_048_576)
+    assert 3_072_000 % c == 0 and c % 8 == 0
+    # prime n: no divisor in range -> unchanged (pad path)
+    assert _snap_chunk(1_000_003, 4096) == 4096
+    # already dividing or small n: unchanged
+    assert _snap_chunk(8192, 2048) == 2048
+    assert _snap_chunk(100, 4096) == 4096
+
+
+def test_exact_top_k_snapped_chunk_matches_unchunked(rng):
+    """A non-dividing chunk request (snap path) returns identical results
+    to the single-chunk scan."""
+    import jax.numpy as jnp
+
+    from postgres_word2vec_tpu.models.exact import exact_top_k
+
+    v = jnp.asarray(rng.normal(size=(1000, 16)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
+    want_v, want_i = exact_top_k(q, v, 5, chunk_size=4096)
+    got_v, got_i = exact_top_k(q, v, 5, chunk_size=304)  # snaps to 500... or pads
+    np.testing.assert_array_equal(np.asarray(want_i), np.asarray(got_i))
+    np.testing.assert_allclose(np.asarray(want_v), np.asarray(got_v),
+                               rtol=1e-5)
