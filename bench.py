@@ -275,6 +275,34 @@ def main():
 
     log_mem("pq4bit")
 
+    # ------------------- OPQ x 4-bit (rotation + Quick-ADC stacked): the
+    # framework's best quality point — measured r@5 0.80 base / 0.998 with
+    # PV(20) at ~0.26 ms/query (B=256) at 3M.
+    try:
+        t0 = time.perf_counter()
+        pq = PQIndex.build(jax.random.PRNGKey(1), V, m=60, k=16,
+                           opq_iters=10, **BUILD)
+        pq.transposed_codes()
+        log(f"OPQ 60x16 built in {time.perf_counter() - t0:.1f}s")
+        B = 256
+        t, _ = timeit(lambda q: pq.search(q, K), V[:B])
+        _, ids = pq.search(queries_eval, K)
+        _, ids5 = pq.search(queries_eval, 5)
+        add("pq4bit_opq_scan", ids5, ids, per_query_ms=t / B * 1e3, batch=B,
+            ref_s=1.06, ref_recall=0.38,
+            note="OPQ rotation + 60x16 4-bit codes, grouped one-hot scan")
+        t, _ = timeit(lambda q: pq.search_pv(q, K, 20, V), V[:B])
+        _, ids = pq.search_pv(queries_eval, K, 20, V)
+        _, ids5 = pq.search_pv(queries_eval, 5, 20, V)
+        add("pq4bit_opq_pv_20", ids5, ids, per_query_ms=t / B * 1e3, batch=B,
+            ref_s=1.29, ref_recall=0.87,
+            note="OPQ 60x16 ADC + exact re-rank pvf=20")
+        del pq
+    except Exception as e:  # pragma: no cover
+        log(f"pq4bit_opq bench failed: {e!r}")
+
+    log_mem("pq4bit_opq")
+
     # ------------------------------- PQ k=1024 (the README.md:125 regime)
     try:
         t0 = time.perf_counter()
