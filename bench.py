@@ -49,55 +49,8 @@ BASELINE_RECALL = 0.35
 BUILD = dict(train_size=100_000, iters=25, init="kmeans++")
 
 
-def log(msg):
-    print(msg, file=sys.stderr, flush=True)
-
-
-def materialize(out):
-    for leaf in jax.tree.leaves(out):
-        np.asarray(leaf[..., :1])
-
-
-def timeit_piped(fn, *args, iters=8):
-    """Pipelined per-call time: enqueue ``iters`` calls, block once. On the
-    tunneled TPU a single small call pays ~60-70 ms of transport RTT; the
-    pipelined figure approximates pure device+queue time per call."""
-    out = fn(*args)
-    materialize(out)
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(iters)]
-    materialize(outs[-1])
-    return (time.perf_counter() - t0) / iters
-
-
-def timeit(fn, *args, iters=5):
-    out = fn(*args)
-    materialize(out)
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        materialize(out)
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts)), out
-
-
-def log_mem(tag):
-    try:
-        stats = jax.devices()[0].memory_stats() or {}
-        used = stats.get("bytes_in_use", 0) / 2**30
-        peak = stats.get("peak_bytes_in_use", 0) / 2**30
-        log(f"[mem {tag}] in_use={used:.2f}GiB peak={peak:.2f}GiB")
-    except Exception:
-        pass
-
-
-def recall_at_k(ids, exact_ids):
-    ids = np.asarray(ids)
-    exact_ids = np.asarray(exact_ids)[:, :ids.shape[1]]
-    hits = sum(len(set(a.tolist()) & set(e.tolist()))
-               for a, e in zip(ids, exact_ids))
-    return hits / exact_ids.size
+from postgres_word2vec_tpu.evaluation.benchutil import (
+    log, log_mem, materialize, recall_at_k, timeit, timeit_piped)
 
 
 def main():

@@ -14,8 +14,9 @@ Memory design (HBM is the binding constraint):
   ever exists on device;
 - `ExactIndex` is bypassed (its constructor materializes an f32 copy for
   norms); `exact_top_k_precast` consumes the pre-cast table directly;
-- PQ scans use batch 64 (the dense (B, N) f32 distance buffer at B=256
-  would not fit next to the table; the binned kernel covers that regime).
+- PQ scans pass ``impl="pallas_binned"``: the dense (B, N) f32 distance
+  buffer (2.6 GiB even at B=64) cannot sit beside the resident table, so
+  the fused binned kernel (per-bin minima only) is selected explicitly.
 
 Usage: python evaluation/scale_capacity.py [--n 10240000] [--out FILE]
 """
@@ -41,42 +42,8 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def log(msg):
-    print(msg, file=sys.stderr, flush=True)
-
-
-def log_mem(tag):
-    try:
-        stats = jax.devices()[0].memory_stats() or {}
-        log(f"[mem {tag}] in_use={stats.get('bytes_in_use', 0) / 2**30:.2f}"
-            f"GiB peak={stats.get('peak_bytes_in_use', 0) / 2**30:.2f}GiB")
-    except Exception:
-        pass
-
-
-def materialize(out):
-    for leaf in jax.tree.leaves(out):
-        np.asarray(leaf[..., :1])
-
-
-def timeit(fn, *args, iters=5):
-    out = fn(*args)
-    materialize(out)
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        materialize(out)
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts)), out
-
-
-def recall_at_k(ids, exact_ids):
-    ids = np.asarray(ids)
-    exact_ids = np.asarray(exact_ids)[:, :ids.shape[1]]
-    hits = sum(len(set(a.tolist()) & set(e.tolist()))
-               for a, e in zip(ids, exact_ids))
-    return hits / exact_ids.size
+from postgres_word2vec_tpu.evaluation.benchutil import (
+    log, log_mem, recall_at_k, timeit)
 
 
 def main():
@@ -153,20 +120,24 @@ def main():
     log_mem("pq")
 
     B = 64
-    t, _ = timeit(lambda q: pq.search(q, 10), table[:B].astype(jnp.float32))
-    _, ids = pq.search(queries_eval, 10)
-    _, ids5 = pq.search(queries_eval, 5)
+    t, _ = timeit(lambda q: pq.search(q, 10, impl="pallas_binned"),
+                  table[:B].astype(jnp.float32))
+    _, ids = pq.search(queries_eval, 10, impl="pallas_binned")
+    _, ids5 = pq.search(queries_eval, 5, impl="pallas_binned")
     results["pq_scan"] = dict(
         per_query_ms=t / B * 1e3, batch=B,
         recall=recall_at_k(ids, gt10), recall5=recall_at_k(ids5, gt5),
-        note="dense Pallas ADC scan over 10M uint8 codes")
+        note="binned Pallas ADC scan over 10M uint8 codes")
     log(f"[pq_scan] {results['pq_scan']['per_query_ms']:.4g} ms/q "
         f"recall@10={results['pq_scan']['recall']:.3f}")
 
-    t, _ = timeit(lambda q: pq.search_pv(q, 10, 20, table),
+    t, _ = timeit(lambda q: pq.search_pv(q, 10, 20, table,
+                                         impl="pallas_binned"),
                   table[:B].astype(jnp.float32))
-    _, ids = pq.search_pv(queries_eval, 10, 20, table)
-    _, ids5 = pq.search_pv(queries_eval, 5, 20, table)
+    _, ids = pq.search_pv(queries_eval, 10, 20, table,
+                          impl="pallas_binned")
+    _, ids5 = pq.search_pv(queries_eval, 5, 20, table,
+                           impl="pallas_binned")
     results["pq_pv_20"] = dict(
         per_query_ms=t / B * 1e3, batch=B,
         recall=recall_at_k(ids, gt10), recall5=recall_at_k(ids5, gt5),

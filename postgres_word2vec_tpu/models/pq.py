@@ -187,7 +187,7 @@ class PQIndex:
                                                compare=False)
 
     _BLOCK_N = 2048
-    _DENSE_SCAN_BYTES = 1_610_612_736  # 1.5 GiB
+    _DENSE_SCAN_BYTES = 6_442_450_944  # 6 GiB — no-go anywhere
 
     def transposed_codes(self) -> Array:
         """Cached subspace-major codes (storage dtype), kernel-block padded."""
@@ -261,32 +261,42 @@ class PQIndex:
                impl: str | None = None) -> tuple[Array, Array]:
         """Exhaustive ADC top-k (``pq_search`` parity) → (sqdists, ids).
 
-        ``impl``: "pallas" (TPU matmul-scan kernel), "xla" (gather path),
-        or None to auto-select by backend.
+        ``impl``: "pallas" (TPU matmul-scan kernel), "pallas_binned"
+        (memory-lean fused binned kernel — approximate, for tables whose
+        dense (B, N) distance buffer cannot sit beside resident state),
+        "xla" (gather path), or None to auto-select by backend.
         """
         from postgres_word2vec_tpu.ops import pallas_kernels as pk
 
         if impl is None:
             impl = "pallas" if pk.supports_pallas() else "xla"
         luts = lut.build_luts(self._rotate(queries), self.codebook.centroids)
-        if impl == "pallas":
+        if impl.startswith("pallas"):
             ct = self.transposed_codes()
-            # the dense scan materializes a (B, N) f32 distance matrix;
-            # beyond ~1.5 GiB switch to the fused binned kernel, which
-            # keeps only per-bin minima (the 10M-row capacity regime).
+            # The dense scan materializes a (B, N) f32 distance matrix.
+            # "pallas_binned" (or a dense buffer beyond the absolute no-go
+            # bar) selects the fused binned kernel instead, which keeps
+            # only per-bin minima — results become approximate in the
+            # approx_min_k sense (one survivor per strided bin) even with
+            # approx=False. Memory-constrained callers (the 10M capacity
+            # regime, where the dense buffer must fit BESIDE a resident
+            # raw table) should pass impl="pallas_binned" explicitly; the
+            # auto bar only guards impossible-anywhere sizes.
             dense_bytes = queries.shape[0] * ct.shape[1] * 4
-            if dense_bytes > self._DENSE_SCAN_BYTES:
+            if impl == "pallas_binned" or dense_bytes > self._DENSE_SCAN_BYTES:
                 return pk.adc_top_k_binned_pallas(
-                    luts, ct, k, valid_n=self.size, block_n=self._BLOCK_N)
+                    luts, ct, k, valid_n=self.size, block_n=self._BLOCK_N,
+                    approx=approx)
             return pk.adc_top_k_pallas(luts, ct, k, valid_n=self.size,
                                        block_n=self._BLOCK_N, approx=approx)
         return adc.adc_top_k(luts, self.codes, k, approx=approx)
 
     def search_pv(self, queries: Array, k: int, pvf: int,
-                  vectors: Array) -> tuple[Array, Array]:
+                  vectors: Array, *, impl: str | None = None
+                  ) -> tuple[Array, Array]:
         """ADC shortlist of k·pvf then exact re-rank
         (``k_nearest_neighbour_pq_pv`` parity, sql:625-662)."""
-        cd, ci = self.search(queries, k * pvf)
+        cd, ci = self.search(queries, k * pvf, impl=impl)
         return adc.post_verify(queries, ci, cd, vectors, k)
 
     def search_in(self, queries: Array, k: int, target_ids: Array,

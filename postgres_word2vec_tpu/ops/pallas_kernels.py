@@ -574,11 +574,11 @@ def adc_top_k_pallas(luts: Array, codes_t: Array, k: int, *,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "valid_n", "block_n",
-                                             "bins", "approx"))
+                                             "bins", "approx", "interpret"))
 def adc_top_k_binned_pallas(luts: Array, codes_t: Array, k: int, *,
                             valid_n: int | None = None, block_n: int = 2048,
-                            bins: int = 128, approx: bool = True
-                            ) -> tuple[Array, Array]:
+                            bins: int = 128, approx: bool = True,
+                            interpret: bool = False) -> tuple[Array, Array]:
     """Memory-lean exhaustive ADC top-k via the fused binned scan.
 
     The dense wrapper materializes a ``(B, N)`` float32 distance matrix —
@@ -593,7 +593,7 @@ def adc_top_k_binned_pallas(luts: Array, codes_t: Array, k: int, *,
     scales where this path is selected.
     """
     mins, ids = adc_scan_binned_pallas(luts, codes_t, block_n=block_n,
-                                       bins=bins)
+                                       bins=bins, interpret=interpret)
     if valid_n is not None and valid_n < codes_t.shape[1]:
         mins = jnp.where(ids < valid_n, mins, jnp.inf)
     if approx:

@@ -131,8 +131,6 @@ def test_narrow_code_dtypes_match_int32(rng):
     """uint8/int8/int16 code streams produce bit-identical distances to the
     int32 path: the kernels widen in VMEM, so the storage dtype must only
     change HBM traffic, never results (incl. the budget tile-gather)."""
-    from postgres_word2vec_tpu.ops import adc
-
     B, m, k, n = 4, 6, 200, 512   # k=200: uint8 codes reach 199
     cb = jnp.asarray(rng.normal(size=(m, k, 5)).astype(np.float32))
     q = jnp.asarray(rng.normal(size=(B, 30)).astype(np.float32))
@@ -175,8 +173,9 @@ def test_narrow_code_dtypes_match_int32(rng):
 
 
 def test_adc_top_k_binned_wrapper(rng):
-    """Binned top-k: k=1 equals the dense argmin; every (id, val) pair is
-    consistent with dense distances; valid_n masking drops padding ids."""
+    """Binned top-k wrapper (interpret mode): k=1 equals the dense argmin;
+    every (id, val) pair is consistent with dense distances; valid_n
+    masking never returns padding ids."""
     B, m, k, n = 4, 6, 16, 1024
     cb = jnp.asarray(rng.normal(size=(m, k, 5)).astype(np.float32))
     q = jnp.asarray(rng.normal(size=(B, 30)).astype(np.float32))
@@ -185,24 +184,30 @@ def test_adc_top_k_binned_wrapper(rng):
     ct = jnp.asarray(codes.T)
     dense = np.asarray(pk.adc_scan_pallas(luts, ct, block_n=256,
                                           interpret=True))
-    # interpret-mode inner call: route through the underlying pieces
-    mins, ids = pk.adc_scan_binned_pallas(luts, ct, block_n=256, bins=128,
-                                          interpret=True)
     valid_n = 1000
-    mins = jnp.where(ids < valid_n, mins, jnp.inf)
-    neg, pos = jnp.sort(-mins)[:, :1], jnp.argsort(-mins)[:, -1:]
-    v1 = np.asarray(-jnp.max(-mins, axis=-1))
-    i1 = np.asarray(jnp.take_along_axis(
-        np.asarray(ids), np.asarray(jnp.argmin(mins, axis=-1))[:, None],
-        axis=-1))[:, 0]
     masked = dense.copy()
     masked[:, valid_n:] = np.inf
-    np.testing.assert_array_equal(i1, masked.argmin(axis=-1))
-    np.testing.assert_allclose(v1, masked.min(axis=-1), rtol=1e-6)
-    # consistency of every candidate
-    mins_np, ids_np = np.asarray(mins), np.asarray(ids)
-    fin = np.isfinite(mins_np)
-    bi = np.broadcast_to(np.arange(B)[:, None], ids_np.shape)
-    np.testing.assert_allclose(mins_np[fin], dense[bi[fin], ids_np[fin]],
+
+    v1, i1 = pk.adc_top_k_binned_pallas(luts, ct, 1, valid_n=valid_n,
+                                        block_n=256, approx=False,
+                                        interpret=True)
+    np.testing.assert_array_equal(np.asarray(i1)[:, 0],
+                                  masked.argmin(axis=-1))
+    np.testing.assert_allclose(np.asarray(v1)[:, 0], masked.min(axis=-1),
                                rtol=1e-6)
-    assert (ids_np[fin] < valid_n).all()
+
+    kk = 8
+    vals, ids = pk.adc_top_k_binned_pallas(luts, ct, kk, valid_n=valid_n,
+                                           block_n=256, approx=False,
+                                           interpret=True)
+    vals, ids = np.asarray(vals), np.asarray(ids)
+    fin = np.isfinite(vals)
+    bi = np.broadcast_to(np.arange(B)[:, None], ids.shape)
+    np.testing.assert_allclose(vals[fin], dense[bi[fin], ids[fin]],
+                               rtol=1e-6)
+    assert (ids[fin] < valid_n).all()
+    # per-row candidates are sorted ascending and unique
+    for b in range(B):
+        row = ids[b][fin[b]]
+        assert len(set(row.tolist())) == len(row)
+        assert (np.diff(vals[b][fin[b]]) >= 0).all()
