@@ -370,6 +370,35 @@ def main():
 
     log_mem("ivfadc")
 
+    # --------------- IVFADC with 4-bit residual codes (60x16): the grouped
+    # one-hot kernel makes small-k probes full-depth on the MXU, so the
+    # Quick-ADC regime lifts the inverted-file family like exhaustive PQ
+    # (reports/ivfadc4bit_3M.json).
+    try:
+        t0 = time.perf_counter()
+        ivf = IVFADCIndex.build(jax.random.PRNGKey(2), V, m=60, k=16,
+                                k_coarse=1000, **BUILD)
+        ivf.tiled()
+        log(f"IVFADC 60x16 built in {time.perf_counter() - t0:.1f}s")
+        B = 256
+        t, _ = timeit(lambda q: ivf.search(q, K, w=3), V[:B])
+        _, ids = ivf.search(queries_eval, K, w=3)
+        _, ids5 = ivf.search(queries_eval, 5, w=3)
+        add("ivfadc4bit_w3", ids5, ids, per_query_ms=t / B * 1e3, batch=B,
+            w=3, ref_s=0.01, ref_recall=0.35,
+            note="tiled probe w=3, 60x16 4-bit residual codes")
+        t, _ = timeit(lambda q: ivf.search_pv(q, K, 20, V, w=3), V[:B])
+        _, ids = ivf.search_pv(queries_eval, K, 20, V, w=3)
+        _, ids5 = ivf.search_pv(queries_eval, 5, 20, V, w=3)
+        add("ivfadc4bit_pv", ids5, ids, per_query_ms=t / B * 1e3, batch=B,
+            ref_s=0.26, ref_recall=0.65,
+            note="4-bit tiled probe w=3 + exact re-rank pvf=20")
+        del ivf
+    except Exception as e:  # pragma: no cover
+        log(f"ivfadc4bit bench failed: {e!r}")
+
+    log_mem("ivfadc4bit")
+
     # ------------------------------------------------------------- kNN-join
     try:
         from postgres_word2vec_tpu.models.ivpq import (IVPQIndex,
