@@ -118,26 +118,60 @@ class Freddy:
         self.mesh = mesh
 
     # ------------------------------------------------------------- builders
+    #: ``build(preset=...)`` bundles. "reference" is the shipped-config
+    #: parity point; "quality" is this framework's best measured operating
+    #: regime at 3M (reports/opq4bit_3M.json, reports/ivfadc4bit_3M.json):
+    #: OPQ rotation + 4-bit 60×16 codes for PQ, 4-bit residuals for
+    #: IVFADC, kmeans++ Lloyd. Requires d divisible by 60.
+    PRESETS = {
+        "reference": {},
+        "quality": dict(pq_m=60, pq_k=16, opq_iters=10, ivfadc_m=60,
+                        ivfadc_k=16, ivpq_m=60, ivpq_k=16, iters=25,
+                        init="kmeans++"),
+    }
+
     @classmethod
     def build(cls, store: VectorStore, *, seed: int = 0,
+              preset: str | None = None,
               with_pq: bool = True, with_ivfadc: bool = True,
-              with_ivpq: bool = True, pq_m: int = 12, pq_k: int = 256,
-              ivfadc_m: int = 12, ivfadc_k: int = 256, k_coarse: int = 1000,
-              ivpq_m: int = 30, ivpq_k: int = 32, ivpq_k_coarse: int = 32,
+              with_ivpq: bool = True, pq_m: int | None = None,
+              pq_k: int | None = None, ivfadc_m: int | None = None,
+              ivfadc_k: int | None = None, k_coarse: int = 1000,
+              ivpq_m: int | None = None, ivpq_k: int | None = None,
+              ivpq_k_coarse: int = 32,
               ivpq_coarse_positions: int = 2,
-              train_size: int | None = 100_000, iters: int = 10,
-              init: str = "sample", restarts: int = 1,
-              opq_iters: int = 0, mesh=None) -> "Freddy":
+              train_size: int | None = 100_000, iters: int | None = None,
+              init: str | None = None, restarts: int = 1,
+              opq_iters: int | None = None, mesh=None) -> "Freddy":
         """Train every requested index family on the store's normalized
         vectors (build drivers pq_index.py / ivfadc.py / ivpq.py parity;
         hyperparameter defaults from index_creation/config/*.json).
 
-        Quality knobs beyond the reference: ``init``/``restarts`` (k-means
-        quality), ``opq_iters`` (OPQ rotation for the PQ family),
+        ``preset`` selects a parameter bundle (:attr:`PRESETS`) — explicit
+        keyword arguments always win over the preset. Quality knobs beyond
+        the reference: ``init``/``restarts`` (k-means quality),
+        ``opq_iters`` (OPQ rotation for the PQ family),
         ``ivpq_coarse_positions=1`` (flat coarse quantizer — the
         reference's non-USE_MULTI_COARSE variant, far better cell locality
         on TPU). ``mesh``: optional jax Mesh — the engine comes up in
         multi-chip mode (see :meth:`enable_sharding`)."""
+        base = dict(pq_m=12, pq_k=256, ivfadc_m=12, ivfadc_k=256,
+                    ivpq_m=30, ivpq_k=32, iters=10, init="sample",
+                    opq_iters=0)
+        if preset is not None:
+            if preset not in cls.PRESETS:
+                raise ValueError(f"unknown preset {preset!r}; "
+                                 f"one of {sorted(cls.PRESETS)}")
+            base.update(cls.PRESETS[preset])
+        pq_m = base["pq_m"] if pq_m is None else pq_m
+        pq_k = base["pq_k"] if pq_k is None else pq_k
+        ivfadc_m = base["ivfadc_m"] if ivfadc_m is None else ivfadc_m
+        ivfadc_k = base["ivfadc_k"] if ivfadc_k is None else ivfadc_k
+        ivpq_m = base["ivpq_m"] if ivpq_m is None else ivpq_m
+        ivpq_k = base["ivpq_k"] if ivpq_k is None else ivpq_k
+        iters = base["iters"] if iters is None else iters
+        init = base["init"] if init is None else init
+        opq_iters = base["opq_iters"] if opq_iters is None else opq_iters
         key = jax.random.PRNGKey(seed)
         kp, ki, kv = jax.random.split(key, 3)
         vecs = store.vectors_norm

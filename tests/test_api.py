@@ -226,3 +226,25 @@ def test_engine_save_load_roundtrip(engine, tmp_path):
 
 def test_warmup_runs(engine):
     engine.warmup(k=3, join_targets=64, query_chunk=8)
+
+
+def test_build_preset_quality():
+    """preset='quality' applies the bundle (4-bit OPQ PQ + 4-bit IVFADC
+    residuals); explicit kwargs win over the preset; unknown preset raises."""
+    store = _make_store(n=300, d=120)   # d % 60 == 0 for the 60x16 regime
+    eng = Freddy.build(store, preset="quality", with_ivpq=False,
+                       k_coarse=8, train_size=None, iters=3)
+    assert eng.pq.codebook.centroids.shape[:2] == (60, 16)
+    assert eng.pq.rotation is not None          # OPQ on
+    assert eng.ivfadc.codebook.centroids.shape[:2] == (60, 16)
+    res = eng.knn("w10", 3)
+    assert res[0][0] == "w10"
+
+    # explicit kwarg overrides the preset value
+    eng2 = Freddy.build(store, preset="quality", pq_m=6, pq_k=8,
+                        with_ivfadc=False, with_ivpq=False,
+                        train_size=None, iters=2)
+    assert eng2.pq.codebook.centroids.shape[:2] == (6, 8)
+
+    with pytest.raises(ValueError, match="unknown preset"):
+        Freddy.build(store, preset="best")
