@@ -80,7 +80,9 @@ class Freddy:
     def __init__(self, store: VectorStore, *, pq: PQIndex | None = None,
                  ivfadc: IVFADCIndex | None = None,
                  ivpq: IVPQIndex | None = None,
-                 params: RuntimeParams | None = None) -> None:
+                 params: RuntimeParams | None = None,
+                 exact_dtype: str = "float32",
+                 exact_approx: bool = False) -> None:
         self.store = store
         self.pq = pq
         self.ivfadc = ivfadc
@@ -89,7 +91,13 @@ class Freddy:
         self.dispatch = dict(DEFAULT_DISPATCH)
         self.statistics: dict[str, Array] = {}
         self.tracker = GLOBAL_TRACKER
-        self.exact = ExactIndex(store.vectors_norm)
+        # exact_dtype/exact_approx: the engine's exact family defaults to
+        # the bit-faithful reference configuration (f32 table, lossless
+        # top-k). Serving deployments should pass "bfloat16"/approx=True —
+        # the bench-measured production scan (~10x faster at 3M, recall
+        # ~0.99); "int8" halves HBM again.
+        self.exact = ExactIndex(store.vectors_norm, exact_dtype,
+                                approx=exact_approx)
         self.mesh = None          # set by enable_sharding()
         self._shard: dict = {}
 
@@ -142,7 +150,9 @@ class Freddy:
               ivpq_coarse_positions: int = 2,
               train_size: int | None = 100_000, iters: int | None = None,
               init: str | None = None, restarts: int = 1,
-              opq_iters: int | None = None, mesh=None) -> "Freddy":
+              opq_iters: int | None = None, mesh=None,
+              exact_dtype: str = "float32",
+              exact_approx: bool = False) -> "Freddy":
         """Train every requested index family on the store's normalized
         vectors (build drivers pq_index.py / ivfadc.py / ivpq.py parity;
         hyperparameter defaults from index_creation/config/*.json).
@@ -190,7 +200,8 @@ class Freddy:
             coarse_positions=ivpq_coarse_positions,
             train_size=eff_train, iters=iters, init=init,
             restarts=restarts) if with_ivpq else None
-        eng = cls(store, pq=pq, ivfadc=ivf, ivpq=ivpq)
+        eng = cls(store, pq=pq, ivfadc=ivf, ivpq=ivpq,
+                  exact_dtype=exact_dtype, exact_approx=exact_approx)
         if mesh is not None:
             eng.enable_sharding(mesh)
         return eng
@@ -281,8 +292,14 @@ class Freddy:
         return arr, jnp.ones((len(ids),), bool)
 
     def _format_knn(self, dists: Array, ids: Array) -> list[list[tuple]]:
-        """(B, k) device results → per-query [(word, similarity), …]."""
-        sims = np.asarray(vo.sim_from_sqdist(dists))
+        """(B, k) device results → per-query [(word, similarity), …].
+
+        The sim map runs on HOST numpy: an eager device op here costs a
+        full dispatch round trip per call (~0.8 s on the tunneled chip —
+        measured; it was the serving path's bottleneck), vs one small
+        (B, k) transfer plus microseconds of host math.
+        """
+        sims = 1.0 - np.asarray(dists) / 2.0
         ids_np = np.asarray(ids)
         out = []
         for b in range(ids_np.shape[0]):

@@ -36,7 +36,10 @@ Array = jax.Array
 class KMeansResult(NamedTuple):
     centroids: Array  # (k, d) float32
     counts: Array     # (k,) int32 — cluster sizes at the final assignment
-    distortion: Array = jnp.float32(0.0)  # mean point↔centroid distance
+    # plain-float default: a jnp scalar here would initialize the JAX
+    # backend at import time, defeating apply_platform_from_env for every
+    # CLI (the platform can only be overridden before first backend use).
+    distortion: Array | float = 0.0  # mean point↔centroid distance
 
 
 def pairwise_sqdist(x: Array, c: Array) -> Array:

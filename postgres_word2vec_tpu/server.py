@@ -42,6 +42,20 @@ import numpy as np
 from postgres_word2vec_tpu.api import Freddy
 
 
+def _gather_rows_jit():
+    # lazily-built jitted row gather: EAGER jnp ops on the tunneled TPU pay
+    # a full per-op dispatch round trip (~0.5-1 s measured — the same
+    # pathology as the eager sim map _format_knn used to have); one jitted
+    # program keeps the whole serve path at dispatch cost.
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(lambda table, ids: jnp.take(table, ids, axis=0))
+
+
+_GATHER_ROWS = None
+
+
 class UnknownEndpoint(KeyError):
     """Routing failure (404) — distinct from domain KeyErrors (400)."""
 
@@ -63,6 +77,8 @@ class _MicroBatcher:
         self._queue: list[dict] = []
         self.batched_calls = 0
         self.max_coalesced = 0
+        self.busy_s = 0.0          # wall time spent inside fn (device path)
+        self.items_done = 0
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -90,6 +106,7 @@ class _MicroBatcher:
                     self._cv.wait(timeout=remaining)
                 batch = self._queue[:self._max_batch]
                 del self._queue[:len(batch)]
+            t0 = time.perf_counter()
             try:
                 results = self._fn([s["item"] for s in batch])
                 for s, r in zip(batch, results):
@@ -103,6 +120,8 @@ class _MicroBatcher:
             except Exception as e:  # noqa: BLE001 — batch-level failure
                 for s in batch:
                     s["error"] = e
+            self.busy_s += time.perf_counter() - t0
+            self.items_done += len(batch)
             self.batched_calls += 1
             self.max_coalesced = max(self.max_coalesced, len(batch))
             for s in batch:
@@ -116,6 +135,8 @@ class QueryServer:
                  port: int = 8765, batch_window_ms: float = 2.0,
                  max_batch: int = 64):
         self.engine = engine
+        self.stage_s = {"resolve": 0.0, "gather": 0.0, "search": 0.0,
+                        "format": 0.0}
         self._lock = threading.Lock()
         self._requests = 0
         self._started = time.time()
@@ -140,26 +161,84 @@ class QueryServer:
         import jax.numpy as jnp
 
         eng = self.engine
+        tmr = self.stage_s
+        t0 = time.perf_counter()
         out: list = [None] * len(items)
         groups: dict[int, list[int]] = {}
-        rows_by_item: dict[int, np.ndarray] = {}
+        # Resolve each item HOST-side only: word → id via the vocab dict,
+        # raw vector → normalized numpy row. Never materialize a device
+        # row per item — on a tunneled chip that is one ~30 ms round trip
+        # each, which serialized an 80-item coalesced batch into seconds.
+        wid: dict[int, int] = {}
+        raw: dict[int, np.ndarray] = {}
         for j, (query, k) in enumerate(items):
             try:
-                rows_by_item[j] = np.asarray(eng._query_matrix(query)[0])
+                if isinstance(query, str):
+                    wid[j] = eng.store.get_id(query)
+                else:
+                    v = np.asarray(query, np.float32).reshape(-1)
+                    n = float(np.linalg.norm(v))
+                    raw[j] = v / n if n > 0 else v
             except Exception as e:  # noqa: BLE001 — isolate per item
                 out[j] = e
                 continue
             groups.setdefault(int(k), []).append(j)
+        tmr["resolve"] += time.perf_counter() - t0
         with self._lock:
             for k, idxs in groups.items():
-                qj = jnp.asarray(np.stack([rows_by_item[j] for j in idxs]))
-                d, i = eng.knn_matrix(qj, k)
-                rows = eng._format_knn(d, i)
+                # pad to the next power of two: coalescing produces every
+                # batch size 1..max_batch, and each distinct shape is a
+                # fresh XLA compile (seconds each on a cold server) — with
+                # padding at most log2(max_batch)+1 programs ever compile.
+                b = len(idxs)
+                bp = 1 << (b - 1).bit_length()
+                pad_j = idxs[0]
+                ids = np.asarray(
+                    [wid.get(j, 0) for j in idxs]
+                    + [wid.get(pad_j, 0)] * (bp - b), np.int32)
+                global _GATHER_ROWS
+                if _GATHER_ROWS is None:
+                    _GATHER_ROWS = _gather_rows_jit()
+                t0 = time.perf_counter()
+                q = _GATHER_ROWS(eng.store.vectors_norm,
+                                 jnp.asarray(ids))  # one jitted gather
+                if raw:
+                    rpos = [p for p, j in enumerate(idxs) if j in raw]
+                    if rpos:
+                        rstack = jnp.asarray(
+                            np.stack([raw[idxs[p]] for p in rpos]))
+                        q = q.at[jnp.asarray(rpos, jnp.int32)].set(rstack)
+                tmr["gather"] += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                d, i = eng.knn_matrix(q, k)
+                # materialize the PADDED arrays and slice on host: an
+                # eager device slice (d[:b]) rebuilds a jaxpr per call —
+                # pure-Python work that collapses under the handler
+                # threads' GIL contention (measured ~0.7 s/call at 128
+                # concurrent clients vs ~1 ms for the host slice).
+                d_np = np.asarray(d)
+                i_np = np.asarray(i)
+                tmr["search"] += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                rows = eng._format_knn(d_np[:b], i_np[:b])
+                tmr["format"] += time.perf_counter() - t0
                 for j, r in zip(idxs, rows):
                     out[j] = r
         return out
 
     # ------------------------------------------------------------- control
+    def warmup(self, k: int = 10) -> None:
+        """Precompile the /knn micro-batch path for every shape it can
+        produce (batches pad to powers of two, so log2(max_batch)+1
+        programs: gather + search + format). Without this, each new
+        coalesced size compiles DURING live traffic — tens of seconds per
+        shape on a tunneled chip."""
+        w0 = self.engine.store.words[0]
+        b = 1
+        while b <= self._knn_batcher._max_batch:
+            self._run_knn_batch([(w0, k)] * b)
+            b *= 2
+
     def start(self) -> "QueryServer":
         self._thread = threading.Thread(target=self.httpd.serve_forever,
                                         daemon=True)
@@ -240,6 +319,10 @@ class QueryServer:
             "device": str(jax.devices()[0]),
             "requests": self._requests,
             "knn_batched_calls": self._knn_batcher.batched_calls,
+            "knn_busy_s": round(self._knn_batcher.busy_s, 3),
+            "knn_stage_s": {k: round(v, 3)
+                            for k, v in self.stage_s.items()},
+            "knn_items_done": self._knn_batcher.items_done,
             "knn_max_coalesced": self._knn_batcher.max_coalesced,
             "uptime_s": round(time.time() - self._started, 1),
         }
@@ -248,6 +331,14 @@ class QueryServer:
         server = self
 
         class Handler(BaseHTTPRequestHandler):
+            # HTTP/1.1: keep-alive connections. The 1.0 default closes the
+            # socket after every response, forcing clients into a
+            # reconnect-per-request cycle (measured: dominated serving
+            # latency and surfaced as RemoteDisconnected errors under
+            # load). Content-Length is always set in _send, so persistent
+            # connections are safe.
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, fmt, *args):  # silence default stderr log
                 pass
 
