@@ -137,7 +137,11 @@ def main():
     lat: list[float] = []
     errors = [0]
     for _ in procs:
-        my_lat, err = outq.get()
+        try:
+            my_lat, err = outq.get(timeout=args.seconds + 180)
+        except Exception:
+            errors[0] += 1   # a client died without reporting
+            continue
         lat.extend(my_lat)
         errors[0] += err
     for p in procs:
@@ -165,8 +169,10 @@ def main():
                 "into device batches (micro-batching). Tunneled chip: "
                 "~30 ms RTT floors single-call latency.",
     }
-    log(f"qps={results['qps']:.0f} p50={results['latency_ms']['p50']:.1f}ms "
-        f"p95={results['latency_ms']['p95']:.1f}ms errors={errors[0]}")
+    p50, p95 = (results["latency_ms"][x] for x in ("p50", "p95"))
+    log(f"qps={results['qps']:.0f} "
+        f"p50={p50 if p50 is None else round(p50, 1)}ms "
+        f"p95={p95 if p95 is None else round(p95, 1)}ms errors={errors[0]}")
     out = os.path.abspath(args.out)
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:

@@ -299,7 +299,7 @@ class Freddy:
         measured; it was the serving path's bottleneck), vs one small
         (B, k) transfer plus microseconds of host math.
         """
-        sims = 1.0 - np.asarray(dists) / 2.0
+        sims = vo.sim_from_sqdist(np.asarray(dists))  # host numpy math
         ids_np = np.asarray(ids)
         out = []
         for b in range(ids_np.shape[0]):
@@ -903,7 +903,9 @@ class Freddy:
         np.savez(d / "statistics.npz",
                  **{k: np.asarray(v) for k, v in self.statistics.items()})
         meta = {"params": dataclasses.asdict(self.params),
-                "dispatch": self.dispatch}
+                "dispatch": self.dispatch,
+                "exact_dtype": self.exact.compute_dtype,
+                "exact_approx": self.exact.approx}
         (d / "engine.json").write_text(json.dumps(meta, indent=2))
 
     @classmethod
@@ -921,7 +923,9 @@ class Freddy:
             if p.exists():
                 kw[name] = loader(p)
         meta = json.loads((d / "engine.json").read_text())
-        eng = cls(store, params=RuntimeParams(**meta["params"]), **kw)
+        eng = cls(store, params=RuntimeParams(**meta["params"]),
+                  exact_dtype=meta.get("exact_dtype", "float32"),
+                  exact_approx=meta.get("exact_approx", False), **kw)
         eng.dispatch = dict(meta["dispatch"])
         stats_path = d / "statistics.npz"
         if stats_path.exists():
@@ -954,7 +958,8 @@ class Freddy:
         norm_new = jnp.asarray(np.stack(norm_rows))
         self.store = self.store.extend(new_words, np.stack(raw_rows))
         self.exact = ExactIndex(self.store.vectors_norm,
-                                self.exact.compute_dtype)
+                                self.exact.compute_dtype,
+                                approx=self.exact.approx)
         if self.pq is not None:
             self.pq = self.pq.add(norm_new)
         if self.ivfadc is not None:

@@ -177,6 +177,10 @@ class QueryServer:
                     wid[j] = eng.store.get_id(query)
                 else:
                     v = np.asarray(query, np.float32).reshape(-1)
+                    if v.shape[0] != eng.store.dim:
+                        raise ValueError(
+                            f"query dim {v.shape[0]} != store dim "
+                            f"{eng.store.dim}")
                     n = float(np.linalg.norm(v))
                     raw[j] = v / n if n > 0 else v
             except Exception as e:  # noqa: BLE001 — isolate per item
@@ -202,12 +206,15 @@ class QueryServer:
                 t0 = time.perf_counter()
                 q = _GATHER_ROWS(eng.store.vectors_norm,
                                  jnp.asarray(ids))  # one jitted gather
-                if raw:
-                    rpos = [p for p, j in enumerate(idxs) if j in raw]
-                    if rpos:
-                        rstack = jnp.asarray(
-                            np.stack([raw[idxs[p]] for p in rpos]))
-                        q = q.at[jnp.asarray(rpos, jnp.int32)].set(rstack)
+                rpos = [p for p, j in enumerate(idxs) if j in raw]
+                if rpos:
+                    # merge raw-vector queries on HOST (one extra transfer
+                    # each way) — an eager .at[].set scatter would rebuild
+                    # a jaxpr per call, the GIL-bound pathology this path
+                    # was rebuilt to avoid.
+                    q_np = np.array(q)   # writable host copy
+                    q_np[rpos] = np.stack([raw[idxs[p]] for p in rpos])
+                    q = q_np
                 tmr["gather"] += time.perf_counter() - t0
                 t0 = time.perf_counter()
                 d, i = eng.knn_matrix(q, k)
@@ -227,16 +234,23 @@ class QueryServer:
         return out
 
     # ------------------------------------------------------------- control
-    def warmup(self, k: int = 10) -> None:
+    DEFAULT_K = 5   # the /knn handler's default k
+
+    def warmup(self, k: int | None = None) -> None:
         """Precompile the /knn micro-batch path for every shape it can
         produce (batches pad to powers of two, so log2(max_batch)+1
         programs: gather + search + format). Without this, each new
         coalesced size compiles DURING live traffic — tens of seconds per
-        shape on a tunneled chip."""
+        shape on a tunneled chip. ``k`` is a static jit argument: warm
+        every k your clients use (default: the handler default)."""
         w0 = self.engine.store.words[0]
+        kk = self.DEFAULT_K if k is None else k
+        # cover every power-of-two pad target, incl. the rounded-up max
+        # when max_batch itself is not a power of two.
+        top = 1 << (self._knn_batcher._max_batch - 1).bit_length()
         b = 1
-        while b <= self._knn_batcher._max_batch:
-            self._run_knn_batch([(w0, k)] * b)
+        while b <= top:
+            self._run_knn_batch([(w0, kk)] * b)
             b *= 2
 
     def start(self) -> "QueryServer":
@@ -264,7 +278,8 @@ class QueryServer:
                 self._requests += 1
             q = body.get("query")
             q = q if isinstance(q, str) else np.asarray(q, np.float32)
-            return self._knn_batcher.submit((q, int(body.get("k", 5))))
+            return self._knn_batcher.submit(
+                (q, int(body.get("k", self.DEFAULT_K))))
         with self._lock:
             self._requests += 1
             if path == "/knn_in":
@@ -384,6 +399,7 @@ def main() -> None:
     engine.warmup()
     port = int(sys.argv[2]) if len(sys.argv) > 2 else 8765
     server = QueryServer(engine, port=port)
+    server.warmup()   # precompile every /knn micro-batch shape
     print(f"serving {engine.store.size} vectors on :{server.port}")
     server.serve_forever()
 

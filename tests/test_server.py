@@ -163,3 +163,34 @@ def test_knn_microbatch_honors_dispatch(server):
             eng.knn_matrix(eng.store.vectors_norm[:1], 2)
     finally:
         eng.dispatch["knn"] = old
+
+
+def test_malformed_vector_fails_only_its_slot(server):
+    """A wrong-dimension vector query must 400 alone, not poison the
+    coalesced batch (cross-client isolation)."""
+    out = server._run_knn_batch([("w5", 2), ([0.1, 0.2], 2), ("w6", 2)])
+    assert not isinstance(out[0], Exception)
+    assert isinstance(out[1], Exception)
+    assert not isinstance(out[2], Exception)
+
+
+def test_save_load_persists_exact_config(tmp_path):
+    import numpy as np
+
+    from postgres_word2vec_tpu import Freddy, VectorStore
+
+    rng = np.random.default_rng(3)
+    store = VectorStore.from_arrays(
+        [f"w{i}" for i in range(40)],
+        rng.normal(size=(40, 8)).astype(np.float32))
+    eng = Freddy.build(store, with_pq=False, with_ivfadc=False,
+                       with_ivpq=False, train_size=None,
+                       exact_dtype="bfloat16", exact_approx=True)
+    eng.save(tmp_path / "eng")
+    eng2 = Freddy.load(tmp_path / "eng")
+    assert eng2.exact.compute_dtype == "bfloat16"
+    assert eng2.exact.approx is True
+    # insert_batch keeps the production config too
+    eng2.insert_batch(["w1 w2"])
+    assert eng2.exact.approx is True
+    assert eng2.exact.compute_dtype == "bfloat16"
