@@ -232,11 +232,12 @@ def test_build_preset_quality():
     """preset='quality' applies the bundle (4-bit OPQ PQ + 4-bit IVFADC
     residuals); explicit kwargs win over the preset; unknown preset raises."""
     store = _make_store(n=300, d=120)   # d % 60 == 0 for the 60x16 regime
-    eng = Freddy.build(store, preset="quality", with_ivpq=False,
-                       k_coarse=8, train_size=None, iters=3)
+    eng = Freddy.build(store, preset="quality", k_coarse=8,
+                       ivpq_k_coarse=4, train_size=None, iters=3)
     assert eng.pq.codebook.centroids.shape[:2] == (60, 16)
     assert eng.pq.rotation is not None          # OPQ on
     assert eng.ivfadc.codebook.centroids.shape[:2] == (60, 16)
+    assert eng.ivpq.codebook.centroids.shape[:2] == (60, 16)
     res = eng.knn("w10", 3)
     assert res[0][0] == "w10"
 
