@@ -167,3 +167,52 @@ def test_ivfadc_tiled_probe_compiled_end_to_end(pk, rng):
                        for a, b in zip(np.asarray(i_tpu),
                                        np.asarray(i_xla))])
     assert overlap >= 0.9  # bf16 LUT may flip exact near-ties
+
+
+def test_narrow_dtype_codes_compiled(pk, rng):
+    """Compiled kernels with uint8/int16/int8 code streams match int32
+    bit-exactly on the real chip (narrow streaming is the production
+    layout; interpret-mode parity is in test_pallas.py)."""
+    from postgres_word2vec_tpu.ops import lut
+
+    B, n = 4, 4096
+    for m, k, dt in ((6, 256, np.uint8), (12, 1024, np.int16),
+                     (10, 16, np.int8)):
+        cb = jnp.asarray(rng.normal(size=(m, k, 5)).astype(np.float32))
+        q = jnp.asarray(rng.normal(size=(B, 5 * m)).astype(np.float32))
+        codes32 = rng.integers(0, k, size=(n, m)).astype(np.int32)
+        luts = lut.build_luts(q, cb)
+        ref = np.asarray(pk.adc_scan_pallas(luts, jnp.asarray(codes32.T)))
+        got = np.asarray(pk.adc_scan_pallas(
+            luts, jnp.asarray(codes32.T.astype(dt))))
+        np.testing.assert_array_equal(got, ref), (m, k, dt)
+
+
+def test_adc_top_k_binned_compiled(pk, rng):
+    """Compiled binned top-k wrapper: k=1 equals the dense argmin; all
+    candidate (id, val) pairs are consistent; valid_n masking holds."""
+    from postgres_word2vec_tpu.ops import lut
+
+    B, m, k, n = 4, 6, 16, 8192
+    cb = jnp.asarray(rng.normal(size=(m, k, 5)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(B, 30)).astype(np.float32))
+    codes = rng.integers(0, k, size=(n, m)).astype(np.uint8)
+    luts = lut.build_luts(q, cb)
+    ct = jnp.asarray(codes.T)
+    dense = np.asarray(pk.adc_scan_pallas(luts, ct))
+    valid_n = 8000
+    masked = dense.copy()
+    masked[:, valid_n:] = np.inf
+
+    v1, i1 = pk.adc_top_k_binned_pallas(luts, ct, 1, valid_n=valid_n,
+                                        approx=False)
+    np.testing.assert_array_equal(np.asarray(i1)[:, 0],
+                                  masked.argmin(axis=-1))
+    vals, ids = pk.adc_top_k_binned_pallas(luts, ct, 8, valid_n=valid_n,
+                                           approx=False)
+    vals, ids = np.asarray(vals), np.asarray(ids)
+    fin = np.isfinite(vals)
+    bi = np.broadcast_to(np.arange(B)[:, None], ids.shape)
+    np.testing.assert_allclose(vals[fin], dense[bi[fin], ids[fin]],
+                               rtol=1e-5)
+    assert (ids[fin] < valid_n).all()
