@@ -52,6 +52,11 @@ def main():
     ap.add_argument("--d", type=int, default=300)
     ap.add_argument("--chunk", type=int, default=1_280_000)
     ap.add_argument("--eval-q", type=int, default=256)
+    ap.add_argument("--pq", default="reference",
+                    choices=("reference", "quality"),
+                    help="PQ regime: reference=12x256 uint8; quality="
+                         "OPQ x 4-bit 60x16 (the best measured operating "
+                         "point at 3M)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "reports",
         "scale_10M.json"))
@@ -86,6 +91,21 @@ def main():
 
     queries_eval = table[:args.eval_q].astype(jnp.float32)
 
+    # PQ builds BEFORE the ground-truth pass: the long GT scan leaves the
+    # tunneled chip's allocator unable to satisfy large fresh allocations
+    # (observed: the 655 MiB transposed-code buffer OOMs after GT with
+    # ~9 GiB nominally free; bench.py documents the same phase ordering).
+    t0 = time.perf_counter()
+    pq_kw = (dict(m=12, k=256) if args.pq == "reference"
+             else dict(m=60, k=16, opq_iters=10))
+    results["pq_regime"] = args.pq
+    pq = PQIndex.build(jax.random.PRNGKey(7), table, train_size=100_000,
+                       iters=25, init="kmeans++", **pq_kw)
+    pq.transposed_codes()
+    log(f"PQ built in {time.perf_counter() - t0:.1f}s "
+        f"(codes {pq.codes.nbytes / 2**20:.0f} MiB {pq.codes.dtype})")
+    log_mem("pq")
+
     # ------------------------------------------ exact ground truth (f32
     # accumulation over the bf16 table, exact merge top-k)
     t0 = time.perf_counter()
@@ -109,15 +129,6 @@ def main():
     log(f"[exact_batch] {results['exact_batch']['per_query_ms']:.4g} ms/q "
         f"recall@10={results['exact_batch']['recall']:.3f}")
     log_mem("exact")
-
-    # --------------------------------------------------------- PQ (12x256)
-    t0 = time.perf_counter()
-    pq = PQIndex.build(jax.random.PRNGKey(7), table, m=12, k=256,
-                       train_size=100_000, iters=25, init="kmeans++")
-    pq.transposed_codes()
-    log(f"PQ built in {time.perf_counter() - t0:.1f}s "
-        f"(codes {pq.codes.nbytes / 2**20:.0f} MiB {pq.codes.dtype})")
-    log_mem("pq")
 
     B = 64
     t, _ = timeit(lambda q: pq.search(q, 10, impl="pallas_binned"),

@@ -18,6 +18,7 @@ BASELINE.md.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from pathlib import Path
 from typing import NamedTuple
 
@@ -166,6 +167,12 @@ def reconstruct(codes: Array, codebooks: Array) -> Array:
     return jnp.moveaxis(parts, 0, 1).reshape(codes.shape[0], m * dsub)
 
 
+@functools.partial(jax.jit, static_argnames=("pad",))
+def _pad_transpose(codes: Array, pad: int) -> Array:
+    """(n, m) → (m, n+pad) in ONE compiled program (single output buffer)."""
+    return jnp.pad(codes, ((0, pad), (0, 0))).T
+
+
 @dataclasses.dataclass
 class PQIndex:
     """Exhaustive-scan PQ index: packed codes + codebook, all HBM-resident.
@@ -195,8 +202,11 @@ class PQIndex:
             n = self.codes.shape[0]
             pad = (-n) % self._BLOCK_N
             # storage dtype preserved: the ADC kernels stream codes narrow
-            # (uint8/int16) and widen per-tile in VMEM.
-            ct = jnp.pad(self.codes, ((0, pad), (0, 0))).T
+            # (uint8/int16) and widen per-tile in VMEM. One jitted
+            # pad+transpose: two sequential EAGER ops each materialize a
+            # full copy (~0.6 GiB apiece at 10M×60), which tipped the
+            # capacity regime over HBM.
+            ct = _pad_transpose(self.codes, pad)
             object.__setattr__(self, "_codes_t", ct)
         return self._codes_t
 
