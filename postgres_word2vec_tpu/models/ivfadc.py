@@ -217,8 +217,9 @@ def _tail_scan(queries: Array, coarse: Array, centroids: Array,
     [w_lo, w_hi): dense residual ADC over the (small) slab, masked to rows
     whose cell the query probes. Returns (vals, ids, rows_seen).
 
-    ``tail_rowterm`` is maintained incrementally by ``add()`` (recomputing
-    the (C, m, k) einsum per search call was the dominant tail cost)."""
+    ``tail_rowterm`` is refreshed against the current codebook by ``add()``
+    (recomputing the (C, m, k) einsum per search call was the dominant tail
+    cost; per-add refresh keeps it consistent with the LUT basis)."""
     cap = tail_codes.shape[0]
     cd = kmeans.pairwise_sqdist(queries, coarse)
     _, cells = topk_ops.top_k_smallest(cd, w_hi)
@@ -581,14 +582,19 @@ class IVFADCIndex:
                  else jnp.full((self.TAIL_CAP,), -1, jnp.int32))
         t_rt = (self.tail_rowterm if self.tail_rowterm is not None
                 else jnp.zeros((self.TAIL_CAP,), jnp.float32))
-        rt_new = _compute_rowterm(self.coarse.centroids, cb.centroids,
-                                  a_new, new_codes)
         t_codes = lax.dynamic_update_slice(t_codes, new_codes,
                                            (self.tail_count, 0))
         t_cells = lax.dynamic_update_slice(t_cells, a_new,
                                            (self.tail_count,))
         t_ids = lax.dynamic_update_slice(t_ids, new_ids, (self.tail_count,))
-        t_rt = lax.dynamic_update_slice(t_rt, rt_new, (self.tail_count,))
+        # Recompute the ENTIRE tail rowterm against the just-updated
+        # codebook: _tail_scan builds LUTs from the current codebook, so a
+        # cross-term cached at an older codebook drifts on long-lived tails
+        # (advisor round 2). The slab is capped at TAIL_CAP — one small
+        # einsum, and rows past tail_count are masked by search anyway.
+        del t_rt
+        t_rt = _compute_rowterm(self.coarse.centroids, cb.centroids,
+                                t_cells, t_codes)
         return IVFADCIndex(
             coarse=coarse2, codebook=cb, cell_offsets=self.cell_offsets,
             codes_sorted=self.codes_sorted, row_ids=self.row_ids,
