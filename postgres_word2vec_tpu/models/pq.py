@@ -173,6 +173,46 @@ def _pad_transpose(codes: Array, pad: int) -> Array:
     return jnp.pad(codes, ((0, pad), (0, 0))).T
 
 
+@functools.partial(jax.jit, static_argnames=("k", "valid_n", "block_n",
+                                             "mode", "rotate", "approx"))
+def _pq_search_program(queries: Array, rotation: Array, centroids: Array,
+                       codes_t: Array, *, k: int, valid_n: int,
+                       block_n: int, mode: str, rotate: bool,
+                       approx: bool) -> tuple[Array, Array]:
+    """The WHOLE exhaustive PQ search as one compiled program: optional OPQ
+    rotation → LUT build → scan kernel → top-k. One dispatch per call —
+    the round-2 path issued rotate/LUT/scan as separate dispatches, each a
+    full transport round trip on a tunneled chip (~30 ms apiece, which
+    dominated the measured per-query latency at small batches)."""
+    from postgres_word2vec_tpu.ops import pallas_kernels as pk
+
+    q = (jnp.dot(queries.astype(jnp.float32), rotation,
+                 preferred_element_type=jnp.float32) if rotate else queries)
+    luts = lut.build_luts(q, centroids)
+    if mode == "binned":
+        return pk.adc_top_k_binned_pallas(luts, codes_t, k, valid_n=valid_n,
+                                          block_n=block_n, approx=approx)
+    if mode == "dense":
+        return pk.adc_top_k_pallas(luts, codes_t, k, valid_n=valid_n,
+                                   block_n=block_n, approx=approx)
+    # XLA gather backend (codes_t here is the UNtransposed (n, m) table).
+    return adc.adc_top_k(luts, codes_t, k, approx=approx)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "pvf", "valid_n",
+                                             "block_n", "mode", "rotate"))
+def _pq_search_pv_program(queries: Array, rotation: Array, centroids: Array,
+                          codes_t: Array, vectors: Array, *, k: int,
+                          pvf: int, valid_n: int, block_n: int, mode: str,
+                          rotate: bool) -> tuple[Array, Array]:
+    """Fused ADC shortlist (k·pvf, exact top-k) + exact re-rank in one
+    compiled program (one dispatch for the whole PV path)."""
+    cd, ci = _pq_search_program(queries, rotation, centroids, codes_t,
+                                k=k * pvf, valid_n=valid_n, block_n=block_n,
+                                mode=mode, rotate=rotate, approx=False)
+    return adc.post_verify(queries, ci, cd, vectors, k)
+
+
 @dataclasses.dataclass
 class PQIndex:
     """Exhaustive-scan PQ index: packed codes + codebook, all HBM-resident.
@@ -267,6 +307,56 @@ class PQIndex:
                                        rotation=self.rotation)
 
     # ------------------------------------------------------------- search
+    def _search_plan(self, n_queries: int, approx: bool,
+                     impl: str | None) -> tuple[str, Array, int]:
+        """Resolve (mode, codes-arg, valid_n) for the fused search program.
+
+        Mode selection: "binned" for approx requests on TPU (measured
+        faster than dense+approx_min_k at every probed regime since the
+        packed-argmin rewrite, and its intermediates are block_n/bins×
+        smaller) and for memory-constrained dense buffers; "dense" for
+        exact TPU requests; "xla" off-TPU.
+        """
+        from postgres_word2vec_tpu.ops import pallas_kernels as pk
+
+        impl_requested = impl
+        if impl is None:
+            impl = "pallas" if pk.supports_pallas() else "xla"
+        if not impl.startswith("pallas"):
+            return "xla", self.codes, self.size
+        ct = self.transposed_codes()
+        dense_bytes = n_queries * ct.shape[1] * 4
+        if impl == "pallas_binned" or approx:
+            return "binned", ct, self.size
+        if dense_bytes > self._DENSE_SCAN_BYTES:
+            # The dense scan materializes a (B, N) f32 distance matrix;
+            # past the no-go bar only the binned kernel can run — but its
+            # results are bin-survivor approximations even with
+            # approx=False, so never degrade an EXPLICIT exact-kernel
+            # request silently.
+            if impl_requested == "pallas":
+                raise ValueError(
+                    f"impl='pallas' dense distance buffer would be "
+                    f"{dense_bytes / 2**30:.1f} GiB (> "
+                    f"{self._DENSE_SCAN_BYTES / 2**30:.0f} GiB bar); "
+                    "pass impl='pallas_binned' (approximate) explicitly "
+                    "or reduce the query batch.")
+            import warnings
+            warnings.warn(
+                "PQIndex.search: dense (B, N) buffer exceeds the "
+                f"{self._DENSE_SCAN_BYTES / 2**30:.0f} GiB bar; "
+                "auto-selecting the approximate binned kernel. Pass "
+                "impl='pallas_binned' to silence, or chunk queries "
+                "for exact results.", stacklevel=3)
+            return "binned", ct, self.size
+        return "dense", ct, self.size
+
+    def _rot_args(self) -> tuple[Array, bool]:
+        if self.rotation is None:
+            # static `rotate=False` drops the dummy from the traced graph.
+            return jnp.zeros((1, 1), jnp.float32), False
+        return self.rotation, True
+
     def search(self, queries: Array, k: int, *, approx: bool = False,
                impl: str | None = None) -> tuple[Array, Array]:
         """Exhaustive ADC top-k (``pq_search`` parity) → (sqdists, ids).
@@ -274,40 +364,30 @@ class PQIndex:
         ``impl``: "pallas" (TPU matmul-scan kernel), "pallas_binned"
         (memory-lean fused binned kernel — approximate, for tables whose
         dense (B, N) distance buffer cannot sit beside resident state),
-        "xla" (gather path), or None to auto-select by backend.
+        "xla" (gather path), or None to auto-select by backend. The whole
+        pipeline (rotation, LUTs, scan, top-k) runs as ONE compiled
+        program (:func:`_pq_search_program`).
         """
-        from postgres_word2vec_tpu.ops import pallas_kernels as pk
-
-        if impl is None:
-            impl = "pallas" if pk.supports_pallas() else "xla"
-        luts = lut.build_luts(self._rotate(queries), self.codebook.centroids)
-        if impl.startswith("pallas"):
-            ct = self.transposed_codes()
-            # The dense scan materializes a (B, N) f32 distance matrix.
-            # "pallas_binned" (or a dense buffer beyond the absolute no-go
-            # bar) selects the fused binned kernel instead, which keeps
-            # only per-bin minima — results become approximate in the
-            # approx_min_k sense (one survivor per strided bin) even with
-            # approx=False. Memory-constrained callers (the 10M capacity
-            # regime, where the dense buffer must fit BESIDE a resident
-            # raw table) should pass impl="pallas_binned" explicitly; the
-            # auto bar only guards impossible-anywhere sizes.
-            dense_bytes = queries.shape[0] * ct.shape[1] * 4
-            if impl == "pallas_binned" or dense_bytes > self._DENSE_SCAN_BYTES:
-                return pk.adc_top_k_binned_pallas(
-                    luts, ct, k, valid_n=self.size, block_n=self._BLOCK_N,
-                    approx=approx)
-            return pk.adc_top_k_pallas(luts, ct, k, valid_n=self.size,
-                                       block_n=self._BLOCK_N, approx=approx)
-        return adc.adc_top_k(luts, self.codes, k, approx=approx)
+        mode, codes_arg, valid_n = self._search_plan(queries.shape[0],
+                                                     approx, impl)
+        rot, rotate = self._rot_args()
+        return _pq_search_program(queries, rot, self.codebook.centroids,
+                                  codes_arg, k=k, valid_n=valid_n,
+                                  block_n=self._BLOCK_N, mode=mode,
+                                  rotate=rotate, approx=approx)
 
     def search_pv(self, queries: Array, k: int, pvf: int,
                   vectors: Array, *, impl: str | None = None
                   ) -> tuple[Array, Array]:
-        """ADC shortlist of k·pvf then exact re-rank
-        (``k_nearest_neighbour_pq_pv`` parity, sql:625-662)."""
-        cd, ci = self.search(queries, k * pvf, impl=impl)
-        return adc.post_verify(queries, ci, cd, vectors, k)
+        """ADC shortlist of k·pvf then exact re-rank, fused into one
+        program (``k_nearest_neighbour_pq_pv`` parity, sql:625-662)."""
+        mode, codes_arg, valid_n = self._search_plan(queries.shape[0],
+                                                     False, impl)
+        rot, rotate = self._rot_args()
+        return _pq_search_pv_program(queries, rot, self.codebook.centroids,
+                                     codes_arg, vectors, k=k, pvf=pvf,
+                                     valid_n=valid_n, block_n=self._BLOCK_N,
+                                     mode=mode, rotate=rotate)
 
     def search_in(self, queries: Array, k: int, target_ids: Array,
                   target_mask: Array | None = None) -> tuple[Array, Array]:

@@ -147,8 +147,17 @@ def _adc_binned_kernel(codes_ref, luts_ref, mins_ref, args_ref, *, m: int,
     per-bin minimum and its argmin — (B, bins) instead of (B, block_n).
 
     Writing the full (B, N) distance matrix to HBM and re-reading it for
-    top-k costs ~35 ms at 64×3M; reducing in VMEM cuts the kernel output to
-    ~6 MB and makes the scan compute-bound.
+    top-k costs ~0.47 ms/query at 256×3M (6 GB of f32 round-trip at the
+    52 GB/s stream ceiling); reducing in VMEM cuts the kernel output
+    ``block_n/bins``-fold and makes the scan MXU-bound.
+
+    The argmin rides FREE inside the min: ADC distances are ≥ 0, and IEEE
+    f32 bit patterns of non-negative floats order monotonically as int32 —
+    so the sub-bin index packs into the low mantissa bits (value floor-
+    perturbed by ≤ 2⁻¹⁸ relative, far below PQ quantization error) and ONE
+    integer min reduction yields both the bin minimum and its position
+    (round 2 measured the separate in-kernel argmin at ~2× the whole
+    kernel's remaining cost — it was why the dense variant won then).
     """
     codes = codes_ref[:].astype(jnp.int32)
     acc = jnp.zeros((luts_ref.shape[1], block_n), jnp.float32)
@@ -162,9 +171,16 @@ def _adc_binned_kernel(codes_ref, luts_ref, mins_ref, args_ref, *, m: int,
     # Mosaic rejects a lane-splitting reshape, and strided bins are just as
     # valid for an approximate top-k partition.
     sub = block_n // bins
-    binned = acc.reshape(bb, sub, bins)
-    mins_ref[:] = jnp.min(binned, axis=1)
-    args_ref[:] = jnp.argmin(binned, axis=1).astype(jnp.int32)
+    sub_pow = 1 << (sub - 1).bit_length()        # index field width (pow2)
+    d = jnp.maximum(acc, 0.0)                    # kill any -0.0
+    bits = lax.bitcast_convert_type(d, jnp.int32).reshape(bb, sub, bins)
+    sub_idx = lax.broadcasted_iota(jnp.int32, (bb, sub, bins), 1)
+    packed = jnp.bitwise_or(
+        jnp.bitwise_and(bits, ~(sub_pow - 1)), sub_idx)
+    best = jnp.min(packed, axis=1)               # (bb, bins)
+    mins_ref[:] = lax.bitcast_convert_type(
+        jnp.bitwise_and(best, ~(sub_pow - 1)), jnp.float32)
+    args_ref[:] = jnp.bitwise_and(best, sub_pow - 1)
 
 
 @functools.partial(jax.jit, static_argnames=("block_n", "block_b", "bins",
@@ -558,19 +574,20 @@ def adc_top_k_pallas(luts: Array, codes_t: Array, k: int, *,
 
     ``valid_n`` masks padding columns appended to reach a block multiple.
     """
+    from postgres_word2vec_tpu.ops import topk as topk_ops
+
     n = codes_t.shape[1]
     dists = adc_scan_pallas(luts, codes_t, block_n=block_n)
     if valid_n is not None and valid_n < n:
         col = jnp.arange(n)
         dists = jnp.where(col[None, :] < valid_n, dists, jnp.inf)
     if approx:
-        # Dense scan + approx_min_k beats the fused binned kernel as
-        # currently lowered (42 vs 72 ms at 64×3M — the in-kernel
-        # argmin is expensive); adc_scan_binned_pallas remains available
-        # for memory-constrained cases where (B, N) must not materialize.
         return lax.approx_min_k(dists, k=k)
-    neg, idx = lax.top_k(-dists, k)
-    return -neg, idx
+    # blockwise exact top-k: a direct lax.top_k over a 3M-wide row is a
+    # bitonic sort whose cost dominated the round-2 PV shortlist
+    # (k·pvf=200 wide-row sorts); select-within-blocks + merge is exact
+    # and far cheaper (ops/topk.py).
+    return topk_ops.top_k_smallest(dists, k)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "valid_n", "block_n",
@@ -601,4 +618,7 @@ def adc_top_k_binned_pallas(luts: Array, codes_t: Array, k: int, *,
     else:
         neg, pos = lax.top_k(-mins, k)
         vals = -neg
-    return vals, jnp.take_along_axis(ids, pos, axis=-1)
+    sel = jnp.take_along_axis(ids, pos, axis=-1)
+    # fewer than k finite survivors → +inf slots carry padding-row ids
+    # (>= valid_n); emit -1 there, matching the join paths' convention.
+    return vals, jnp.where(jnp.isinf(vals), -1, sel)

@@ -49,9 +49,12 @@ def test_adc_binned_scan_interpret(rng):
     assert mins.shape == (B, (n // 256) * 128)
     # strided bins: within each 256-tile, bin j = rows {j, j+128}
     binned = dense.reshape(B, -1, 2, 128).min(axis=2).reshape(B, -1)
+    # the kernel packs the sub-bin index into the low mantissa bits, so the
+    # reported min is the true min floored by <= 2^-22 relative and the id
+    # points at a value within the same tolerance of the bin minimum.
     np.testing.assert_allclose(mins, binned, rtol=1e-5)
-    np.testing.assert_array_equal(
-        np.take_along_axis(dense, ids, axis=-1), mins)
+    np.testing.assert_allclose(np.take_along_axis(dense, ids, axis=-1),
+                               binned, rtol=1e-5)
 
 
 def test_fused_exact_scan_interpret(rng):
