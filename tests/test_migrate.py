@@ -1,0 +1,208 @@
+"""FREDDY dump migration: COPY codec, import/export round trip, parity.
+
+Round-trip target (VERDICT r2 item 5): engine → dump → engine preserves
+every quantizer verbatim, so search results are identical — the property a
+real FREDDY→framework migration needs (reference writers:
+database_export.py:19-77; schemas pq_index.py:24-29, ivfadc.py:26-34,
+ivpq.py:20-58)."""
+
+import numpy as np
+import pytest
+
+from postgres_word2vec_tpu import Freddy, VectorStore
+from postgres_word2vec_tpu.utils import codec, migrate
+
+
+def _engine(n=300, d=24, seed=3):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    words = [f"word{i}" for i in range(n)]
+    store = VectorStore.from_arrays(words, vecs)
+    eng = Freddy.build(store, seed=0, pq_m=6, pq_k=16, ivfadc_m=6,
+                       ivfadc_k=16, k_coarse=8, ivpq_m=6, ivpq_k=8,
+                       ivpq_k_coarse=4, train_size=None, iters=6)
+    eng.create_statistics("stat_google_vecs_norm_word",
+                          [f"word{i}" for i in range(0, n, 2)])
+    return eng
+
+
+@pytest.fixture(scope="module")
+def roundtrip(tmp_path_factory):
+    eng = _engine()
+    dump = tmp_path_factory.mktemp("freddy_dump")
+    migrate.export_engine(eng, dump)
+    eng2 = migrate.import_engine(dump)
+    return eng, eng2, dump
+
+
+# ---------------------------------------------------------------- COPY codec
+def test_parse_copy_line_escapes():
+    line = "1\thello\\tworld\t\\N\t\\\\x0102"
+    fields = migrate.parse_copy_line(line)
+    assert fields == ["1", "hello\tworld", None, "\\x0102"]
+
+
+def test_parse_copy_line_octal():
+    assert migrate.parse_copy_line("\\101BC") == ["ABC"]
+
+
+def test_format_copy_field_roundtrip():
+    for value in ["plain", "tab\there", "back\\slash", "new\nline"]:
+        line = migrate.format_copy_field(value)
+        assert migrate.parse_copy_line(line) == [value]
+    assert migrate.format_copy_field(None) == "\\N"
+    blob = bytes([0, 1, 255])
+    assert migrate.parse_copy_line(
+        migrate.format_copy_field(blob)) == ["\\x0001ff"]
+
+
+def test_write_read_table(tmp_path):
+    rows = [(1, "a word", codec.vec_to_bytes([1.5, -2.0])),
+            (2, None, codec.vec_to_bytes([0.0, 3.25]))]
+    path = tmp_path / "t.copy"
+    migrate.write_table(path, rows)
+    back = migrate.read_table(path)
+    assert back[0][0] == "1" and back[0][1] == "a word"
+    assert back[1][1] is None
+    v = codec.bytes_to_float4(migrate._bytea(back[0][2]))
+    np.testing.assert_allclose(v, [1.5, -2.0])
+
+
+# ------------------------------------------------------------- round trip
+def test_roundtrip_store(roundtrip):
+    eng, eng2, _ = roundtrip
+    assert eng2.store.words == eng.store.words
+    np.testing.assert_allclose(np.asarray(eng2.store.vectors_norm),
+                               np.asarray(eng.store.vectors_norm),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(eng2.store.vectors),
+                               np.asarray(eng.store.vectors), rtol=1e-6)
+
+
+def test_roundtrip_pq_verbatim(roundtrip):
+    eng, eng2, _ = roundtrip
+    np.testing.assert_array_equal(np.asarray(eng2.pq.codes),
+                                  np.asarray(eng.pq.codes))
+    np.testing.assert_allclose(np.asarray(eng2.pq.codebook.centroids),
+                               np.asarray(eng.pq.codebook.centroids),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(eng2.pq.codebook.counts),
+                                  np.asarray(eng.pq.codebook.counts))
+
+
+def test_roundtrip_ivfadc_verbatim(roundtrip):
+    eng, eng2, _ = roundtrip
+    a, b = eng.ivfadc, eng2.ivfadc
+    np.testing.assert_array_equal(np.asarray(b.assignments),
+                                  np.asarray(a.assignments))
+    # original-order codes: invert each CSR independently.
+    def orig(ix):
+        order = np.asarray(ix.row_ids)
+        out = np.empty_like(np.asarray(ix.codes_sorted))
+        out[order] = np.asarray(ix.codes_sorted)
+        return out
+    np.testing.assert_array_equal(orig(b), orig(a))
+    np.testing.assert_allclose(np.asarray(b.coarse.centroids),
+                               np.asarray(a.coarse.centroids), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(b.coarse.counts),
+                                  np.asarray(a.coarse.counts))
+
+
+def test_roundtrip_ivpq_verbatim(roundtrip):
+    eng, eng2, _ = roundtrip
+    np.testing.assert_array_equal(np.asarray(eng2.ivpq.codes),
+                                  np.asarray(eng.ivpq.codes))
+    np.testing.assert_array_equal(np.asarray(eng2.ivpq.cell_of),
+                                  np.asarray(eng.ivpq.cell_of))
+    np.testing.assert_array_equal(
+        np.asarray(eng2.ivpq.coarse.cell_counts),
+        np.asarray(eng.ivpq.coarse.cell_counts))
+
+
+def test_roundtrip_statistics(roundtrip):
+    eng, eng2, _ = roundtrip
+    assert set(eng2.statistics) == set(eng.statistics)
+    for name in eng.statistics:
+        np.testing.assert_allclose(np.asarray(eng2.statistics[name]),
+                                   np.asarray(eng.statistics[name]),
+                                   rtol=1e-6)
+
+
+def test_roundtrip_search_parity(roundtrip):
+    """The migration property that matters: identical results, not just
+    identical arrays — PQ, IVFADC, and the IVPQ join all answer the same."""
+    eng, eng2, _ = roundtrip
+    eng.set_knn_function("k_nearest_neighbour_pq")
+    eng2.set_knn_function("k_nearest_neighbour_pq")
+    assert eng.knn("word7", 5) == eng2.knn("word7", 5)
+    assert (eng.k_nearest_neighbour_ivfadc("word7", 5)
+            == eng2.k_nearest_neighbour_ivfadc("word7", 5))
+    targets = [f"word{i}" for i in range(100)]
+    assert (eng.knn_in_ivpq_batch(["word7"], 3, targets)
+            == eng2.knn_in_ivpq_batch(["word7"], 3, targets))
+
+
+def test_import_partial_dump(roundtrip, tmp_path):
+    """Only the vector tables + PQ → engine with pq but no ivfadc/ivpq."""
+    _, _, dump = roundtrip
+    partial = tmp_path / "partial"
+    partial.mkdir()
+    for name in ("google_vecs", "google_vecs_norm", "pq_quantization",
+                 "pq_codebook"):
+        (partial / f"{name}.copy").write_bytes(
+            (dump / f"{name}.copy").read_bytes())
+    eng = migrate.import_engine(partial)
+    assert eng.pq is not None
+    assert eng.ivfadc is None and eng.ivpq is None
+
+
+def test_import_missing_norm_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        migrate.import_engine(tmp_path)
+
+
+def test_word_mismatch_raises(roundtrip, tmp_path):
+    _, _, dump = roundtrip
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    for name in ("google_vecs_norm", "pq_quantization", "pq_codebook"):
+        (bad / f"{name}.copy").write_bytes(
+            (dump / f"{name}.copy").read_bytes())
+    # corrupt one pq row's word so the row-order check fires
+    lines = (bad / "pq_quantization.copy").read_text().splitlines(True)
+    parts = lines[5].split("\t")
+    parts[1] = "not_the_word"
+    lines[5] = "\t".join(parts)
+    (bad / "pq_quantization.copy").write_text("".join(lines))
+    with pytest.raises(ValueError, match="row order mismatch"):
+        migrate.import_engine(bad)
+
+
+def test_export_opq_raises(tmp_path):
+    rng = np.random.default_rng(0)
+    store = VectorStore.from_arrays(
+        [f"w{i}" for i in range(120)],
+        rng.normal(size=(120, 16)).astype(np.float32))
+    eng = Freddy.build(store, seed=0, with_ivfadc=False, with_ivpq=False,
+                       pq_m=4, pq_k=8, train_size=None, iters=4,
+                       opq_iters=2)
+    with pytest.raises(ValueError, match="OPQ"):
+        migrate.export_engine(eng, tmp_path / "d")
+
+
+def test_csv_dump_import(roundtrip, tmp_path):
+    """CSV-format dumps (hex bytea) import identically to COPY format."""
+    eng, _, dump = roundtrip
+    csv_dir = tmp_path / "csvdump"
+    csv_dir.mkdir()
+    import csv as csv_mod
+    for name in ("google_vecs", "google_vecs_norm", "pq_quantization",
+                 "pq_codebook"):
+        rows = migrate.read_table(dump / f"{name}.copy")
+        with open(csv_dir / f"{name}.csv", "w", newline="") as f:
+            w = csv_mod.writer(f)
+            for r in rows:
+                w.writerow(["" if v is None else v for v in r])
+    eng3 = migrate.import_engine(csv_dir)
+    np.testing.assert_array_equal(np.asarray(eng3.pq.codes),
+                                  np.asarray(eng.pq.codes))
