@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from pathlib import Path
 from typing import NamedTuple
 
@@ -541,6 +542,15 @@ class IVPQIndex:
     codes: Array                # (n, m) uint8 — original row order
     cell_of: Array              # (n,) int32 coarse cell per row
 
+    #: JoinTiles memo keyed on (target-set fingerprint, block_t, with_vecs,
+    #: vectors identity) — serving workloads hit the same target set
+    #: repeatedly (the reference's statistics-table use case) and must not
+    #: re-pay the per-call sort + scatter. ``add()`` returns a NEW index, so
+    #: the cache invalidates naturally on insert.
+    _join_cache: dict = dataclasses.field(default_factory=dict, repr=False,
+                                          compare=False)
+    _JOIN_CACHE_CAP = 4
+
     @property
     def size(self) -> int:
         return int(self.codes.shape[0])
@@ -626,17 +636,35 @@ class IVPQIndex:
                                  jnp.float32))
 
         jt = None
+        data_retrieval_s = 0.0
         if impl == "budget":
             t = target_ids.shape[0]
             block_t = 256 if t >= 50_000 else 128
-            jt = build_join_tiles(
-                target_codes, target_cells, target_mask, target_vecs,
-                block_t=block_t, num_cells=self.num_cells,
-                with_vecs=method == EXACT_CALC)
-            # jit converts the int leaves to arrays; restore static ints.
-            jt = jt._replace(
-                block_t=block_t,
-                inf_tile=int(jt.codes_t.shape[1]) // block_t - 1)
+            with_vecs = method == EXACT_CALC
+            ck = self._join_tiles_key(target_ids, target_mask, block_t,
+                                      with_vecs, vectors)
+            jt = self._join_cache.get(ck)
+            if jt is None:
+                # The tiling build is this framework's "data retrieval"
+                # stage: moving the target rows into scan layout — the SPI
+                # fetch analog (TRACK data_retrieval_time,
+                # ivpq_search_in.c:400-405). Timed by materializing a
+                # scalar leaf (block_until_ready alone does not guarantee
+                # completion on the tunneled chip — CLAUDE.md).
+                t0 = time.perf_counter()
+                jt = build_join_tiles(
+                    target_codes, target_cells, target_mask, target_vecs,
+                    block_t=block_t, num_cells=self.num_cells,
+                    with_vecs=with_vecs)
+                np.asarray(jt.t_real)
+                data_retrieval_s = time.perf_counter() - t0
+                # jit converts the int leaves to arrays; restore static ints.
+                jt = jt._replace(
+                    block_t=block_t,
+                    inf_tile=int(jt.codes_t.shape[1]) // block_t - 1)
+                if len(self._join_cache) >= self._JOIN_CACHE_CAP:
+                    self._join_cache.pop(next(iter(self._join_cache)))
+                self._join_cache[ck] = jt
 
         B = queries.shape[0]
         out_vals, out_ids, infos = [], [], []
@@ -671,8 +699,26 @@ class IVPQIndex:
                     merged[key] = jnp.concatenate([i[key] for i in infos], 0)
                 else:
                     merged[key] = max(i[key] for i in infos)
+            merged["data_retrieval_s"] = data_retrieval_s
             return vals, ids, merged
         return vals, ids
+
+    @staticmethod
+    def _join_tiles_key(target_ids, target_mask, block_t: int,
+                        with_vecs: bool, vectors) -> tuple:
+        """Cache key: content fingerprint of the target set (one small host
+        transfer of T int32 + T bool) + layout params. ``vectors`` enters by
+        object identity only — with_vecs tilings bake the gathered raw rows
+        in, and recomputing a content hash of the full table would cost more
+        than the tiling (a *mutated-in-place* table aliasing an old id is
+        not a pattern jax arrays allow)."""
+        import hashlib
+
+        h = hashlib.blake2b(digest_size=16)
+        h.update(np.asarray(target_ids).tobytes())
+        h.update(np.asarray(target_mask).tobytes())
+        return (h.hexdigest(), block_t, with_vecs,
+                id(vectors) if with_vecs else None)
 
     def _join_chunk(self, queries, target_codes, target_cells, target_ids,
                     target_mask, target_vecs, statistics, k, alpha, pvf,

@@ -274,3 +274,35 @@ def test_budget_scales_with_alpha(idx, dataset):
             < np.asarray(hi["retrieved"]).mean())
     # scanned rows stay far below T at small alpha
     assert np.asarray(lo["retrieved"]).mean() < 0.5 * T
+
+
+def test_join_tiles_cache_reused(idx, dataset, monkeypatch):
+    """Repeated joins against the same target set must reuse the cached
+    tiling (VERDICT r2 item 6: no per-call sort + scatter)."""
+    T = 1000
+    tids = jnp.arange(T, dtype=jnp.int32)
+    q = jnp.asarray(dataset[:8])
+    idx._join_cache.clear()
+    calls = {"n": 0}
+    real = ivpq_mod.build_join_tiles
+
+    def counting(*args, **kw):
+        calls["n"] += 1
+        return real(*args, **kw)
+
+    monkeypatch.setattr(ivpq_mod, "build_join_tiles", counting)
+    v1, i1 = idx.search_join(q, 5, tids, impl="budget", alpha=10)
+    assert calls["n"] == 1
+    v2, i2 = idx.search_join(q, 5, tids, impl="budget", alpha=10)
+    assert calls["n"] == 1          # cache hit — no rebuild
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+    # a different target set misses and rebuilds
+    idx.search_join(q, 5, tids[:512], impl="budget", alpha=10)
+    assert calls["n"] == 2
+    # a different mask over the same ids misses too
+    mask = np.ones(T, bool); mask[7] = False
+    idx.search_join(q, 5, tids, target_mask=jnp.asarray(mask),
+                    impl="budget", alpha=10)
+    assert calls["n"] == 3
+    # cap bounds the memo
+    assert len(idx._join_cache) <= idx._JOIN_CACHE_CAP
