@@ -25,6 +25,7 @@ from postgres_word2vec_tpu.utils.config import Configuration
 def main(config_path: str) -> None:
     cfg = Configuration(config_path)
     eng = engine_from_config(cfg)
+    eng.set_track_stages(True)   # full 5-stage TRACK breakdown
     k = cfg.get_value_or("k", 5)
     targets = sample_words(eng, cfg.get_value_or("target_sample", 5000),
                            cfg.get_value_or("seed", 0) + 1)

@@ -42,6 +42,15 @@ from postgres_word2vec_tpu.utils.tracker import GLOBAL_TRACKER
 Array = jax.Array
 
 
+@jax.jit
+def _jitted_luts(queries: Array, centroids: Array) -> Array:
+    """Standalone per-query LUT build, used only for stage instrumentation
+    (the production kernels fuse LUT construction into the scan)."""
+    from postgres_word2vec_tpu.ops import lut
+
+    return lut.build_luts(queries, centroids)
+
+
 @dataclasses.dataclass
 class RuntimeParams:
     """Runtime-settable parameters with the reference defaults (sql:188-202)."""
@@ -91,6 +100,13 @@ class Freddy:
         self.dispatch = dict(DEFAULT_DISPATCH)
         self.statistics: dict[str, Array] = {}
         self.tracker = GLOBAL_TRACKER
+        # track_stages: emit the full 5-stage TRACK breakdown
+        # (precomputation / query_construction / data_retrieval /
+        # computation / total — freddy.c:527-651, ivpq_search_in.c:233-697).
+        # The LUT-build stage is measured by an extra instrumentation-only
+        # jitted build (the production kernels keep it fused), so it's off
+        # by default; step_wise_time_measurement.py turns it on.
+        self.track_stages = False
         # exact_dtype/exact_approx: the engine's exact family defaults to
         # the bit-faithful reference configuration (f32 table, lossless
         # top-k). Serving deployments should pass "bfloat16"/approx=True —
@@ -236,6 +252,24 @@ class Freddy:
                            "create_statistics first")
         self.params.statistics_table = name
 
+    def set_track_stages(self, flag: bool) -> None:
+        """Enable the full 5-stage TRACK breakdown (see __init__)."""
+        self.track_stages = bool(flag)
+
+    def _track_precompute(self, queries: Array, centroids: Array) -> None:
+        """Instrumentation-only LUT-build timing (TRACK
+        ``precomputation_time``, freddy.c:519-527 / ivpq_search_in.c:
+        261-291): runs the same per-query LUT construction the fused kernel
+        performs, separately jitted and materialized so its true cost is
+        observable. Only called when ``track_stages`` is on."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        luts = _jitted_luts(queries, centroids)
+        np.asarray(luts[0, 0, 0])
+        self.tracker.track("precomputation_time",
+                           _time.perf_counter() - t0)
+
     # -------------------------------------------------- dispatch setters
     # (sql:78-132)
     def _set_dispatch(self, op: str, impl_name: str) -> None:
@@ -370,14 +404,42 @@ class Freddy:
 
     def _pq_pv_knn_core(self, q: Array, k: int) -> tuple[Array, Array]:
         pq = self._require(self.pq, "PQ")
+        if self.mesh is not None:
+            from postgres_word2vec_tpu.ops import lut as lut_mod
+            from postgres_word2vec_tpu.parallel import sharding
+            qp, b = self._pad_q(q)
+            luts = lut_mod.build_luts(pq._rotate(qp),
+                                      pq.codebook.centroids)
+            cd, ci = sharding.sharded_adc_top_k(
+                self.mesh, luts, self._shard["pq_codes"],
+                k * self.params.pvf, valid_rows=pq.size)
+            d, i = sharding.sharded_post_verify(
+                self.mesh, qp, cd, ci, self._shard["vectors"], k)
+            return d[:b], i[:b]
         return pq.search_pv(q, k, self.params.pvf, self.store.vectors_norm)
 
     def _ivfadc_knn_core(self, q: Array, k: int) -> tuple[Array, Array]:
         ivf = self._require(self.ivfadc, "IVFADC")
+        if self.mesh is not None:
+            from postgres_word2vec_tpu.parallel import sharding
+            qp, b = self._pad_q(q)
+            d, i = sharding.sharded_ivfadc_adaptive(
+                self.mesh, qp, self._shard["ivf_bundle"], k=k,
+                w=self.params.w)
+            return d[:b], i[:b]
         return ivf.search_adaptive(q, k, w=self.params.w)
 
     def _ivfadc_pv_knn_core(self, q: Array, k: int) -> tuple[Array, Array]:
         ivf = self._require(self.ivfadc, "IVFADC")
+        if self.mesh is not None:
+            from postgres_word2vec_tpu.parallel import sharding
+            qp, b = self._pad_q(q)
+            cd, ci = sharding.sharded_ivfadc_adaptive(
+                self.mesh, qp, self._shard["ivf_bundle"],
+                k=k * self.params.pvf, w=self.params.w)
+            d, i = sharding.sharded_post_verify(
+                self.mesh, qp, cd, ci, self._shard["vectors"], k)
+            return d[:b], i[:b]
         return ivf.search_pv(q, k, self.params.pvf,
                              self.store.vectors_norm, w=self.params.w)
 
@@ -444,7 +506,7 @@ class Freddy:
             if self.mesh is not None:
                 from postgres_word2vec_tpu.parallel import sharding
                 qp, b = self._pad_q(q)
-                d, i = sharding.sharded_ivfadc_probe(
+                d, i = sharding.sharded_ivfadc_adaptive(
                     self.mesh, qp, self._shard["ivf_bundle"],
                     w=self.params.w, k=k)
                 d, i = d[:b], i[:b]
@@ -465,22 +527,67 @@ class Freddy:
         """Generic restricted façade (sql:232-246)."""
         return getattr(self, self.dispatch["knn_in"])(query, k, targets)
 
+    def _exact_in_core(self, q: Array, k: int, tids: Array,
+                       tmask: Array) -> tuple[Array, Array]:
+        if self.mesh is not None:
+            from postgres_word2vec_tpu.parallel import sharding
+            qp, b = self._pad_q(q)
+            d, i = sharding.sharded_exact_in(self.mesh, qp,
+                                             self._shard["vectors"],
+                                             tids, tmask, k)
+            return d[:b], i[:b]
+        return self.exact.search_in(q, k, tids, tmask)
+
+    def _pq_in_core(self, q: Array, k: int, tids: Array,
+                    tmask: Array) -> tuple[Array, Array]:
+        pq = self._require(self.pq, "PQ")
+        if self.mesh is not None:
+            from postgres_word2vec_tpu.ops import lut as lut_mod
+            from postgres_word2vec_tpu.parallel import sharding
+            qp, b = self._pad_q(q)
+            luts = lut_mod.build_luts(pq._rotate(qp),
+                                      pq.codebook.centroids)
+            d, i = sharding.sharded_adc_in(self.mesh, luts,
+                                           self._shard["pq_codes"],
+                                           tids, tmask, k)
+            return d[:b], i[:b]
+        return pq.search_in(q, k, tids, tmask)
+
+    #: dispatch impl → batched matrix core for the in-set family (used by
+    #: the server's /knn_in micro-batcher; IVPQ has no fixed-shape matrix
+    #: core — its round count is data-dependent — so it is absent and the
+    #: server falls back to per-item calls).
+    _KNN_IN_CORES = {
+        "knn_in_exact": "_exact_in_core",
+        "knn_in_pq": "_pq_in_core",
+    }
+
+    def knn_in_matrix(self, q: Array, k: int, tids: Array,
+                      tmask: Array) -> tuple[Array, Array]:
+        """Batched in-set kNN over a prepared (B, d) matrix + target id/mask
+        arrays, honoring ``dispatch['knn_in']`` (incl. mesh routing).
+        Raises KeyError for dispatch impls with no matrix core."""
+        impl = self.dispatch["knn_in"]
+        core = self._KNN_IN_CORES.get(impl)
+        if core is None:
+            raise KeyError(f"no matrix core for knn_in impl {impl!r}")
+        return getattr(self, core)(q, k, tids, tmask)
+
     def knn_in_exact(self, query, k: int, targets) -> list[tuple]:
         """Exact in-set kNN — all 4 reference overloads (token|vector ×
         words|ids), sql:991-1084."""
         q = self._query_matrix(query)
         tids, tmask = self._target_ids(targets)
         with self.tracker.stage("total_time"):
-            d, i = self.exact.search_in(q, k, tids, tmask)
+            d, i = self._exact_in_core(q, k, tids, tmask)
         return self._format_knn(d, i)[0]
 
     def knn_in_pq(self, query, k: int, targets) -> list[tuple]:
         """PQ in-set kNN (sql:664-680 → pq_search_in)."""
-        pq = self._require(self.pq, "PQ")
         q = self._query_matrix(query)
         tids, tmask = self._target_ids(targets)
         with self.tracker.stage("total_time"):
-            d, i = pq.search_in(q, k, tids, tmask)
+            d, i = self._pq_in_core(q, k, tids, tmask)
         return self._format_knn(d, i)[0]
 
     def knn_in_ivpq(self, query, k: int, targets) -> list[tuple]:
@@ -523,18 +630,32 @@ class Freddy:
         tids, tmask = self._target_ids(targets)
         with self.tracker.stage("total_time"):
             d, i = self._chunked_q(
-                q, lambda qc: self.exact.search_in(qc, k, tids, tmask))
+                q, lambda qc: self._exact_in_core(qc, k, tids, tmask))
         return self._format_join(list(queries), d, i)
 
     def knn_in_pq_batch(self, queries: Sequence[str], k: int,
                         targets) -> list[tuple]:
-        """PQ kNN-join baseline (sql:846-901 → pq_search_in_batch)."""
+        """PQ kNN-join baseline (sql:846-901 → pq_search_in_batch).
+
+        TRACK stages (freddy.c:519-651): query construction = query/target
+        resolution; precomputation = per-query LUT build (instrumented,
+        ``track_stages``); computation = the gather + ADC scan. The
+        reference's data_retrieval (SPI fetch of target codes) is fused
+        into the computation kernel here — reported 0.
+        """
         pq = self._require(self.pq, "PQ")
-        q = self._query_matrix(list(queries))
-        tids, tmask = self._target_ids(targets)
         with self.tracker.stage("total_time"):
-            d, i = self._chunked_q(
-                q, lambda qc: pq.search_in(qc, k, tids, tmask), chunk=512)
+            with self.tracker.stage("query_construction_time"):
+                q = self._query_matrix(list(queries))
+                tids, tmask = self._target_ids(targets)
+            if self.track_stages:
+                self._track_precompute(pq._rotate(q),
+                                       pq.codebook.centroids)
+            self.tracker.track("data_retrieval_time", 0.0)
+            with self.tracker.stage("computation_time"):
+                d, i = self._chunked_q(
+                    q, lambda qc: self._pq_in_core(qc, k, tids, tmask),
+                    chunk=512)
         return self._format_join(list(queries), d, i)
 
     def knn_in_ivpq_batch(self, queries, k: int, targets) -> list[tuple]:
@@ -551,33 +672,41 @@ class Freddy:
         p = self.params
         with self.tracker.stage("total_time"):
             # stage names mirror the reference's TRACK metrics
-            # (ivpq_search_in.c:233-697); on TPU "data retrieval" is the
-            # target-side gather, fused into the kernel, so it reports ~0.
+            # (ivpq_search_in.c:233-697). "data retrieval" on TPU is the
+            # target tiling build (moving target rows into scan layout —
+            # the SPI-fetch analog), reported by search_join; it is ~0 on
+            # a JoinTiles cache hit, exactly when no data moved.
             with self.tracker.stage("query_construction_time"):
                 q = self._query_matrix(queries)
                 tids, tmask = self._target_ids(targets)
-            self.tracker.track("data_retrieval_time", 0.0)
-            with self.tracker.stage("computation_time"):
-                if self.mesh is not None:
-                    from postgres_word2vec_tpu.parallel import sharding
-                    qp, b = self._pad_q(q)
-                    d, i = sharding.sharded_ivpq_join(
-                        self.mesh, ivpq, qp, k, tids, target_mask=tmask,
-                        vectors=self.store.vectors_norm,
-                        statistics=self._active_statistics(),
-                        alpha=p.alpha, pvf=p.pvf, method=p.method,
-                        confidence=p.confidence)
-                    d, i = d[:b], i[:b]
-                    info = None
-                else:
-                    d, i, info = ivpq.search_join(
-                        q, k, tids, target_mask=tmask,
-                        vectors=self.store.vectors_norm,
-                        statistics=self._active_statistics(),
-                        alpha=p.alpha, pvf=p.pvf, method=p.method,
-                        confidence=p.confidence,
-                        long_codes_threshold=p.long_codes_threshold,
-                        use_targetlists=p.use_targetlist, return_info=True)
+            if self.track_stages:
+                self._track_precompute(q, ivpq.codebook.centroids)
+            import time as _time
+            t0 = _time.perf_counter()
+            if self.mesh is not None:
+                from postgres_word2vec_tpu.parallel import sharding
+                qp, b = self._pad_q(q)
+                d, i = sharding.sharded_ivpq_join(
+                    self.mesh, ivpq, qp, k, tids, target_mask=tmask,
+                    vectors=self.store.vectors_norm,
+                    statistics=self._active_statistics(),
+                    alpha=p.alpha, pvf=p.pvf, method=p.method,
+                    confidence=p.confidence)
+                d, i = d[:b], i[:b]
+                info = None
+            else:
+                d, i, info = ivpq.search_join(
+                    q, k, tids, target_mask=tmask,
+                    vectors=self.store.vectors_norm,
+                    statistics=self._active_statistics(),
+                    alpha=p.alpha, pvf=p.pvf, method=p.method,
+                    confidence=p.confidence,
+                    long_codes_threshold=p.long_codes_threshold,
+                    use_targetlists=p.use_targetlist, return_info=True)
+            elapsed = _time.perf_counter() - t0
+            dr = (info or {}).get("data_retrieval_s", 0.0)
+            self.tracker.track("data_retrieval_time", dr)
+            self.tracker.track("computation_time", max(elapsed - dr, 0.0))
             if info is not None:
                 for r in np.asarray(info["retrieved"]):
                     self.tracker.track("retrieved", float(r))

@@ -135,6 +135,168 @@ def sharded_adc_top_k(mesh: Mesh, luts: Array, codes: Array, k: int, *,
     return run(luts, codes)
 
 
+def sharded_exact_in(mesh: Mesh, queries: Array, vectors: Array,
+                     target_ids: Array, target_mask: Array, k: int
+                     ) -> tuple[Array, Array]:
+    """Exact in-set top-k over a rows-sharded table (multi-chip
+    ``knn_in_exact`` / ``knn_search_in_batch``): each device scores only
+    the targets whose rows it OWNS (owner = id // shard_size — the "shard
+    the target gather" layout), local top-k, one all_gather merge.
+
+    The distance matmul runs over the full (B, T) mask per device — wasted
+    columns are masked +inf. T is the restricted target set (≪ N), so the
+    redundancy is noise next to keeping the table sharded.
+    """
+    n = vectors.shape[0]
+    n_rows = mesh.shape[ROWS_AXIS]
+    if n % n_rows != 0:
+        raise ValueError(f"N={n} not divisible by rows={n_rows}")
+    shard_size = n // n_rows
+    t = target_ids.shape[0]
+    k_eff = min(k, t)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(Q_AXIS), P(ROWS_AXIS), P(), P()),
+        out_specs=(P(Q_AXIS), P(Q_AXIS)), check_vma=False)
+    def run(q, v_shard, t_ids, t_m):
+        me = lax.axis_index(ROWS_AXIS)
+        safe = jnp.maximum(t_ids, 0)
+        owned = t_m & (safe // shard_size == me)
+        rows = jnp.take(v_shard, jnp.where(owned, safe % shard_size, 0),
+                        axis=0).astype(jnp.float32)            # (T, d)
+        qf = q.astype(jnp.float32)
+        d = (jnp.sum(qf * qf, -1)[:, None]
+             - 2.0 * jnp.dot(qf, rows.T,
+                             preferred_element_type=jnp.float32,
+                             precision=lax.Precision.HIGHEST)
+             + jnp.sum(rows * rows, -1)[None, :])
+        d = jnp.where(owned[None, :], jnp.maximum(d, 0.0), jnp.inf)
+        vals, pos = topk_ops.top_k_smallest(d, k_eff)
+        ids = jnp.where(jnp.isfinite(vals), jnp.take(t_ids, pos),
+                        -1).astype(jnp.int32)
+        all_vals = lax.all_gather(vals, ROWS_AXIS, axis=1, tiled=True)
+        all_ids = lax.all_gather(ids, ROWS_AXIS, axis=1, tiled=True)
+        neg, sel = lax.top_k(-all_vals, k_eff)
+        return -neg, jnp.take_along_axis(all_ids, sel, axis=-1)
+
+    vals, ids = run(queries, vectors, target_ids, target_mask)
+    if k_eff < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)),
+                       constant_values=jnp.inf)
+        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    return vals, ids
+
+
+def sharded_adc_in(mesh: Mesh, luts: Array, codes: Array,
+                   target_ids: Array, target_mask: Array, k: int
+                   ) -> tuple[Array, Array]:
+    """PQ ADC in-set top-k over a rows-sharded code table (multi-chip
+    ``pq_search_in`` / ``pq_search_in_batch``): same owner-partitioned
+    target layout as :func:`sharded_exact_in`, ADC distances instead of
+    exact."""
+    n = codes.shape[0]
+    n_rows = mesh.shape[ROWS_AXIS]
+    if n % n_rows != 0:
+        raise ValueError(f"N={n} not divisible by rows={n_rows}")
+    shard_size = n // n_rows
+    t = target_ids.shape[0]
+    k_eff = min(k, t)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(Q_AXIS), P(ROWS_AXIS), P(), P()),
+        out_specs=(P(Q_AXIS), P(Q_AXIS)), check_vma=False)
+    def run(l, c_shard, t_ids, t_m):
+        me = lax.axis_index(ROWS_AXIS)
+        safe = jnp.maximum(t_ids, 0)
+        owned = t_m & (safe // shard_size == me)
+        tc = jnp.take(c_shard, jnp.where(owned, safe % shard_size, 0),
+                      axis=0)                                   # (T, m)
+        d = adc_mod.adc_distances(l, tc)
+        d = jnp.where(owned[None, :], d, jnp.inf)
+        vals, pos = topk_ops.top_k_smallest(d, k_eff)
+        ids = jnp.where(jnp.isfinite(vals), jnp.take(t_ids, pos),
+                        -1).astype(jnp.int32)
+        all_vals = lax.all_gather(vals, ROWS_AXIS, axis=1, tiled=True)
+        all_ids = lax.all_gather(ids, ROWS_AXIS, axis=1, tiled=True)
+        neg, sel = lax.top_k(-all_vals, k_eff)
+        return -neg, jnp.take_along_axis(all_ids, sel, axis=-1)
+
+    vals, ids = run(luts, codes, target_ids, target_mask)
+    if k_eff < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)),
+                       constant_values=jnp.inf)
+        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    return vals, ids
+
+
+def sharded_post_verify(mesh: Mesh, queries: Array, cand_dists: Array,
+                        cand_ids: Array, vectors: Array, k: int
+                        ) -> tuple[Array, Array]:
+    """Multi-chip exact re-rank (``postverify``, index_utils.c:477-498):
+    candidate raw vectors assemble from the rows-sharded table by
+    owner-gather + ``psum`` (each device contributes the rows it owns; the
+    (B, C, d) block rides ICI once), then every rows-device re-ranks its
+    q-shard identically. Completes the PV families on mesh (VERDICT r2
+    item 7)."""
+    n = vectors.shape[0]
+    n_rows = mesh.shape[ROWS_AXIS]
+    if n % n_rows != 0:
+        raise ValueError(f"N={n} not divisible by rows={n_rows}")
+    shard_size = n // n_rows
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(Q_AXIS), P(Q_AXIS), P(Q_AXIS), P(ROWS_AXIS)),
+        out_specs=(P(Q_AXIS), P(Q_AXIS)), check_vma=False)
+    def run(q, cd, ci, v_shard):
+        me = lax.axis_index(ROWS_AXIS)
+        safe = jnp.maximum(ci, 0)
+        owned = (ci >= 0) & (safe // shard_size == me)
+        rows = jnp.take(v_shard,
+                        jnp.where(owned, safe % shard_size, 0),
+                        axis=0).astype(jnp.float32)      # (B, C, d)
+        cand = lax.psum(jnp.where(owned[..., None], rows, 0.0), ROWS_AXIS)
+        qf = q.astype(jnp.float32)
+        qq = jnp.sum(qf * qf, axis=-1)[:, None]
+        cc = jnp.sum(cand * cand, axis=-1)
+        qc = jnp.einsum("bd,bcd->bc", qf, cand,
+                        preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)
+        d = jnp.maximum(qq - 2.0 * qc + cc, 0.0)
+        valid = (ci >= 0) & jnp.isfinite(cd)
+        d = jnp.where(valid, d, jnp.inf)
+        vals, pos = topk_ops.top_k_smallest(d, min(k, ci.shape[-1]))
+        ids = jnp.take_along_axis(ci, pos, axis=-1)
+        return vals, jnp.where(jnp.isfinite(vals), ids, -1)
+
+    return run(queries, cand_dists, cand_ids, vectors)
+
+
+def sharded_ivfadc_adaptive(mesh: Mesh, queries: Array, bundle: dict, *,
+                            k: int, w: int, max_rounds: int = 3
+                            ) -> tuple[Array, Array]:
+    """Multi-chip IVFADC with widening semantics: probe ``w`` cells via
+    :func:`sharded_ivfadc_probe`; queries that found < k real candidates
+    re-probe with doubled w (host-side escalation — the fixed-shape analog
+    of the reference's blacklist-and-widen loop, freddy.c:262-378, same
+    strategy as the single-device ``search_adaptive``)."""
+    vals, ids = sharded_ivfadc_probe(mesh, queries, bundle, w=w, k=k)
+    cur_w = w
+    n_cells = int(bundle["coarse"].shape[0])
+    for _ in range(max_rounds - 1):
+        found = np.asarray((ids >= 0).sum(axis=-1))
+        if (found >= k).all() or cur_w >= n_cells:
+            break
+        cur_w = min(cur_w * 2, n_cells)
+        v2, i2 = sharded_ivfadc_probe(mesh, queries, bundle, w=cur_w, k=k)
+        unresolved = jnp.asarray(found < k)
+        vals = jnp.where(unresolved[:, None], v2, vals)
+        ids = jnp.where(unresolved[:, None], i2, ids)
+    return vals, ids
+
+
 def sharded_kmeans_step(mesh: Mesh, x: Array, centroids: Array
                         ) -> tuple[Array, Array]:
     """One data-parallel Lloyd iteration — the framework's training step.

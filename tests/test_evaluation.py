@@ -124,3 +124,51 @@ def test_time_measurement_cli_sweep_modes(tmp_path, capsys):
              for row in out["factors"].values()]
     # precision should not degrade as the shortlist factor grows
     assert precs[-1] >= precs[0] - 0.05
+
+
+def test_track_five_stage_breakdown(engine):
+    """VERDICT r2 item 8: the join path emits the reference's full TRACK
+    stage set (freddy.c:527-651) — precomputation (instrumented LUT build),
+    query_construction, data_retrieval (tiling build; 0 on cache hit),
+    computation, total — and the stages nest inside total."""
+    engine.set_track_stages(True)
+    try:
+        targets = [f"w{i}" for i in range(200)]
+        engine.ivpq._join_cache.clear()
+        engine.tracker.clear_track()
+        engine.knn_in_ivpq_batch(["w1", "w2"], 3, targets)
+        stages = engine.tracker.get_results()
+        for name in ("precomputation_time", "query_construction_time",
+                     "data_retrieval_time", "computation_time",
+                     "total_time"):
+            assert name in stages, name
+            assert len(stages[name]) == 1
+        assert stages["precomputation_time"][0] > 0
+        parts = (stages["precomputation_time"][0]
+                 + stages["query_construction_time"][0]
+                 + stages["data_retrieval_time"][0]
+                 + stages["computation_time"][0])
+        assert parts <= stages["total_time"][0] * 1.05
+        # PQ join baseline emits the same names
+        engine.tracker.clear_track()
+        engine.knn_in_pq_batch(["w1"], 3, targets)
+        stages = engine.tracker.get_results()
+        assert stages["precomputation_time"][0] > 0
+        assert "computation_time" in stages
+    finally:
+        engine.set_track_stages(False)
+
+
+def test_data_retrieval_zero_on_tile_cache_hit(engine):
+    """Second join against the same target set: the tiling is cached, so
+    the data-retrieval stage reports (near) zero — no data moved."""
+    targets = [f"w{i}" for i in range(200)]
+    engine.ivpq._join_cache.clear()
+    engine.tracker.clear_track()
+    engine.knn_in_ivpq_batch(["w1"], 3, targets)
+    first = engine.tracker.get_results()["data_retrieval_time"][0]
+    engine.tracker.clear_track()
+    engine.knn_in_ivpq_batch(["w1"], 3, targets)
+    second = engine.tracker.get_results()["data_retrieval_time"][0]
+    assert second == 0.0
+    assert first >= 0.0

