@@ -75,6 +75,7 @@ class _MicroBatcher:
         self._window = window_ms / 1e3
         self._cv = threading.Condition()
         self._queue: list[dict] = []
+        self.stats_lock = threading.Lock()   # guards the counters below
         self.batched_calls = 0
         self.max_coalesced = 0
         self.busy_s = 0.0          # wall time spent inside fn (device path)
@@ -120,10 +121,11 @@ class _MicroBatcher:
             except Exception as e:  # noqa: BLE001 — batch-level failure
                 for s in batch:
                     s["error"] = e
-            self.busy_s += time.perf_counter() - t0
-            self.items_done += len(batch)
-            self.batched_calls += 1
-            self.max_coalesced = max(self.max_coalesced, len(batch))
+            with self.stats_lock:
+                self.busy_s += time.perf_counter() - t0
+                self.items_done += len(batch)
+                self.batched_calls += 1
+                self.max_coalesced = max(self.max_coalesced, len(batch))
             for s in batch:
                 s["event"].set()
 
@@ -143,6 +145,9 @@ class QueryServer:
         self._knn_batcher = _MicroBatcher(self._run_knn_batch,
                                           max_batch=max_batch,
                                           window_ms=batch_window_ms)
+        self._knn_in_batcher = _MicroBatcher(self._run_knn_in_batch,
+                                             max_batch=max_batch,
+                                             window_ms=batch_window_ms)
         handler = self._make_handler()
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.port = self.httpd.server_address[1]
@@ -188,21 +193,28 @@ class QueryServer:
                 continue
             groups.setdefault(int(k), []).append(j)
         tmr["resolve"] += time.perf_counter() - t0
-        with self._lock:
-            for k, idxs in groups.items():
-                # pad to the next power of two: coalescing produces every
-                # batch size 1..max_batch, and each distinct shape is a
-                # fresh XLA compile (seconds each on a cold server) — with
-                # padding at most log2(max_batch)+1 programs ever compile.
-                b = len(idxs)
-                bp = 1 << (b - 1).bit_length()
-                pad_j = idxs[0]
-                ids = np.asarray(
-                    [wid.get(j, 0) for j in idxs]
-                    + [wid.get(pad_j, 0)] * (bp - b), np.int32)
-                global _GATHER_ROWS
-                if _GATHER_ROWS is None:
-                    _GATHER_ROWS = _gather_rows_jit()
+        pending = []
+        for k, idxs in groups.items():
+            # pad to the next power of two: coalescing produces every
+            # batch size 1..max_batch, and each distinct shape is a
+            # fresh XLA compile (seconds each on a cold server) — with
+            # padding at most log2(max_batch)+1 programs ever compile.
+            b = len(idxs)
+            bp = 1 << (b - 1).bit_length()
+            pad_j = idxs[0]
+            ids = np.asarray(
+                [wid.get(j, 0) for j in idxs]
+                + [wid.get(pad_j, 0)] * (bp - b), np.int32)
+            global _GATHER_ROWS
+            if _GATHER_ROWS is None:
+                _GATHER_ROWS = _gather_rows_jit()
+            # DOUBLE-BUFFERED DISPATCH: the lock covers only the enqueue
+            # (gather + search dispatch — jax dispatch is async); the
+            # materializing np.asarray waits OUTSIDE the lock, so the next
+            # coalesced batch enqueues while this one executes on device.
+            # jax serializes queued computations, so ordering is preserved;
+            # the lock prevents interleaved multi-group enqueues only.
+            with self._lock:
                 t0 = time.perf_counter()
                 q = _GATHER_ROWS(eng.store.vectors_norm,
                                  jnp.asarray(ids))  # one jitted gather
@@ -218,19 +230,96 @@ class QueryServer:
                 tmr["gather"] += time.perf_counter() - t0
                 t0 = time.perf_counter()
                 d, i = eng.knn_matrix(q, k)
-                # materialize the PADDED arrays and slice on host: an
-                # eager device slice (d[:b]) rebuilds a jaxpr per call —
-                # pure-Python work that collapses under the handler
-                # threads' GIL contention (measured ~0.7 s/call at 128
-                # concurrent clients vs ~1 ms for the host slice).
-                d_np = np.asarray(d)
-                i_np = np.asarray(i)
                 tmr["search"] += time.perf_counter() - t0
-                t0 = time.perf_counter()
+            pending.append((k, idxs, b, d, i))
+        for k, idxs, b, d, i in pending:
+            t0 = time.perf_counter()
+            # materialize the PADDED arrays and slice on host: an eager
+            # device slice (d[:b]) rebuilds a jaxpr per call — pure-Python
+            # work that collapses under the handler threads' GIL
+            # contention (measured ~0.7 s/call at 128 concurrent clients
+            # vs ~1 ms for the host slice).
+            d_np = np.asarray(d)
+            i_np = np.asarray(i)
+            tmr["search"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            rows = eng._format_knn(d_np[:b], i_np[:b])
+            tmr["format"] += time.perf_counter() - t0
+            for j, r in zip(idxs, rows):
+                out[j] = r
+        return out
+
+    # ------------------------------------------------ knn_in micro-batching
+    def _run_knn_in_batch(self, items: list[tuple]) -> list:
+        """Coalesced /knn_in: items are (query, k, targets-tuple). Requests
+        group by (k, target set) — the serving pattern is many clients
+        querying the SAME restricted domain (the reference's statistics-
+        table use case) — and each group runs as ONE batched in-set device
+        call through ``Freddy.knn_in_matrix``. Query batches pad to powers
+        of two and target sets to powers of two (mask-padded), so compiled
+        program count stays logarithmic. Dispatch impls without a matrix
+        core (IVPQ) fall back to per-item engine calls.
+        """
+        import jax.numpy as jnp
+
+        eng = self.engine
+        out: list = [None] * len(items)
+        groups: dict[tuple, list[int]] = {}
+        wid: dict[int, int] = {}
+        raw: dict[int, np.ndarray] = {}
+        for j, (query, k, tgt) in enumerate(items):
+            try:
+                if isinstance(query, str):
+                    wid[j] = eng.store.get_id(query)
+                else:
+                    v = np.asarray(query, np.float32).reshape(-1)
+                    n = float(np.linalg.norm(v))
+                    raw[j] = v / n if n > 0 else v
+            except Exception as e:  # noqa: BLE001 — isolate per item
+                out[j] = e
+                continue
+            groups.setdefault((int(k), tgt), []).append(j)
+
+        for (k, tgt), idxs in groups.items():
+            try:
+                tids, tmask = eng._target_ids(list(tgt))
+                t = int(tids.shape[0])
+                tp = 1 << (t - 1).bit_length()
+                if tp > t:      # pad the target axis; pad slots masked out
+                    tids = jnp.pad(tids, (0, tp - t))
+                    tmask = jnp.pad(tmask, (0, tp - t))
+                b = len(idxs)
+                bp = 1 << (b - 1).bit_length()
+                pad_j = idxs[0]
+                ids = np.asarray([wid.get(j, 0) for j in idxs]
+                                 + [wid.get(pad_j, 0)] * (bp - b), np.int32)
+                global _GATHER_ROWS
+                if _GATHER_ROWS is None:
+                    _GATHER_ROWS = _gather_rows_jit()
+                with self._lock:
+                    q = _GATHER_ROWS(eng.store.vectors_norm,
+                                     jnp.asarray(ids))
+                    rpos = [p for p, j in enumerate(idxs) if j in raw]
+                    if rpos:
+                        q_np = np.array(q)
+                        q_np[rpos] = np.stack([raw[idxs[p]] for p in rpos])
+                        q = q_np
+                    d, i = eng.knn_in_matrix(q, k, tids, tmask)
+                d_np, i_np = np.asarray(d), np.asarray(i)   # outside lock
                 rows = eng._format_knn(d_np[:b], i_np[:b])
-                tmr["format"] += time.perf_counter() - t0
                 for j, r in zip(idxs, rows):
                     out[j] = r
+            except KeyError:
+                # no matrix core for the dispatched impl → per-item calls
+                with self._lock:
+                    for j in idxs:
+                        try:
+                            out[j] = eng.knn_in(items[j][0], k, list(tgt))
+                        except Exception as e:  # noqa: BLE001
+                            out[j] = e
+            except Exception as e:  # noqa: BLE001 — group-level failure
+                for j in idxs:
+                    out[j] = e
         return out
 
     # ------------------------------------------------------------- control
@@ -280,12 +369,17 @@ class QueryServer:
             q = q if isinstance(q, str) else np.asarray(q, np.float32)
             return self._knn_batcher.submit(
                 (q, int(body.get("k", self.DEFAULT_K))))
+        if path == "/knn_in":
+            # micro-batched like /knn: coalesces concurrent requests,
+            # grouped by (k, target set) inside the batcher.
+            with self._lock:
+                self._requests += 1
+            q = body.get("query")
+            q = q if isinstance(q, str) else np.asarray(q, np.float32)
+            return self._knn_in_batcher.submit(
+                (q, int(body.get("k", 5)), tuple(body["targets"])))
         with self._lock:
             self._requests += 1
-            if path == "/knn_in":
-                q = body.get("query")
-                q = q if isinstance(q, str) else np.asarray(q, np.float32)
-                return eng.knn_in(q, int(body.get("k", 5)), body["targets"])
             if path == "/knn_batch":
                 return eng.knn_batch(body["queries"], int(body.get("k", 5)))
             if path == "/knn_join":
@@ -319,6 +413,23 @@ class QueryServer:
                 return {"applied": applied}
             raise UnknownEndpoint(f"unknown endpoint {path}")
 
+    def _knn_stats(self) -> dict:
+        """Snapshot the micro-batcher counters under its stats lock so
+        /health never reads a half-updated (calls, items, busy) triple.
+        ``stage_s`` is mutated only while ``self._lock`` is held by the
+        batcher worker; reading it without that lock is a point-in-time
+        approximation, which is fine for a health probe."""
+        b = self._knn_batcher
+        with b.stats_lock:
+            return {
+                "knn_batched_calls": b.batched_calls,
+                "knn_busy_s": round(b.busy_s, 3),
+                "knn_stage_s": {k: round(v, 3)
+                                for k, v in self.stage_s.items()},
+                "knn_items_done": b.items_done,
+                "knn_max_coalesced": b.max_coalesced,
+            }
+
     def _health(self) -> dict:
         import jax
 
@@ -333,12 +444,7 @@ class QueryServer:
             },
             "device": str(jax.devices()[0]),
             "requests": self._requests,
-            "knn_batched_calls": self._knn_batcher.batched_calls,
-            "knn_busy_s": round(self._knn_batcher.busy_s, 3),
-            "knn_stage_s": {k: round(v, 3)
-                            for k, v in self.stage_s.items()},
-            "knn_items_done": self._knn_batcher.items_done,
-            "knn_max_coalesced": self._knn_batcher.max_coalesced,
+            **self._knn_stats(),
             "uptime_s": round(time.time() - self._started, 1),
         }
 

@@ -194,3 +194,85 @@ def test_save_load_persists_exact_config(tmp_path):
     eng2.insert_batch(["w1 w2"])
     assert eng2.exact.approx is True
     assert eng2.exact.compute_dtype == "bfloat16"
+
+
+def test_knn_in_microbatching_coalesces(server):
+    """Concurrent /knn_in requests against the SAME target set must group
+    into one batched in-set device call (VERDICT r2 item 10) and return the
+    same rows as the direct engine call."""
+    import threading
+
+    from postgres_word2vec_tpu.server import QueryServer
+
+    srv = QueryServer(server.engine, port=0, batch_window_ms=60.0).start()
+    try:
+        targets = [f"w{i}" for i in range(40)]
+        want = {j: server.engine.knn_in(f"w{j}", 3, targets)
+                for j in range(8)}
+        results = [None] * 8
+
+        def one(j):
+            results[j] = _post(srv, "/knn_in",
+                               {"query": f"w{j}", "k": 3,
+                                "targets": targets})
+
+        threads = [threading.Thread(target=one, args=(j,))
+                   for j in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for j, (code, r) in enumerate(results):
+            assert code == 200
+            got = [(w, pytest.approx(s, abs=1e-5)) for w, s in r["result"]]
+            assert [w for w, _ in got] == [w for w, _ in want[j]]
+        b = srv._knn_in_batcher
+        assert b.batched_calls < 8          # coalescing happened
+    finally:
+        srv.stop()
+
+
+def test_knn_in_microbatch_mixed_targets_and_bad_items(server):
+    """Different target sets in one coalesced batch run as separate groups;
+    an unknown query word fails only its own slot; an unsupported dispatch
+    impl (IVPQ) falls back to per-item calls and still answers."""
+    import threading
+
+    from postgres_word2vec_tpu.server import QueryServer
+
+    srv = QueryServer(server.engine, port=0, batch_window_ms=60.0).start()
+    try:
+        t1 = [f"w{i}" for i in range(30)]
+        t2 = [f"w{i}" for i in range(30, 80)]
+        payloads = [
+            {"query": "w1", "k": 3, "targets": t1},
+            {"query": "w2", "k": 3, "targets": t2},
+            {"query": "no_such_word", "k": 3, "targets": t1},
+        ]
+        results = [None] * 3
+
+        def one(j):
+            results[j] = _post(srv, "/knn_in", payloads[j])
+
+        threads = [threading.Thread(target=one, args=(j,))
+                   for j in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert results[0][0] == 200
+        assert all(w in t1 for w, _ in results[0][1]["result"])
+        assert results[1][0] == 200
+        assert all(w in t2 for w, _ in results[1][1]["result"])
+        assert results[2][0] == 400         # only the bad slot fails
+
+        # IVPQ dispatch has no matrix core → per-item fallback path
+        server.engine.set_knn_in_function("knn_in_ivpq")
+        try:
+            code, out = _post(srv, "/knn_in",
+                              {"query": "w3", "k": 2, "targets": t1})
+            assert code == 200 and len(out["result"]) == 2
+        finally:
+            server.engine.set_knn_in_function("knn_in_exact")
+    finally:
+        srv.stop()
