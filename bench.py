@@ -414,13 +414,16 @@ def main():
         _, gt_join = exact_top_k(qv[:EVAL_Q], V[:nt], 5, chunk_size=524288)
         gt_join = np.asarray(gt_join)
 
-        # exact masked-matmul comparator (the knn_in_exact baseline)
+        # exact masked-matmul comparator (the knn_in_exact baseline).
+        # chunks slice HOST-side: each distinct eager device slice start
+        # compiles its own jaxpr (~0.4 s apiece on the tunnel).
         mask = jnp.ones((nt,), bool)
-        _, i = exact_top_k_in(qv[:512], V, tgt, mask, 5)
+        qv_host = np.asarray(qv)
+        _, i = exact_top_k_in(qv_host[:512], V, tgt, mask, 5)
         np.asarray(i[..., :1])
         t0 = time.perf_counter()
         for s in range(0, nq, 512):
-            _, i = exact_top_k_in(qv[s:s + 512], V, tgt, mask, 5)
+            _, i = exact_top_k_in(qv_host[s:s + 512], V, tgt, mask, 5)
         np.asarray(i[..., :1])
         ex_s = time.perf_counter() - t0
         _, ie = exact_top_k_in(qv[:EVAL_Q], V, tgt, mask, 5)

@@ -44,11 +44,34 @@ Array = jax.Array
 
 @jax.jit
 def _jitted_luts(queries: Array, centroids: Array) -> Array:
-    """Standalone per-query LUT build, used only for stage instrumentation
-    (the production kernels fuse LUT construction into the scan)."""
+    """Per-query LUT build as ONE jitted program — used by the mesh cores
+    (rotation-free engines) and for stage instrumentation. The
+    single-device kernels fuse LUT construction into the scan instead."""
     from postgres_word2vec_tpu.ops import lut
 
     return lut.build_luts(queries, centroids)
+
+
+@jax.jit
+def _jitted_rotate_luts(queries: Array, rotation: Array,
+                        centroids: Array) -> Array:
+    """OPQ rotate + LUT build fused into one jitted dispatch. The mesh
+    cores previously ran ``pq._rotate`` and ``build_luts`` EAGERLY per
+    call — 2 extra ~30 ms transport round trips plus per-call jaxpr
+    rebuilds on a tunneled chip (CLAUDE.md: hot paths must be one fused
+    jitted program)."""
+    from postgres_word2vec_tpu.ops import lut
+
+    q = jnp.dot(queries.astype(jnp.float32), rotation,
+                preferred_element_type=jnp.float32)
+    return lut.build_luts(q, centroids)
+
+
+class NoMatrixCore(LookupError):
+    """The dispatched impl has no fixed-shape batched matrix core (e.g.
+    IVPQ for ``knn_in``, whose round count is data-dependent). A precise
+    sentinel so callers' fallback handling cannot swallow unrelated
+    KeyErrors from inside a core (misconfigured ``_shard`` state etc.)."""
 
 
 @dataclasses.dataclass
@@ -388,14 +411,19 @@ class Freddy:
             return d[:b], i[:b]
         return self.exact.search(q, k)
 
+    def _mesh_luts(self, pq, qp: Array) -> Array:
+        """LUTs for the mesh cores as a single jitted dispatch (rotation
+        fused in when the codebook is OPQ-rotated)."""
+        if pq.rotation is None:
+            return _jitted_luts(qp, pq.codebook.centroids)
+        return _jitted_rotate_luts(qp, pq.rotation, pq.codebook.centroids)
+
     def _pq_knn_core(self, q: Array, k: int) -> tuple[Array, Array]:
         pq = self._require(self.pq, "PQ")
         if self.mesh is not None:
-            from postgres_word2vec_tpu.ops import lut as lut_mod
             from postgres_word2vec_tpu.parallel import sharding
             qp, b = self._pad_q(q)
-            luts = lut_mod.build_luts(pq._rotate(qp),
-                                      pq.codebook.centroids)
+            luts = self._mesh_luts(pq, qp)
             d, i = sharding.sharded_adc_top_k(
                 self.mesh, luts, self._shard["pq_codes"], k,
                 valid_rows=pq.size)
@@ -405,11 +433,9 @@ class Freddy:
     def _pq_pv_knn_core(self, q: Array, k: int) -> tuple[Array, Array]:
         pq = self._require(self.pq, "PQ")
         if self.mesh is not None:
-            from postgres_word2vec_tpu.ops import lut as lut_mod
             from postgres_word2vec_tpu.parallel import sharding
             qp, b = self._pad_q(q)
-            luts = lut_mod.build_luts(pq._rotate(qp),
-                                      pq.codebook.centroids)
+            luts = self._mesh_luts(pq, qp)
             cd, ci = sharding.sharded_adc_top_k(
                 self.mesh, luts, self._shard["pq_codes"],
                 k * self.params.pvf, valid_rows=pq.size)
@@ -542,11 +568,9 @@ class Freddy:
                     tmask: Array) -> tuple[Array, Array]:
         pq = self._require(self.pq, "PQ")
         if self.mesh is not None:
-            from postgres_word2vec_tpu.ops import lut as lut_mod
             from postgres_word2vec_tpu.parallel import sharding
             qp, b = self._pad_q(q)
-            luts = lut_mod.build_luts(pq._rotate(qp),
-                                      pq.codebook.centroids)
+            luts = self._mesh_luts(pq, qp)
             d, i = sharding.sharded_adc_in(self.mesh, luts,
                                            self._shard["pq_codes"],
                                            tids, tmask, k)
@@ -566,11 +590,11 @@ class Freddy:
                       tmask: Array) -> tuple[Array, Array]:
         """Batched in-set kNN over a prepared (B, d) matrix + target id/mask
         arrays, honoring ``dispatch['knn_in']`` (incl. mesh routing).
-        Raises KeyError for dispatch impls with no matrix core."""
+        Raises :class:`NoMatrixCore` for dispatch impls without one."""
         impl = self.dispatch["knn_in"]
         core = self._KNN_IN_CORES.get(impl)
         if core is None:
-            raise KeyError(f"no matrix core for knn_in impl {impl!r}")
+            raise NoMatrixCore(f"no matrix core for knn_in impl {impl!r}")
         return getattr(self, core)(q, k, tids, tmask)
 
     def knn_in_exact(self, query, k: int, targets) -> list[tuple]:
@@ -605,16 +629,19 @@ class Freddy:
     def _chunked_q(self, q: Array, fn, chunk: int = 1024):
         """Run a (B, d)-batched search in fixed-size query chunks (padded,
         so every chunk reuses one compiled program) — bounds the (B, T)
-        intermediates at large join shapes."""
+        intermediates at large join shapes. Chunks slice on HOST: each
+        distinct eager device slice start compiles its own jaxpr (~0.4 s
+        apiece on the tunnel — the round-2 first-join pathology)."""
         B = q.shape[0]
         if B <= chunk:
             return fn(q)
+        q_host = np.asarray(q)
         outs_d, outs_i = [], []
         for s in range(0, B, chunk):
-            qc = q[s:s + chunk]
+            qc = q_host[s:s + chunk]
             pad = chunk - qc.shape[0] if s > 0 else 0
             if pad:
-                qc = jnp.pad(qc, ((0, pad), (0, 0)))
+                qc = np.pad(qc, ((0, pad), (0, 0)))
             d, i = fn(qc)
             if pad:
                 d, i = d[:-pad], i[:-pad]
@@ -703,6 +730,12 @@ class Freddy:
                     confidence=p.confidence,
                     long_codes_threshold=p.long_codes_threshold,
                     use_targetlists=p.use_targetlist, return_info=True)
+            # materialize the (small) id block BEFORE reading the clock:
+            # jax dispatch is async, and on mesh the search above returns
+            # unmaterialized device arrays — timing the dispatch alone
+            # under-reports computation_time (CLAUDE.md: block_until_ready
+            # is not even sufficient; materialize to host).
+            np.asarray(i)
             elapsed = _time.perf_counter() - t0
             dr = (info or {}).get("data_retrieval_s", 0.0)
             self.tracker.track("data_retrieval_time", dr)

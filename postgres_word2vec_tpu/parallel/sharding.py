@@ -135,19 +135,20 @@ def sharded_adc_top_k(mesh: Mesh, luts: Array, codes: Array, k: int, *,
     return run(luts, codes)
 
 
-def sharded_exact_in(mesh: Mesh, queries: Array, vectors: Array,
-                     target_ids: Array, target_mask: Array, k: int
-                     ) -> tuple[Array, Array]:
-    """Exact in-set top-k over a rows-sharded table (multi-chip
-    ``knn_in_exact`` / ``knn_search_in_batch``): each device scores only
-    the targets whose rows it OWNS (owner = id // shard_size — the "shard
-    the target gather" layout), local top-k, one all_gather merge.
+def _sharded_in_topk(mesh: Mesh, q_like: Array, table: Array,
+                     target_ids: Array, target_mask: Array, k: int,
+                     dist_fn) -> tuple[Array, Array]:
+    """Owner-partitioned in-set top-k skeleton shared by the exact and ADC
+    variants: each device gathers only the target rows it OWNS from the
+    rows-sharded ``table`` (owner = id // shard_size), scores them with
+    ``dist_fn(q_like_shard, gathered_rows) -> (B, T)``, masks non-owned
+    columns +inf, local top-k, one all_gather merge.
 
-    The distance matmul runs over the full (B, T) mask per device — wasted
-    columns are masked +inf. T is the restricted target set (≪ N), so the
-    redundancy is noise next to keeping the table sharded.
+    The distance computation runs over the full (B, T) mask per device —
+    wasted columns are masked out. T is the restricted target set (≪ N),
+    so the redundancy is noise next to keeping the table sharded.
     """
-    n = vectors.shape[0]
+    n = table.shape[0]
     n_rows = mesh.shape[ROWS_AXIS]
     if n % n_rows != 0:
         raise ValueError(f"N={n} not divisible by rows={n_rows}")
@@ -159,61 +160,13 @@ def sharded_exact_in(mesh: Mesh, queries: Array, vectors: Array,
         jax.shard_map, mesh=mesh,
         in_specs=(P(Q_AXIS), P(ROWS_AXIS), P(), P()),
         out_specs=(P(Q_AXIS), P(Q_AXIS)), check_vma=False)
-    def run(q, v_shard, t_ids, t_m):
+    def run(q, tab_shard, t_ids, t_m):
         me = lax.axis_index(ROWS_AXIS)
         safe = jnp.maximum(t_ids, 0)
         owned = t_m & (safe // shard_size == me)
-        rows = jnp.take(v_shard, jnp.where(owned, safe % shard_size, 0),
-                        axis=0).astype(jnp.float32)            # (T, d)
-        qf = q.astype(jnp.float32)
-        d = (jnp.sum(qf * qf, -1)[:, None]
-             - 2.0 * jnp.dot(qf, rows.T,
-                             preferred_element_type=jnp.float32,
-                             precision=lax.Precision.HIGHEST)
-             + jnp.sum(rows * rows, -1)[None, :])
-        d = jnp.where(owned[None, :], jnp.maximum(d, 0.0), jnp.inf)
-        vals, pos = topk_ops.top_k_smallest(d, k_eff)
-        ids = jnp.where(jnp.isfinite(vals), jnp.take(t_ids, pos),
-                        -1).astype(jnp.int32)
-        all_vals = lax.all_gather(vals, ROWS_AXIS, axis=1, tiled=True)
-        all_ids = lax.all_gather(ids, ROWS_AXIS, axis=1, tiled=True)
-        neg, sel = lax.top_k(-all_vals, k_eff)
-        return -neg, jnp.take_along_axis(all_ids, sel, axis=-1)
-
-    vals, ids = run(queries, vectors, target_ids, target_mask)
-    if k_eff < k:
-        vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)),
-                       constant_values=jnp.inf)
-        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
-    return vals, ids
-
-
-def sharded_adc_in(mesh: Mesh, luts: Array, codes: Array,
-                   target_ids: Array, target_mask: Array, k: int
-                   ) -> tuple[Array, Array]:
-    """PQ ADC in-set top-k over a rows-sharded code table (multi-chip
-    ``pq_search_in`` / ``pq_search_in_batch``): same owner-partitioned
-    target layout as :func:`sharded_exact_in`, ADC distances instead of
-    exact."""
-    n = codes.shape[0]
-    n_rows = mesh.shape[ROWS_AXIS]
-    if n % n_rows != 0:
-        raise ValueError(f"N={n} not divisible by rows={n_rows}")
-    shard_size = n // n_rows
-    t = target_ids.shape[0]
-    k_eff = min(k, t)
-
-    @functools.partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(P(Q_AXIS), P(ROWS_AXIS), P(), P()),
-        out_specs=(P(Q_AXIS), P(Q_AXIS)), check_vma=False)
-    def run(l, c_shard, t_ids, t_m):
-        me = lax.axis_index(ROWS_AXIS)
-        safe = jnp.maximum(t_ids, 0)
-        owned = t_m & (safe // shard_size == me)
-        tc = jnp.take(c_shard, jnp.where(owned, safe % shard_size, 0),
-                      axis=0)                                   # (T, m)
-        d = adc_mod.adc_distances(l, tc)
+        rows = jnp.take(tab_shard, jnp.where(owned, safe % shard_size, 0),
+                        axis=0)                                 # (T, …)
+        d = dist_fn(q, rows)
         d = jnp.where(owned[None, :], d, jnp.inf)
         vals, pos = topk_ops.top_k_smallest(d, k_eff)
         ids = jnp.where(jnp.isfinite(vals), jnp.take(t_ids, pos),
@@ -223,12 +176,42 @@ def sharded_adc_in(mesh: Mesh, luts: Array, codes: Array,
         neg, sel = lax.top_k(-all_vals, k_eff)
         return -neg, jnp.take_along_axis(all_ids, sel, axis=-1)
 
-    vals, ids = run(luts, codes, target_ids, target_mask)
+    vals, ids = run(q_like, table, target_ids, target_mask)
     if k_eff < k:
         vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)),
                        constant_values=jnp.inf)
         ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
     return vals, ids
+
+
+def sharded_exact_in(mesh: Mesh, queries: Array, vectors: Array,
+                     target_ids: Array, target_mask: Array, k: int
+                     ) -> tuple[Array, Array]:
+    """Exact in-set top-k over a rows-sharded table (multi-chip
+    ``knn_in_exact`` / ``knn_search_in_batch``) — the "shard the target
+    gather" layout via :func:`_sharded_in_topk`."""
+    def dist(q, rows):
+        rows = rows.astype(jnp.float32)
+        qf = q.astype(jnp.float32)
+        return jnp.maximum(
+            jnp.sum(qf * qf, -1)[:, None]
+            - 2.0 * jnp.dot(qf, rows.T,
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST)
+            + jnp.sum(rows * rows, -1)[None, :], 0.0)
+
+    return _sharded_in_topk(mesh, queries, vectors, target_ids,
+                            target_mask, k, dist)
+
+
+def sharded_adc_in(mesh: Mesh, luts: Array, codes: Array,
+                   target_ids: Array, target_mask: Array, k: int
+                   ) -> tuple[Array, Array]:
+    """PQ ADC in-set top-k over a rows-sharded code table (multi-chip
+    ``pq_search_in`` / ``pq_search_in_batch``): same owner-partitioned
+    layout as :func:`sharded_exact_in`, ADC distances instead of exact."""
+    return _sharded_in_topk(mesh, luts, codes, target_ids, target_mask, k,
+                            adc_mod.adc_distances)
 
 
 def sharded_post_verify(mesh: Mesh, queries: Array, cand_dists: Array,
@@ -281,19 +264,39 @@ def sharded_ivfadc_adaptive(mesh: Mesh, queries: Array, bundle: dict, *,
     :func:`sharded_ivfadc_probe`; queries that found < k real candidates
     re-probe with doubled w (host-side escalation — the fixed-shape analog
     of the reference's blacklist-and-widen loop, freddy.c:262-378, same
-    strategy as the single-device ``search_adaptive``)."""
+    strategy as the single-device ``search_adaptive``).
+
+    Escalation rounds re-probe ONLY the unresolved queries, gathered
+    host-side into a power-of-two padded sub-batch (bounded program
+    count) — re-running the whole batch at 2w multiplied full-table probe
+    cost by the escalation count. All bookkeeping is host numpy: per-round
+    eager device reductions rebuilt a jaxpr per call on the tunnel."""
     vals, ids = sharded_ivfadc_probe(mesh, queries, bundle, w=w, k=k)
     cur_w = w
     n_cells = int(bundle["coarse"].shape[0])
+    vals_np = ids_np = q_np = None
     for _ in range(max_rounds - 1):
-        found = np.asarray((ids >= 0).sum(axis=-1))
-        if (found >= k).all() or cur_w >= n_cells:
+        if ids_np is None:
+            vals_np, ids_np = np.asarray(vals), np.asarray(ids)
+        unresolved = np.flatnonzero((ids_np >= 0).sum(axis=-1) < k)
+        if unresolved.size == 0 or cur_w >= n_cells:
             break
         cur_w = min(cur_w * 2, n_cells)
-        v2, i2 = sharded_ivfadc_probe(mesh, queries, bundle, w=cur_w, k=k)
-        unresolved = jnp.asarray(found < k)
-        vals = jnp.where(unresolved[:, None], v2, vals)
-        ids = jnp.where(unresolved[:, None], i2, ids)
+        if q_np is None:
+            q_np = np.asarray(queries)
+        u = int(unresolved.size)
+        # pow2, rounded up to a q-axis multiple (shard_map requires the
+        # batch divisible by the mesh's q extent)
+        qx = mesh.shape[Q_AXIS]
+        up = -(-(1 << (u - 1).bit_length()) // qx) * qx
+        sel = np.concatenate(
+            [unresolved, np.full(up - u, unresolved[0], np.int64)])
+        v2, i2 = sharded_ivfadc_probe(mesh, jnp.asarray(q_np[sel]), bundle,
+                                      w=cur_w, k=k)
+        vals_np[unresolved] = np.asarray(v2)[:u]
+        ids_np[unresolved] = np.asarray(i2)[:u]
+    if ids_np is not None:
+        return jnp.asarray(vals_np), jnp.asarray(ids_np)
     return vals, ids
 
 

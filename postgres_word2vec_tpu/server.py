@@ -154,29 +154,17 @@ class QueryServer:
         self._thread: threading.Thread | None = None
 
     # -------------------------------------------------- knn micro-batching
-    def _run_knn_batch(self, items: list[tuple]) -> list:
-        """One device call for a coalesced batch of (query, k) items.
-
-        Queries group by k (usually one group); each group stacks into a
-        (B, d) matrix and runs through ``Freddy.knn_matrix`` — the engine's
-        own dispatched batch path (incl. mesh-sharded routing) — then
-        formats per query. A bad item (unknown word, malformed vector)
-        fails only its own slot, not the whole coalesced batch.
-        """
-        import jax.numpy as jnp
-
+    def _resolve_queries(self, entries, out: list
+                         ) -> tuple[dict, dict]:
+        """Resolve (j, query) entries HOST-side only: word → vocab id, raw
+        vector → normalized numpy row (dim-checked). Never materialize a
+        device row per item — on a tunneled chip that is one ~30 ms round
+        trip each, which serialized an 80-item coalesced batch into
+        seconds. A bad item fails only its own ``out`` slot."""
         eng = self.engine
-        tmr = self.stage_s
-        t0 = time.perf_counter()
-        out: list = [None] * len(items)
-        groups: dict[int, list[int]] = {}
-        # Resolve each item HOST-side only: word → id via the vocab dict,
-        # raw vector → normalized numpy row. Never materialize a device
-        # row per item — on a tunneled chip that is one ~30 ms round trip
-        # each, which serialized an 80-item coalesced batch into seconds.
         wid: dict[int, int] = {}
         raw: dict[int, np.ndarray] = {}
-        for j, (query, k) in enumerate(items):
+        for j, query in entries:
             try:
                 if isinstance(query, str):
                     wid[j] = eng.store.get_id(query)
@@ -190,24 +178,56 @@ class QueryServer:
                     raw[j] = v / n if n > 0 else v
             except Exception as e:  # noqa: BLE001 — isolate per item
                 out[j] = e
-                continue
-            groups.setdefault(int(k), []).append(j)
+        return wid, raw
+
+    def _gather_group(self, idxs: list[int], wid: dict, raw: dict):
+        """One pow2-padded query matrix for a coalesced group (call under
+        the device lock). Padding to the next power of two bounds the
+        compiled-program count at log2(max_batch)+1 — coalescing produces
+        every batch size, and each distinct shape is a fresh XLA compile
+        (seconds each on a cold server). Raw-vector queries merge on HOST
+        (an eager .at[].set scatter would rebuild a jaxpr per call, the
+        GIL-bound pathology this path was rebuilt to avoid)."""
+        import jax.numpy as jnp
+
+        b = len(idxs)
+        bp = 1 << (b - 1).bit_length()
+        pad_j = idxs[0]
+        ids = np.asarray([wid.get(j, 0) for j in idxs]
+                         + [wid.get(pad_j, 0)] * (bp - b), np.int32)
+        global _GATHER_ROWS
+        if _GATHER_ROWS is None:
+            _GATHER_ROWS = _gather_rows_jit()
+        q = _GATHER_ROWS(self.engine.store.vectors_norm, jnp.asarray(ids))
+        rpos = [p for p, j in enumerate(idxs) if j in raw]
+        if rpos:
+            q_np = np.array(q)   # writable host copy
+            q_np[rpos] = np.stack([raw[idxs[p]] for p in rpos])
+            q = q_np
+        return q, b
+
+    def _run_knn_batch(self, items: list[tuple]) -> list:
+        """One device call for a coalesced batch of (query, k) items.
+
+        Queries group by k (usually one group); each group stacks into a
+        (B, d) matrix and runs through ``Freddy.knn_matrix`` — the engine's
+        own dispatched batch path (incl. mesh-sharded routing) — then
+        formats per query. A bad item (unknown word, malformed vector)
+        fails only its own slot, not the whole coalesced batch.
+        """
+        eng = self.engine
+        tmr = self.stage_s
+        t0 = time.perf_counter()
+        out: list = [None] * len(items)
+        wid, raw = self._resolve_queries(
+            [(j, query) for j, (query, _k) in enumerate(items)], out)
+        groups: dict[int, list[int]] = {}
+        for j, (_query, k) in enumerate(items):
+            if out[j] is None:
+                groups.setdefault(int(k), []).append(j)
         tmr["resolve"] += time.perf_counter() - t0
         pending = []
         for k, idxs in groups.items():
-            # pad to the next power of two: coalescing produces every
-            # batch size 1..max_batch, and each distinct shape is a
-            # fresh XLA compile (seconds each on a cold server) — with
-            # padding at most log2(max_batch)+1 programs ever compile.
-            b = len(idxs)
-            bp = 1 << (b - 1).bit_length()
-            pad_j = idxs[0]
-            ids = np.asarray(
-                [wid.get(j, 0) for j in idxs]
-                + [wid.get(pad_j, 0)] * (bp - b), np.int32)
-            global _GATHER_ROWS
-            if _GATHER_ROWS is None:
-                _GATHER_ROWS = _gather_rows_jit()
             # DOUBLE-BUFFERED DISPATCH: the lock covers only the enqueue
             # (gather + search dispatch — jax dispatch is async); the
             # materializing np.asarray waits OUTSIDE the lock, so the next
@@ -216,23 +236,13 @@ class QueryServer:
             # the lock prevents interleaved multi-group enqueues only.
             with self._lock:
                 t0 = time.perf_counter()
-                q = _GATHER_ROWS(eng.store.vectors_norm,
-                                 jnp.asarray(ids))  # one jitted gather
-                rpos = [p for p, j in enumerate(idxs) if j in raw]
-                if rpos:
-                    # merge raw-vector queries on HOST (one extra transfer
-                    # each way) — an eager .at[].set scatter would rebuild
-                    # a jaxpr per call, the GIL-bound pathology this path
-                    # was rebuilt to avoid.
-                    q_np = np.array(q)   # writable host copy
-                    q_np[rpos] = np.stack([raw[idxs[p]] for p in rpos])
-                    q = q_np
+                q, b = self._gather_group(idxs, wid, raw)
                 tmr["gather"] += time.perf_counter() - t0
                 t0 = time.perf_counter()
                 d, i = eng.knn_matrix(q, k)
                 tmr["search"] += time.perf_counter() - t0
-            pending.append((k, idxs, b, d, i))
-        for k, idxs, b, d, i in pending:
+            pending.append((idxs, b, d, i))
+        for idxs, b, d, i in pending:
             t0 = time.perf_counter()
             # materialize the PADDED arrays and slice on host: an eager
             # device slice (d[:b]) rebuilds a jaxpr per call — pure-Python
@@ -256,61 +266,49 @@ class QueryServer:
         querying the SAME restricted domain (the reference's statistics-
         table use case) — and each group runs as ONE batched in-set device
         call through ``Freddy.knn_in_matrix``. Query batches pad to powers
-        of two and target sets to powers of two (mask-padded), so compiled
-        program count stays logarithmic. Dispatch impls without a matrix
-        core (IVPQ) fall back to per-item engine calls.
+        of two and target sets to powers of two (mask-padded on HOST —
+        eager ``jnp.pad`` per batch is the jaxpr-rebuild pathology, see
+        CLAUDE.md), so compiled program count stays logarithmic. Dispatch
+        impls without a matrix core (IVPQ) fall back to per-item calls.
         """
         import jax.numpy as jnp
 
+        from postgres_word2vec_tpu.api import NoMatrixCore
+
         eng = self.engine
         out: list = [None] * len(items)
+        wid, raw = self._resolve_queries(
+            [(j, query) for j, (query, _k, _tgt) in enumerate(items)], out)
         groups: dict[tuple, list[int]] = {}
-        wid: dict[int, int] = {}
-        raw: dict[int, np.ndarray] = {}
-        for j, (query, k, tgt) in enumerate(items):
-            try:
-                if isinstance(query, str):
-                    wid[j] = eng.store.get_id(query)
-                else:
-                    v = np.asarray(query, np.float32).reshape(-1)
-                    n = float(np.linalg.norm(v))
-                    raw[j] = v / n if n > 0 else v
-            except Exception as e:  # noqa: BLE001 — isolate per item
-                out[j] = e
-                continue
-            groups.setdefault((int(k), tgt), []).append(j)
+        for j, (_query, k, tgt) in enumerate(items):
+            if out[j] is None:
+                groups.setdefault((int(k), tgt), []).append(j)
 
         for (k, tgt), idxs in groups.items():
             try:
-                tids, tmask = eng._target_ids(list(tgt))
-                t = int(tids.shape[0])
+                # resolve + pow2-pad the target axis on HOST; one transfer.
+                tid_list = (eng.store.get_ids(list(tgt), strict=False)
+                            if isinstance(tgt[0], str)
+                            else [int(t) for t in tgt])
+                t = len(tid_list)
                 tp = 1 << (t - 1).bit_length()
-                if tp > t:      # pad the target axis; pad slots masked out
-                    tids = jnp.pad(tids, (0, tp - t))
-                    tmask = jnp.pad(tmask, (0, tp - t))
-                b = len(idxs)
-                bp = 1 << (b - 1).bit_length()
-                pad_j = idxs[0]
-                ids = np.asarray([wid.get(j, 0) for j in idxs]
-                                 + [wid.get(pad_j, 0)] * (bp - b), np.int32)
-                global _GATHER_ROWS
-                if _GATHER_ROWS is None:
-                    _GATHER_ROWS = _gather_rows_jit()
+                tids_np = np.zeros((tp,), np.int32)
+                tids_np[:t] = tid_list
+                tmask_np = np.zeros((tp,), bool)
+                tmask_np[:t] = True
+                tids, tmask = jnp.asarray(tids_np), jnp.asarray(tmask_np)
                 with self._lock:
-                    q = _GATHER_ROWS(eng.store.vectors_norm,
-                                     jnp.asarray(ids))
-                    rpos = [p for p, j in enumerate(idxs) if j in raw]
-                    if rpos:
-                        q_np = np.array(q)
-                        q_np[rpos] = np.stack([raw[idxs[p]] for p in rpos])
-                        q = q_np
+                    q, b = self._gather_group(idxs, wid, raw)
                     d, i = eng.knn_in_matrix(q, k, tids, tmask)
                 d_np, i_np = np.asarray(d), np.asarray(i)   # outside lock
                 rows = eng._format_knn(d_np[:b], i_np[:b])
                 for j, r in zip(idxs, rows):
                     out[j] = r
-            except KeyError:
-                # no matrix core for the dispatched impl → per-item calls
+            except NoMatrixCore:
+                # no matrix core for the dispatched impl → per-item calls.
+                # Precise sentinel: a bare ``except KeyError`` used to
+                # swallow unrelated internal KeyErrors (e.g. incomplete
+                # mesh ``_shard`` state) and mask real bugs as fallbacks.
                 with self._lock:
                     for j in idxs:
                         try:
@@ -414,21 +412,22 @@ class QueryServer:
             raise UnknownEndpoint(f"unknown endpoint {path}")
 
     def _knn_stats(self) -> dict:
-        """Snapshot the micro-batcher counters under its stats lock so
-        /health never reads a half-updated (calls, items, busy) triple.
-        ``stage_s`` is mutated only while ``self._lock`` is held by the
-        batcher worker; reading it without that lock is a point-in-time
-        approximation, which is fine for a health probe."""
-        b = self._knn_batcher
-        with b.stats_lock:
-            return {
-                "knn_batched_calls": b.batched_calls,
-                "knn_busy_s": round(b.busy_s, 3),
-                "knn_stage_s": {k: round(v, 3)
-                                for k, v in self.stage_s.items()},
-                "knn_items_done": b.items_done,
-                "knn_max_coalesced": b.max_coalesced,
-            }
+        """Snapshot BOTH micro-batchers' counters, each under its own
+        stats lock, so /health never reads a half-updated (calls, items,
+        busy) triple. ``stage_s`` is mutated by the batcher workers partly
+        outside ``self._lock`` (the double-buffered materialize/format
+        steps run unlocked by design); reading it lock-free is a
+        point-in-time approximation, fine for a health probe."""
+        out = {"knn_stage_s": {k: round(v, 3)
+                               for k, v in self.stage_s.items()}}
+        for name, b in (("knn", self._knn_batcher),
+                        ("knn_in", self._knn_in_batcher)):
+            with b.stats_lock:
+                out[f"{name}_batched_calls"] = b.batched_calls
+                out[f"{name}_busy_s"] = round(b.busy_s, 3)
+                out[f"{name}_items_done"] = b.items_done
+                out[f"{name}_max_coalesced"] = b.max_coalesced
+        return out
 
     def _health(self) -> dict:
         import jax

@@ -84,13 +84,18 @@ def parse_copy_line(line: str) -> list[str | None]:
                 buf.append(_COPY_UNESCAPE[nxt])
                 i += 2
                 continue
-            if nxt.isdigit():  # octal escape
+            if nxt in "01234567":  # octal escape (8/9 are NOT octal)
                 j = i + 1
-                while j < n and j < i + 4 and line[j].isdigit():
+                while j < n and j < i + 4 and line[j] in "01234567":
                     j += 1
                 buf.append(chr(int(line[i + 1:j], 8)))
                 i = j
                 continue
+            # any other backslashed char represents itself (the backslash
+            # is dropped) — COPY text-format rule; e.g. "\\8" → "8"
+            buf.append(nxt)
+            i += 2
+            continue
         buf.append(c)
         i += 1
     fields.append(None if is_null else "".join(buf))

@@ -44,6 +44,11 @@ def test_parse_copy_line_escapes():
 
 def test_parse_copy_line_octal():
     assert migrate.parse_copy_line("\\101BC") == ["ABC"]
+    # 8/9 are not octal digits: COPY treats an unrecognized escaped char
+    # as the char itself (must not ValueError on int('8', 8))
+    assert migrate.parse_copy_line("\\8\t\\9x") == ["8", "9x"]
+    # octal run stops at the first non-octal digit
+    assert migrate.parse_copy_line("\\118") == ["\t8"]
 
 
 def test_format_copy_field_roundtrip():
