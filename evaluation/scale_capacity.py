@@ -57,6 +57,8 @@ def main():
                     help="PQ regime: reference=12x256 uint8; quality="
                          "OPQ x 4-bit 60x16 (the best measured operating "
                          "point at 3M)")
+    ap.add_argument("--pvf", default="20",
+                    help="comma-separated pvf sweep for the PV point")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "reports",
         "scale_10M.json"))
@@ -115,6 +117,23 @@ def main():
     gt5 = gt10[:, :5]
     log(f"ground truth in {time.perf_counter() - t0:.1f}s")
 
+    # Strided-bin recall hazard, quantified (CLAUDE.md; VERDICT r2 item
+    # 9): the binned kernel keeps ONE survivor per strided bin — bin key
+    # (row // block_n, row % bins) with block_n=2048, bins=128 — so two
+    # true neighbors whose row ids collide lose one candidate before
+    # top-k. Count colliding ground-truth pairs per query.
+    keys = (gt10 // 2048) * 128 + (gt10 % 128)          # (Q, 10)
+    collisions = sum(
+        int(len(row) - len(set(row.tolist()))) for row in keys)
+    results["bin_collision"] = dict(
+        colliding_gt10_pairs=collisions,
+        rate=collisions / gt10.size,
+        note="gt@10 neighbors sharing a (tile, strided-bin) slot of the "
+             "binned kernel (block_n=2048, bins=128) — each collision "
+             "caps binned-scan recall@10 by one candidate")
+    log(f"[bin_collision] {collisions} / {gt10.size} "
+        f"({collisions / gt10.size:.4f})")
+
     # --------------------------------------------------- exact batch scan
     B = 1024
     qb = table[:B].astype(jnp.float32)
@@ -142,19 +161,21 @@ def main():
     log(f"[pq_scan] {results['pq_scan']['per_query_ms']:.4g} ms/q "
         f"recall@10={results['pq_scan']['recall']:.3f}")
 
-    t, _ = timeit(lambda q: pq.search_pv(q, 10, 20, table,
-                                         impl="pallas_binned"),
-                  table[:B].astype(jnp.float32))
-    _, ids = pq.search_pv(queries_eval, 10, 20, table,
-                          impl="pallas_binned")
-    _, ids5 = pq.search_pv(queries_eval, 5, 20, table,
-                           impl="pallas_binned")
-    results["pq_pv_20"] = dict(
-        per_query_ms=t / B * 1e3, batch=B,
-        recall=recall_at_k(ids, gt10), recall5=recall_at_k(ids5, gt5),
-        note="ADC + exact re-rank pvf=20 against the bf16 table")
-    log(f"[pq_pv_20] {results['pq_pv_20']['per_query_ms']:.4g} ms/q "
-        f"recall@10={results['pq_pv_20']['recall']:.3f}")
+    for pvf in [int(x) for x in args.pvf.split(",")]:
+        t, _ = timeit(lambda q, pvf=pvf: pq.search_pv(
+            q, 10, pvf, table, impl="pallas_binned"),
+            table[:B].astype(jnp.float32))
+        _, ids = pq.search_pv(queries_eval, 10, pvf, table,
+                              impl="pallas_binned")
+        _, ids5 = pq.search_pv(queries_eval, 5, pvf, table,
+                               impl="pallas_binned")
+        results[f"pq_pv_{pvf}"] = dict(
+            per_query_ms=t / B * 1e3, batch=B,
+            recall=recall_at_k(ids, gt10), recall5=recall_at_k(ids5, gt5),
+            note=f"ADC + exact re-rank pvf={pvf} against the bf16 table")
+        log(f"[pq_pv_{pvf}] "
+            f"{results[f'pq_pv_{pvf}']['per_query_ms']:.4g} ms/q "
+            f"recall@10={results[f'pq_pv_{pvf}']['recall']:.3f}")
     log_mem("pq_pv")
 
     out = os.path.abspath(args.out)
