@@ -73,6 +73,34 @@ def main():
                         "speedup": round(t_dense / t_binned, 2)}
             log(f"{key}: dense {t_dense*1e3:.1f}ms  binned "
                 f"{t_binned*1e3:.1f}ms  ({t_dense/t_binned:.2f}x)")
+
+    if "--sweep" in sys.argv:
+        # block-shape sweep for the binned kernel at the throughput batch
+        # (VERDICT item 4: close the remaining gap to ~0.2 ms/q at B=256).
+        m, k, B = 12, 256, 256
+        codes_t = jnp.asarray(
+            rng.integers(0, k, size=(m, N)).astype(np.uint8))
+        luts = jnp.asarray(
+            np.abs(rng.normal(size=(B, m, k))).astype(np.float32))
+        sweep = {}
+        for bn in (2048, 4096, 8192):
+            if N % bn:
+                continue
+            for bb in (64, 128, 256):
+                for bins in (128, 256):
+                    if bins > bn // 2:
+                        continue
+                    try:
+                        t = timeit(lambda: pk.adc_scan_binned_pallas(
+                            luts, codes_t, block_n=bn, block_b=bb,
+                            bins=bins))
+                    except Exception as e:  # noqa: BLE001
+                        log(f"bn{bn}_bb{bb}_bins{bins}: FAIL {e!r}")
+                        continue
+                    kk = f"bn{bn}_bb{bb}_bins{bins}"
+                    sweep[kk] = round(t / B * 1e3, 4)
+                    log(f"{kk}: {t*1e3:.1f}ms ({t/B*1e3:.4f} ms/q)")
+        out["sweep_m12k256_B256"] = sweep
     print(json.dumps(out))
 
 

@@ -66,7 +66,7 @@ def recall(ids, gt_ids):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--gen", choices=("v1", "v2"), default="v2")
+    ap.add_argument("--gen", choices=("v1", "v2", "v3"), default="v3")
     ap.add_argument("--n", type=int, default=307_200)
     ap.add_argument("--d", type=int, default=300)
     ap.add_argument("--queries", type=int, default=256)
@@ -96,9 +96,13 @@ def main():
         f"{q} devices={jax.devices()}")
 
     t0 = time.perf_counter()
-    gen = (synth.generate_mixture if args.gen == "v1"
-           else synth.generate_wordlike)
-    V = gen(jax.random.PRNGKey(args.seed), args.n, args.d)
+    if args.gen == "v1":
+        V = synth.generate_mixture(jax.random.PRNGKey(args.seed), args.n,
+                                   args.d)
+    else:
+        params = synth.V2_PARAMS if args.gen == "v2" else synth.V3_PARAMS
+        V = synth.generate_wordlike(jax.random.PRNGKey(args.seed), args.n,
+                                    args.d, **params)
     np.asarray(V[0, 0])
     log(f"data in {time.perf_counter() - t0:.1f}s")
 

@@ -11,12 +11,24 @@ Two generators:
   topic-level distractors, in a randomly rotated basis so no PQ subspace is
   axis-aligned with the spectrum.
 
-The v2 parameters are CALIBRATED so a *reference-equivalent* quantizer
-(scipy-style best-of-10 converged Lloyd, m=12, k=256 — see
-evaluation/recall_ceiling.py) scores close to FREDDY's published operating
-points on GoogleNews (PQ 0.38, PQ+PV 0.87, IVFADC 0.35, IVFADC+PV 0.65,
-/root/reference/README.md:118-123). That calibration is what makes recall
-numbers measured on this data comparable to the reference's.
+The default parameters (v3) are CALIBRATED so a *reference-equivalent*
+quantizer (scipy-style best-of-10 converged Lloyd, m=12, k=256 — see
+evaluation/recall_ceiling.py) clears FREDDY's published operating points
+on GoogleNews (PQ@5 0.38, PQ+PV@5 0.87, /root/reference/README.md:118-123)
+at 3M×300: control pq@5 0.43 / pq_pv@5 0.91. That calibration is what
+makes recall numbers measured on this data comparable to the reference's.
+
+Calibration history (evaluation/synth_calibrate.py, 26 configs at 3M,
+reports/synth_calib_3M*.json): the round-2 "v2" parameters hit the scan
+point exactly (0.399 vs 0.38) but capped PV@20 at 0.80 — and a 4-round
+3M sweep showed no (group, sigma_v, sigma_c) choice hits both published
+points at once; the family's frontier passes through (0.48, 0.88). The
+fringe tier (``fringe_frac``/``sigma_f``: same-concept distractors in the
+band between true siblings and the topic shell) decouples the two — it
+contests the ADC top-5 without leaving the top-k·pvf shortlist — moving
+the frontier to (0.43, 0.91), where v3 sits. Both published bars are now
+cleared by the control; the residual +0.05 scan offset vs GoogleNews'
+0.38 is the documented data-difficulty difference.
 """
 
 from __future__ import annotations
@@ -27,6 +39,15 @@ import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+#: round-2 calibration (scan-point parity only; PV ceiling 0.80) — kept
+#: for the recall-ceiling control's "before" comparison.
+V2_PARAMS = dict(group=8, beta=0.55, sigma_c=0.7, sigma_v=0.55)
+
+#: round-3 calibration (= generate_wordlike defaults): fringe-tier
+#: geometry whose ref-equivalent control clears both published PQ points.
+V3_PARAMS = dict(group=64, beta=0.55, sigma_c=0.7, sigma_v=0.5,
+                 fringe_frac=0.875, sigma_f=0.65)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "d", "eval_q"))
@@ -53,11 +74,13 @@ def generate_mixture(key: Array, n: int, d: int = 300,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "d", "n_topics", "group", "chunk_size"))
+    static_argnames=("n", "d", "n_topics", "group", "chunk_size",
+                     "fringe_frac"))
 def generate_wordlike(key: Array, n: int, d: int = 300, *,
-                      n_topics: int = 1024, group: int = 8,
+                      n_topics: int = 1024, group: int = 64,
                       beta: float = 0.55, sigma_c: float = 0.7,
-                      sigma_v: float = 0.55,
+                      sigma_v: float = 0.5, fringe_frac: float = 0.875,
+                      sigma_f: float = 0.65,
                       chunk_size: int = 262144) -> Array:
     """GoogleNews-like synthetic embeddings → ``(n, d)`` float32, L2-normed.
 
@@ -95,9 +118,22 @@ def generate_wordlike(key: Array, n: int, d: int = 300, *,
 
     def chunk_fn(args):
         cof, idx = args
-        noise = jax.random.normal(jax.random.fold_in(kv, idx[0]),
-                                  (cof.shape[0], d), jnp.float32)
-        v = jnp.take(concepts, cof, axis=0) + sigma_v * noise * s
+        kchunk = jax.random.fold_in(kv, idx[0])
+        noise = jax.random.normal(kchunk, (cof.shape[0], d), jnp.float32)
+        sig = sigma_v
+        if fringe_frac > 0.0:
+            # FRINGE tier: a fraction of each concept's variants sit at a
+            # wider radius (sigma_f > sigma_v). They densely fill the
+            # distance band between true siblings and the topic shell, so
+            # ADC quantization noise swaps them into the top-5 (scan
+            # confusion) while the much-closer core siblings stay inside
+            # the top-k·pvf shortlist (PV recall) — the decoupling that
+            # lets the calibration hit FREDDY's scan AND PV points at
+            # once (README.md:118-123).
+            u = jax.random.uniform(jax.random.fold_in(kchunk, 1),
+                                   (cof.shape[0],))
+            sig = jnp.where(u < fringe_frac, sigma_f, sigma_v)[:, None]
+        v = jnp.take(concepts, cof, axis=0) + sig * noise * s
         v = jnp.dot(v, q_rot, preferred_element_type=jnp.float32)
         return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
 
