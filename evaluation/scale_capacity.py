@@ -111,9 +111,16 @@ def main():
     # ------------------------------------------ exact ground truth (f32
     # accumulation over the bf16 table, exact merge top-k)
     t0 = time.perf_counter()
-    _, gt10 = exact_top_k_precast(queries_eval, table, norms, 10,
-                                  chunk_size=1_048_576, approx=False)
-    gt10 = np.asarray(gt10)
+    # Query-chunked GT: at 10M rows the (256, chunk) f32 distance buffers
+    # of a single full-batch pass OOM next to the resident table + quality
+    # PQ (codes + transposed copy + OPQ rotation) — 64-query blocks over
+    # 512k-row chunks keep every transient under ~150 MiB.
+    gt_parts = []
+    for s in range(0, args.eval_q, 64):
+        _, g = exact_top_k_precast(queries_eval[s:s + 64], table, norms, 10,
+                                   chunk_size=524_288, approx=False)
+        gt_parts.append(np.asarray(g))
+    gt10 = np.concatenate(gt_parts)
     gt5 = gt10[:, :5]
     log(f"ground truth in {time.perf_counter() - t0:.1f}s")
 

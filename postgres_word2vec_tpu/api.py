@@ -637,17 +637,24 @@ class Freddy:
             return fn(q)
         q_host = np.asarray(q)
         outs_d, outs_i = [], []
+        last_pad = 0
         for s in range(0, B, chunk):
             qc = q_host[s:s + chunk]
-            pad = chunk - qc.shape[0] if s > 0 else 0
-            if pad:
-                qc = np.pad(qc, ((0, pad), (0, 0)))
+            last_pad = chunk - qc.shape[0] if s > 0 else 0
+            if last_pad:
+                qc = np.pad(qc, ((0, last_pad), (0, 0)))
             d, i = fn(qc)
-            if pad:
-                d, i = d[:-pad], i[:-pad]
             outs_d.append(d)
             outs_i.append(i)
-        return jnp.concatenate(outs_d, 0), jnp.concatenate(outs_i, 0)
+        # Merge on HOST after ONE batched transfer: an eager
+        # jnp.concatenate / pad-slice is traced+compiled on first call
+        # (seconds on the tunnel) and would serialize behind the chunk
+        # pipeline anyway; outputs are (chunk, k)-small.
+        outs_d, outs_i = jax.device_get((outs_d, outs_i))
+        if last_pad:
+            outs_d[-1] = outs_d[-1][:-last_pad]
+            outs_i[-1] = outs_i[-1][:-last_pad]
+        return np.concatenate(outs_d, 0), np.concatenate(outs_i, 0)
 
     def knn_search_in_batch(self, queries: Sequence[str], k: int,
                             targets) -> list[tuple]:

@@ -694,23 +694,40 @@ class IVPQIndex:
                 target_vecs, statistics, k, alpha, pvf, method, confidence,
                 long_codes_threshold, max_rounds, jt=jt,
                 budget_tiles=budget_tiles)
-            if pad_q:
-                vals, ids = vals[:-pad_q], ids[:-pad_q]
-                info = {kk: (vv[:-pad_q] if hasattr(vv, "shape")
-                             and getattr(vv, "ndim", 0) > 0 else vv)
-                        for kk, vv in info.items()}
             out_vals.append(vals)
             out_ids.append(ids)
-            infos.append(info)
-        vals = jnp.concatenate(out_vals, 0)
-        ids = jnp.concatenate(out_ids, 0)
+            infos.append((pad_q, info))
+        if len(out_vals) == 1 and not infos[0][0]:
+            # single-chunk fast path: stay on device, no transfer.
+            vals, ids = out_vals[0], out_ids[0]
+            if return_info:
+                merged = dict(infos[0][1], data_retrieval_s=data_retrieval_s)
+                return vals, ids, merged
+            return vals, ids
+        # Merge on HOST after ONE batched transfer: eager jnp.concatenate /
+        # pad-slices here traced+compiled on first call (~3.5 s on the
+        # tunnel — the residual first-full-join cost after the chunk-slice
+        # fix; evaluation/join_method_diag.py order-swap isolated it as
+        # method-agnostic and one-time). The chunk dispatches above stay
+        # fully pipelined; outputs are (chunk, k)-small.
+        out_vals, out_ids = jax.device_get((out_vals, out_ids))
+        last_pad = infos[-1][0]
+        if last_pad:
+            out_vals[-1] = out_vals[-1][:-last_pad]
+            out_ids[-1] = out_ids[-1][:-last_pad]
+        vals = np.concatenate(out_vals, 0)
+        ids = np.concatenate(out_ids, 0)
         if return_info:
             merged = {}
-            for key in infos[0]:
-                if hasattr(infos[0][key], "shape"):
-                    merged[key] = jnp.concatenate([i[key] for i in infos], 0)
+            raw = [jax.device_get(i) for (_p, i) in infos]
+            for key in raw[0]:
+                if hasattr(raw[0][key], "shape") and raw[0][key].ndim > 0:
+                    parts = [r[key] for r in raw]
+                    if last_pad:
+                        parts[-1] = parts[-1][:-last_pad]
+                    merged[key] = np.concatenate(parts, 0)
                 else:
-                    merged[key] = max(i[key] for i in infos)
+                    merged[key] = max(r[key] for r in raw)
             merged["data_retrieval_s"] = data_retrieval_s
             return vals, ids, merged
         return vals, ids
