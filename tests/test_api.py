@@ -249,3 +249,22 @@ def test_build_preset_quality():
 
     with pytest.raises(ValueError, match="unknown preset"):
         Freddy.build(store, preset="best")
+
+
+def test_chunked_q_ragged_tail(engine):
+    """_chunked_q pads the ragged final chunk to the compiled shape and
+    must slice the padding back off after the one batched host transfer."""
+    import jax.numpy as jnp
+
+    def fn(q):
+        d = jnp.sum(q * q, axis=-1, keepdims=True) + jnp.arange(3.0)[None]
+        i = jnp.broadcast_to(jnp.arange(3, dtype=jnp.int32)[None],
+                             (q.shape[0], 3))
+        return d, i
+
+    q = np.random.default_rng(0).normal(size=(10, 4)).astype(np.float32)
+    d, i = engine._chunked_q(jnp.asarray(q), fn, chunk=4)
+    want_d, want_i = fn(jnp.asarray(q))
+    assert d.shape == (10, 3) and i.shape == (10, 3)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(want_d), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(want_i))

@@ -306,3 +306,24 @@ def test_join_tiles_cache_reused(idx, dataset, monkeypatch):
     assert calls["n"] == 3
     # cap bounds the memo
     assert len(idx._join_cache) <= idx._JOIN_CACHE_CAP
+
+
+def test_search_join_query_chunking_parity(idx, dataset):
+    """A multi-chunk call with a ragged (padded) final chunk must return
+    exactly what one unchunked call returns — including the merged
+    return_info arrays — after the host-side merge (no eager jnp concat)."""
+    T = 1500
+    tids = jnp.arange(T, dtype=jnp.int32)
+    q = jnp.asarray(dataset[:20])
+    kw = dict(impl="budget", alpha=20, max_rounds=1, return_info=True)
+    v1, i1, info1 = idx.search_join(q, 5, tids, query_chunk=1024, **kw)
+    v2, i2, info2 = idx.search_join(q, 5, tids, query_chunk=8, **kw)
+    assert np.asarray(v2).shape == (20, 5)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+    for key, val in info2.items():
+        if hasattr(val, "shape") and getattr(val, "ndim", 0) > 0:
+            assert val.shape[0] == 20, key
+            np.testing.assert_allclose(
+                np.asarray(val), np.asarray(info1[key]), rtol=1e-5)
