@@ -184,3 +184,25 @@ def test_opq_encode_rotation_fused_matches_explicit(rng):
     explicit = km.encode_subspaces(jnp.asarray(v @ q_rot.astype(np.float32)),
                                    cb, chunk_size=4096)
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(explicit))
+
+
+def test_dense_nogo_explicit_pallas_raises(pq, monkeypatch):
+    """An EXPLICIT exact-kernel request past the dense no-go bar must not
+    silently degrade to the approximate binned kernel (ADVICE r2)."""
+    monkeypatch.setattr(PQIndex, "_DENSE_SCAN_BYTES", 1)
+    with pytest.raises(ValueError, match="pallas_binned"):
+        pq._search_plan(64, approx=False, impl="pallas")
+
+
+def test_dense_nogo_autoselect_warns(pq, monkeypatch):
+    from postgres_word2vec_tpu.ops import pallas_kernels as pk
+    monkeypatch.setattr(PQIndex, "_DENSE_SCAN_BYTES", 1)
+    monkeypatch.setattr(pk, "supports_pallas", lambda: True)
+    with pytest.warns(UserWarning, match="binned"):
+        mode, _, _ = pq._search_plan(64, approx=False, impl=None)
+    assert mode == "binned"
+
+
+def test_dense_under_bar_stays_dense(pq):
+    mode, _, _ = pq._search_plan(64, approx=False, impl="pallas")
+    assert mode == "dense"
