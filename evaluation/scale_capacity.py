@@ -14,7 +14,7 @@ Memory design (HBM is the binding constraint):
   ever exists on device;
 - `ExactIndex` is bypassed (its constructor materializes an f32 copy for
   norms); `exact_top_k_precast` consumes the pre-cast table directly;
-- PQ scans pass ``impl="pallas_binned"``: the dense (B, N) f32 distance
+- PQ scans pass ``--impl pallas_binned`` (default): the dense (B, N) f32 distance
   buffer (2.6 GiB even at B=64) cannot sit beside the resident table, so
   the fused binned kernel (per-bin minima only) is selected explicitly.
 
@@ -43,7 +43,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 from postgres_word2vec_tpu.evaluation.benchutil import (
-    log, log_mem, recall_at_k, timeit)
+    host_exact_topk, log, log_mem, recall_at_k, timeit)
 
 
 def main():
@@ -59,10 +59,16 @@ def main():
                          "point at 3M)")
     ap.add_argument("--pvf", default="20",
                     help="comma-separated pvf sweep for the PV point")
+    ap.add_argument("--impl", default="pallas_binned",
+                    help="PQ scan impl (pallas_binned on TPU; xla for a "
+                         "small-N CPU smoke run)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "reports",
         "scale_10M.json"))
     args = ap.parse_args()
+
+    from postgres_word2vec_tpu.utils.config import apply_platform_from_env
+    apply_platform_from_env()
 
     from postgres_word2vec_tpu.evaluation import synth
     from postgres_word2vec_tpu.models.exact import exact_top_k_precast
@@ -75,13 +81,18 @@ def main():
     # ---------------------------------------------- chunked generation
     t0 = time.perf_counter()
     n_chunks = -(-N // args.chunk)
-    parts, norm_parts = [], []
+    parts, norm_parts, host_parts = [], [], []
     for i in range(n_chunks):
         rows = min(args.chunk, N - i * args.chunk)
         vf = synth.generate_wordlike(jax.random.PRNGKey(1000 + i), rows, D)
         norm_parts.append(jnp.sum(vf.astype(jnp.float32) ** 2, axis=-1))
         parts.append(vf.astype(jnp.bfloat16))
-        jax.block_until_ready(parts[-1])
+        # one host pull per chunk: the ground-truth pass runs on HOST
+        # numpy (below) — after the PQ build the tunneled chip's
+        # allocator cannot satisfy even small fresh allocations next to
+        # the 6.3 GiB resident set (observed RESOURCE_EXHAUSTED on a
+        # (64, 300) slice), so GT must not touch the device at all.
+        host_parts.append(np.asarray(parts[-1]))
         del vf
     table = jnp.concatenate(parts)
     norms = jnp.concatenate(norm_parts)
@@ -91,7 +102,8 @@ def main():
         f"({table.nbytes / 2**30:.2f} GiB bf16)")
     log_mem("table")
 
-    queries_eval = table[:args.eval_q].astype(jnp.float32)
+    queries_eval = jnp.asarray(
+        host_parts[0][:args.eval_q].astype(np.float32))
 
     # PQ builds BEFORE the ground-truth pass: the long GT scan leaves the
     # tunneled chip's allocator unable to satisfy large fresh allocations
@@ -103,26 +115,30 @@ def main():
     results["pq_regime"] = args.pq
     pq = PQIndex.build(jax.random.PRNGKey(7), table, train_size=100_000,
                        iters=25, init="kmeans++", **pq_kw)
-    pq.transposed_codes()
+    # NOTE: pq.transposed_codes() is deliberately NOT forced here — the
+    # subspace-major copy (~0.6 GiB at 10M x 60) would sit resident through
+    # the GT pass and tip the quality regime over HBM (observed OOM). It
+    # builds lazily at the first pq.search after GT instead.
     log(f"PQ built in {time.perf_counter() - t0:.1f}s "
         f"(codes {pq.codes.nbytes / 2**20:.0f} MiB {pq.codes.dtype})")
     log_mem("pq")
 
-    # ------------------------------------------ exact ground truth (f32
-    # accumulation over the bf16 table, exact merge top-k)
+    # -------------------------------------- exact ground truth, ON HOST
+    # numpy f32 gemm over the bf16-rounded chunks (identical rounding to
+    # the device table; f32 accumulation matches the device matmul).
+    # 256 q x 10.24M x 300 = 1.6 TFLOP, ~1 min of single-core BLAS —
+    # and zero device allocations, which the post-build allocator state
+    # cannot provide (see generation loop note).
     t0 = time.perf_counter()
-    # Query-chunked GT: at 10M rows the (256, chunk) f32 distance buffers
-    # of a single full-batch pass OOM next to the resident table + quality
-    # PQ (codes + transposed copy + OPQ rotation) — 64-query blocks over
-    # 512k-row chunks keep every transient under ~150 MiB.
-    gt_parts = []
-    for s in range(0, args.eval_q, 64):
-        _, g = exact_top_k_precast(queries_eval[s:s + 64], table, norms, 10,
-                                   chunk_size=524_288, approx=False)
-        gt_parts.append(np.asarray(g))
-    gt10 = np.concatenate(gt_parts)
+    q_host = host_parts[0][:args.eval_q].astype(np.float32)
+    _, gt10 = host_exact_topk(q_host, host_parts, 10)
     gt5 = gt10[:, :5]
-    log(f"ground truth in {time.perf_counter() - t0:.1f}s")
+    # Host copies of the timing batches: the later phases must never
+    # eager-slice `table` on device (a fresh compile + transfer per
+    # slice over the tunnel, and the crash point when the tunnel blips).
+    q_time_host = host_parts[0][:1024].astype(np.float32)
+    del host_parts
+    log(f"ground truth (host) in {time.perf_counter() - t0:.1f}s")
 
     # Strided-bin recall hazard, quantified (CLAUDE.md; VERDICT r2 item
     # 9): the binned kernel keeps ONE survivor per strided bin — bin key
@@ -143,7 +159,7 @@ def main():
 
     # --------------------------------------------------- exact batch scan
     B = 1024
-    qb = table[:B].astype(jnp.float32)
+    qb = jnp.asarray(q_time_host[:B])
     t, _ = timeit(lambda q: exact_top_k_precast(q, table, norms, 10,
                                                 approx=True), qb)
     _, ids = exact_top_k_precast(queries_eval, table, norms, 10, approx=True)
@@ -157,10 +173,10 @@ def main():
     log_mem("exact")
 
     B = 64
-    t, _ = timeit(lambda q: pq.search(q, 10, impl="pallas_binned"),
-                  table[:B].astype(jnp.float32))
-    _, ids = pq.search(queries_eval, 10, impl="pallas_binned")
-    _, ids5 = pq.search(queries_eval, 5, impl="pallas_binned")
+    qb64 = jnp.asarray(q_time_host[:B])
+    t, _ = timeit(lambda q: pq.search(q, 10, impl=args.impl), qb64)
+    _, ids = pq.search(queries_eval, 10, impl=args.impl)
+    _, ids5 = pq.search(queries_eval, 5, impl=args.impl)
     results["pq_scan"] = dict(
         per_query_ms=t / B * 1e3, batch=B,
         recall=recall_at_k(ids, gt10), recall5=recall_at_k(ids5, gt5),
@@ -170,12 +186,11 @@ def main():
 
     for pvf in [int(x) for x in args.pvf.split(",")]:
         t, _ = timeit(lambda q, pvf=pvf: pq.search_pv(
-            q, 10, pvf, table, impl="pallas_binned"),
-            table[:B].astype(jnp.float32))
+            q, 10, pvf, table, impl=args.impl), qb64)
         _, ids = pq.search_pv(queries_eval, 10, pvf, table,
-                              impl="pallas_binned")
+                              impl=args.impl)
         _, ids5 = pq.search_pv(queries_eval, 5, pvf, table,
-                               impl="pallas_binned")
+                               impl=args.impl)
         results[f"pq_pv_{pvf}"] = dict(
             per_query_ms=t / B * 1e3, batch=B,
             recall=recall_at_k(ids, gt10), recall5=recall_at_k(ids5, gt5),

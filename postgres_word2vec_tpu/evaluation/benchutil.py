@@ -60,6 +60,45 @@ def timeit_piped(fn, *args, iters: int = 8) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def host_exact_topk(queries: np.ndarray, chunks, k: int):
+    """Exact squared-L2 top-k on HOST numpy over row chunks of the table.
+
+    Ground-truth fallback for regimes where the device allocator cannot
+    host even small fresh buffers next to a near-capacity resident set
+    (the 10M single-chip run). ``chunks`` iterates (rows_i, d) arrays in
+    row order; each is upcast to float32, so passing bf16-rounded chunks
+    reproduces the device table's rounding exactly.
+
+    Returns (distances (Q, k) float32 ascending, ids (Q, k) int64).
+    Mirrors the reference's exact ground-truth role
+    (/root/reference/evaluation/evaluation_utils.py:230-238) without a
+    second engine in the loop.
+    """
+    q = np.ascontiguousarray(queries, dtype=np.float32)
+    nq = q.shape[0]
+    best_d = np.full((nq, k), np.inf, np.float32)
+    best_i = np.full((nq, k), -1, np.int64)
+    off = 0
+    for ch in chunks:
+        v = np.asarray(ch).astype(np.float32)
+        d = (v * v).sum(axis=1)[None, :] - 2.0 * (q @ v.T)
+        if v.shape[0] > k:
+            idx = np.argpartition(d, k - 1, axis=1)[:, :k]
+        else:
+            idx = np.broadcast_to(np.arange(v.shape[0]), d.shape).copy()
+        cat_d = np.concatenate([best_d, np.take_along_axis(d, idx, 1)], 1)
+        cat_i = np.concatenate([best_i, idx + off], 1)
+        sel = np.argsort(cat_d, axis=1, kind="stable")[:, :k]
+        best_d = np.take_along_axis(cat_d, sel, 1)
+        best_i = np.take_along_axis(cat_i, sel, 1)
+        off += v.shape[0]
+        del v, d
+    # squared-L2 against the query's own norm term: add |q|^2 so the
+    # distances are true squared distances, not just comparable keys.
+    best_d = best_d + (q * q).sum(axis=1, keepdims=True)
+    return best_d, best_i
+
+
 def recall_at_k(ids, exact_ids) -> float:
     ids = np.asarray(ids)
     exact_ids = np.asarray(exact_ids)[:, :ids.shape[1]]

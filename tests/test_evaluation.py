@@ -172,3 +172,21 @@ def test_data_retrieval_zero_on_tile_cache_hit(engine):
     second = engine.tracker.get_results()["data_retrieval_time"][0]
     assert second == 0.0
     assert first >= 0.0
+
+
+def test_host_exact_topk_matches_direct():
+    """Chunked host ground-truth merge == direct full argsort (including a
+    ragged tail chunk and a chunk smaller than k)."""
+    from postgres_word2vec_tpu.evaluation.benchutil import host_exact_topk
+    rng = np.random.default_rng(3)
+    table = rng.normal(size=(517, 16)).astype(np.float32)
+    q = rng.normal(size=(9, 16)).astype(np.float32)
+    chunks = [table[:256], table[256:512], table[512:]]  # tail of 5 < k
+    d, ids = host_exact_topk(q, chunks, 10)
+    full = ((table * table).sum(1)[None, :] - 2.0 * (q @ table.T)
+            + (q * q).sum(1)[:, None])
+    expect = np.argsort(full, axis=1, kind="stable")[:, :10]
+    np.testing.assert_array_equal(ids, expect)
+    np.testing.assert_allclose(
+        d, np.take_along_axis(full, expect, 1), rtol=1e-5, atol=1e-5)
+    assert (np.diff(d, axis=1) >= -1e-6).all()
