@@ -189,12 +189,15 @@ def _pq_search_program(queries: Array, rotation: Array, centroids: Array,
     q = (jnp.dot(queries.astype(jnp.float32), rotation,
                  preferred_element_type=jnp.float32) if rotate else queries)
     luts = lut.build_luts(q, centroids)
-    if mode == "binned":
+    lut_dtype = "int8" if mode.endswith("_i8") else "bf16"
+    if mode.startswith("binned"):
         return pk.adc_top_k_binned_pallas(luts, codes_t, k, valid_n=valid_n,
-                                          block_n=block_n, approx=approx)
-    if mode == "dense":
+                                          block_n=block_n, approx=approx,
+                                          lut_dtype=lut_dtype)
+    if mode.startswith("dense"):
         return pk.adc_top_k_pallas(luts, codes_t, k, valid_n=valid_n,
-                                   block_n=block_n, approx=approx)
+                                   block_n=block_n, approx=approx,
+                                   lut_dtype=lut_dtype)
     # XLA gather backend (codes_t here is the UNtransposed (n, m) table).
     return adc.adc_top_k(luts, codes_t, k, approx=approx)
 
@@ -324,17 +327,21 @@ class PQIndex:
             impl = "pallas" if pk.supports_pallas() else "xla"
         if not impl.startswith("pallas"):
             return "xla", self.codes, self.size
+        # "_int8" suffix selects the double-rate int8-LUT MXU path
+        # (per-query quantized LUTs; ordering error far below PQ error).
+        sfx = "_i8" if impl.endswith("_int8") else ""
+        base = impl[:-5] if sfx else impl
         ct = self.transposed_codes()
         dense_bytes = n_queries * ct.shape[1] * 4
-        if impl == "pallas_binned" or approx:
-            return "binned", ct, self.size
+        if base == "pallas_binned" or approx:
+            return "binned" + sfx, ct, self.size
         if dense_bytes > self._DENSE_SCAN_BYTES:
             # The dense scan materializes a (B, N) f32 distance matrix;
             # past the no-go bar only the binned kernel can run — but its
             # results are bin-survivor approximations even with
             # approx=False, so never degrade an EXPLICIT exact-kernel
             # request silently.
-            if impl_requested == "pallas":
+            if impl_requested in ("pallas", "pallas_int8"):
                 raise ValueError(
                     f"impl='pallas' dense distance buffer would be "
                     f"{dense_bytes / 2**30:.1f} GiB (> "
@@ -348,8 +355,8 @@ class PQIndex:
                 "auto-selecting the approximate binned kernel. Pass "
                 "impl='pallas_binned' to silence, or chunk queries "
                 "for exact results.", stacklevel=3)
-            return "binned", ct, self.size
-        return "dense", ct, self.size
+            return "binned" + sfx, ct, self.size
+        return "dense" + sfx, ct, self.size
 
     def _rot_args(self) -> tuple[Array, bool]:
         if self.rotation is None:

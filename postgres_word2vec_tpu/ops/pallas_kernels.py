@@ -45,9 +45,10 @@ def _group_size(m: int, k: int) -> int:
     return min(128 // k, m)
 
 
-def _group_onehot(codes, jg: int, g: int, k: int, block_n: int):
+def _group_onehot(codes, jg: int, g: int, k: int, block_n: int,
+                  dtype=jnp.bfloat16):
     """One-hot for subspace group ``jg``: rows ``j·k + codes[j]`` are 1 for
-    each of the group's g subspaces → (g·k, block_n) bf16.
+    each of the group's g subspaces → (g·k, block_n) in ``dtype``.
 
     ``codes`` is the already-loaded, int32-widened (m, block_n) tile —
     codes stream from HBM in their narrow storage dtype (uint8/int16) and
@@ -61,7 +62,29 @@ def _group_onehot(codes, jg: int, g: int, k: int, block_n: int):
     expanded = jnp.broadcast_to(target[:, None, :],
                                 (g, k, block_n)).reshape(g * k, block_n)
     iota = lax.broadcasted_iota(jnp.int32, (g * k, block_n), 0)
-    return (iota == expanded).astype(jnp.bfloat16)
+    return (iota == expanded).astype(dtype)
+
+
+def _quantize_luts_int8(luts: Array) -> tuple[Array, Array]:
+    """Per-query symmetric int8 quantization of ADC LUTs.
+
+    The scale is GLOBAL per query (max over all m·k entries / 127): every
+    subspace's int32 partial sums then share one scale, so the kernel can
+    accumulate the whole ADC sum in int32 across subspace matmuls on the
+    MXU's double-rate int8 path and apply ONE f32 fixup at the end.
+    In-row ordering is exactly preserved up to the quantization step
+    (≤ max/254 per lookup, ~0.3% of a typical distance at m=12) — far
+    below PQ quantization error (recall parity asserted in tests).
+
+    Returns (int8 luts in [-127, 127], per-query scale (B,) f32 such that
+    ``dist ≈ int_sum * scale``). ADC LUTs are nonnegative squared
+    distances so the effective range is [0, 127]; the symmetric max-abs
+    scale keeps the transform correct for any signed caller too.
+    """
+    lf = luts.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(lf), axis=(1, 2)), 1e-20)  # (B,)
+    q = jnp.clip(jnp.rint(lf * (127.0 / s)[:, None, None]), -127, 127)
+    return q.astype(jnp.int8), s / 127.0
 
 
 def _adc_kernel(codes_ref, luts_ref, out_ref, *, m: int, k: int, g: int,
@@ -82,28 +105,40 @@ def _adc_kernel(codes_ref, luts_ref, out_ref, *, m: int, k: int, g: int,
     out_ref[:] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "block_b",
-                                             "interpret"))
-def adc_scan_pallas(luts: Array, codes_t: Array, *, block_n: int = 2048,
-                    block_b: int = 128, interpret: bool = False) -> Array:
-    """Dense ADC distances ``(B, m, k) × (m, N) → (B, N)`` float32.
+def _adc_kernel_i8(codes_ref, luts_ref, scale_ref, out_ref, *, m: int,
+                   k: int, g: int, block_n: int):
+    """int8 twin of :func:`_adc_kernel`: int8 one-hot × int8 LUT on the
+    MXU's double-rate int8 path, int32 accumulation across all subspace
+    groups (exact — max sum is m·127, far below int32), ONE f32 scale
+    fixup at the end.
 
-    ``codes_t`` is the transposed code table (subspace-major). N must be a
-    multiple of ``block_n`` (pad with any code value; mask downstream). The
-    query batch is tiled by ``block_b`` on a second grid axis so VMEM stays
-    bounded at any B (the accumulator is block_b × block_n f32).
+    luts_ref:  (m//g, B, g·k) int8 in [0, 127] (see _quantize_luts_int8)
+    scale_ref: (B, 1) f32 per-query dequantization scale
     """
+    codes = codes_ref[:].astype(jnp.int32)
+    acc = jnp.zeros(out_ref.shape, jnp.int32)
+    for jg in range(m // g):
+        onehot = _group_onehot(codes, jg, g, k, block_n, dtype=jnp.int8)
+        acc += jnp.dot(luts_ref[jg], onehot,
+                       preferred_element_type=jnp.int32)      # (B, block_n)
+    out_ref[:] = acc.astype(jnp.float32) * scale_ref[:]
+
+
+def _prep_adc_inputs(luts: Array, codes_t: Array, pad_b: int,
+                     g: int, pad_m: int, lut_dtype: str):
+    """Shared input prep for the dense/binned ADC wrappers: quantize or
+    downcast LUTs, zero-pad subspaces to the group multiple, pad the query
+    batch, and fold to the group-fused (m/g, B, g·k) layout. Returns
+    (luts_in, codes_in, scale (B+pad_b, 1) f32 or None)."""
     B, m, k = luts.shape
-    n = codes_t.shape[1]
-    if n % block_n != 0:
-        raise ValueError(f"N={n} not a multiple of block_n={block_n}")
-    bb = min(block_b, _round_up(B, 8))
-    pad_b = (-B) % bb
-    g = _group_size(m, k)
-    pad_m = (-m) % g
-    # bf16 LUT halves MXU cost; distances are ~unit scale so the mantissa
-    # loss is far below PQ quantization error.
-    luts_in = luts.astype(jnp.bfloat16)
+    scale = None
+    if lut_dtype == "int8":
+        luts_in, s = _quantize_luts_int8(luts)
+        scale = jnp.pad(s, (0, pad_b))[:, None] if pad_b else s[:, None]
+    else:
+        # bf16 LUT halves MXU cost; distances are ~unit scale so the
+        # mantissa loss is far below PQ quantization error.
+        luts_in = luts.astype(jnp.bfloat16)
     # keep the storage dtype (uint8/int16) — the kernel widens in VMEM,
     # so HBM streams the true code bytes.
     codes_in = (codes_t if jnp.issubdtype(codes_t.dtype, jnp.integer)
@@ -118,22 +153,62 @@ def adc_scan_pallas(luts: Array, codes_t: Array, *, block_n: int = 2048,
     # group-fused LUT layout: (B, m, k) → (m/g, B, g·k).
     luts_in = jnp.moveaxis(
         luts_in.reshape(B + pad_b, mp // g, g * k), 0, 1)
+    return luts_in, codes_in, scale
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_b",
+                                             "lut_dtype", "interpret"))
+def adc_scan_pallas(luts: Array, codes_t: Array, *, block_n: int = 2048,
+                    block_b: int = 128, lut_dtype: str = "bf16",
+                    interpret: bool = False) -> Array:
+    """Dense ADC distances ``(B, m, k) × (m, N) → (B, N)`` float32.
+
+    ``codes_t`` is the transposed code table (subspace-major). N must be a
+    multiple of ``block_n`` (pad with any code value; mask downstream). The
+    query batch is tiled by ``block_b`` on a second grid axis so VMEM stays
+    bounded at any B (the accumulator is block_b × block_n f32).
+
+    ``lut_dtype``: "bf16" (default) or "int8" — the int8 path quantizes
+    LUTs per query and runs the matmuls on the MXU's double-rate int8 path
+    (ordering error ≤ max/254 per lookup; see _quantize_luts_int8).
+    """
+    B, m, k = luts.shape
+    n = codes_t.shape[1]
+    if n % block_n != 0:
+        raise ValueError(f"N={n} not a multiple of block_n={block_n}")
+    bb = min(block_b, _round_up(B, 8))
+    pad_b = (-B) % bb
+    g = _group_size(m, k)
+    pad_m = (-m) % g
+    mp = m + pad_m
+    luts_in, codes_in, scale = _prep_adc_inputs(luts, codes_t, pad_b,
+                                                g, pad_m, lut_dtype)
 
     grid = ((B + pad_b) // bb, n // block_n)
-    out = pl.pallas_call(
-        functools.partial(_adc_kernel, m=mp, k=k, g=g, block_n=block_n),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((mp, block_n), lambda b, i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((mp // g, bb, g * k), lambda b, i: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bb, block_n), lambda b, i: (b, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B + pad_b, n), jnp.float32),
-        interpret=interpret,
-    )(codes_in, luts_in)
+    in_specs = [
+        pl.BlockSpec((mp, block_n), lambda b, i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((mp // g, bb, g * k), lambda b, i: (0, b, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((bb, block_n), lambda b, i: (b, i),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B + pad_b, n), jnp.float32)
+    if lut_dtype == "int8":
+        in_specs.append(pl.BlockSpec((bb, 1), lambda b, i: (b, 0),
+                                     memory_space=pltpu.VMEM))
+        out = pl.pallas_call(
+            functools.partial(_adc_kernel_i8, m=mp, k=k, g=g,
+                              block_n=block_n),
+            grid=grid, in_specs=in_specs, out_specs=out_spec,
+            out_shape=out_shape, interpret=interpret,
+        )(codes_in, luts_in, scale)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_adc_kernel, m=mp, k=k, g=g, block_n=block_n),
+            grid=grid, in_specs=in_specs, out_specs=out_spec,
+            out_shape=out_shape, interpret=interpret,
+        )(codes_in, luts_in)
     return out[:B] if pad_b else out
 
 
@@ -183,17 +258,47 @@ def _adc_binned_kernel(codes_ref, luts_ref, mins_ref, args_ref, *, m: int,
     args_ref[:] = jnp.bitwise_and(best, sub_pow - 1)
 
 
+def _adc_binned_kernel_i8(codes_ref, luts_ref, mins_ref, args_ref, *,
+                          m: int, k: int, g: int, block_n: int, bins: int):
+    """int8 twin of :func:`_adc_binned_kernel`.
+
+    The int32 ADC sums are small (≤ m·127 ≈ 2¹⁴), so the sub-bin argmin
+    packs EXACTLY: key = sum·sub_pow + idx loses no distance bits (the f32
+    variant floor-perturbs the low mantissa). mins_ref is emitted as the
+    raw int32 sum — the wrapper applies the per-query scale on the tiny
+    (B, n_tiles·bins) output rather than threading scale into the kernel.
+    """
+    codes = codes_ref[:].astype(jnp.int32)
+    acc = jnp.zeros((luts_ref.shape[1], block_n), jnp.int32)
+    for jg in range(m // g):
+        onehot = _group_onehot(codes, jg, g, k, block_n, dtype=jnp.int8)
+        acc += jnp.dot(luts_ref[jg], onehot,
+                       preferred_element_type=jnp.int32)
+    bb = acc.shape[0]
+    sub = block_n // bins
+    sub_pow = 1 << (sub - 1).bit_length()
+    packed = (acc.reshape(bb, sub, bins) * sub_pow
+              + lax.broadcasted_iota(jnp.int32, (bb, sub, bins), 1))
+    best = jnp.min(packed, axis=1)               # (bb, bins)
+    mins_ref[:] = best // sub_pow
+    args_ref[:] = jnp.bitwise_and(best, sub_pow - 1)
+
+
 @functools.partial(jax.jit, static_argnames=("block_n", "block_b", "bins",
-                                             "interpret"))
+                                             "lut_dtype", "interpret"))
 def adc_scan_binned_pallas(luts: Array, codes_t: Array, *,
                            block_n: int = 2048, block_b: int = 128,
-                           bins: int = 128, interpret: bool = False
+                           bins: int = 128, lut_dtype: str = "bf16",
+                           interpret: bool = False
                            ) -> tuple[Array, Array]:
     """Binned ADC scan → (mins (B, n_tiles·bins), global ids).
 
     One candidate survives per strided bin of ``block_n/bins`` rows — the
     same partial-reduce shape as ``approx_min_k`` but fused into the ADC
     kernel, so the full (B, N) distance matrix never touches HBM.
+    ``lut_dtype="int8"`` selects the double-rate int8 MXU path (per-query
+    quantized LUTs, int32 sums, f32 scale applied to the tiny binned
+    output).
     """
     B, m, k = luts.shape
     n = codes_t.shape[1]
@@ -203,26 +308,18 @@ def adc_scan_binned_pallas(luts: Array, codes_t: Array, *,
     pad_b = (-B) % bb
     g = _group_size(m, k)
     pad_m = (-m) % g
-    luts_in = luts.astype(jnp.bfloat16)
-    # keep the storage dtype (uint8/int16) — the kernel widens in VMEM,
-    # so HBM streams the true code bytes.
-    codes_in = (codes_t if jnp.issubdtype(codes_t.dtype, jnp.integer)
-                else codes_t.astype(jnp.int32))
-    if pad_m:
-        luts_in = jnp.pad(luts_in, ((0, 0), (0, pad_m), (0, 0)))
-        codes_in = jnp.pad(codes_in, ((0, pad_m), (0, 0)))
     mp = m + pad_m
-    if pad_b:
-        luts_in = jnp.pad(luts_in, ((0, pad_b), (0, 0), (0, 0)))
-    luts_in = jnp.moveaxis(
-        luts_in.reshape(B + pad_b, mp // g, g * k), 0, 1)
+    luts_in, codes_in, scale = _prep_adc_inputs(luts, codes_t, pad_b,
+                                                g, pad_m, lut_dtype)
     n_tiles = n // block_n
 
     if bins % 128 != 0:
         raise ValueError("bins must be a multiple of 128 (output lane tile)")
     grid = ((B + pad_b) // bb, n_tiles)
+    int8 = lut_dtype == "int8"
+    kern = _adc_binned_kernel_i8 if int8 else _adc_binned_kernel
     mins, args = pl.pallas_call(
-        functools.partial(_adc_binned_kernel, m=mp, k=k, g=g,
+        functools.partial(kern, m=mp, k=k, g=g,
                           block_n=block_n, bins=bins),
         grid=grid,
         in_specs=[
@@ -238,16 +335,21 @@ def adc_scan_binned_pallas(luts: Array, codes_t: Array, *,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B + pad_b, n_tiles * bins), jnp.float32),
+            jax.ShapeDtypeStruct((B + pad_b, n_tiles * bins),
+                                 jnp.int32 if int8 else jnp.float32),
             jax.ShapeDtypeStruct((B + pad_b, n_tiles * bins), jnp.int32),
         ),
         interpret=interpret,
     )(codes_in, luts_in)
+    if int8:
+        mins = mins[:B].astype(jnp.float32) * scale[:B]
+    else:
+        mins = mins[:B]
     # strided bins: global id = tile·block_n + arg·bins + bin_index.
     base = (jnp.arange(n_tiles, dtype=jnp.int32)[:, None] * block_n
             + jnp.arange(bins, dtype=jnp.int32)[None, :]
             ).reshape(1, n_tiles * bins)
-    return mins[:B], args[:B] * bins + base
+    return mins, args[:B] * bins + base
 
 
 def _fused_exact_kernel(q_ref, tab_ref, norm_ref, mins_ref, args_ref, *,
@@ -566,10 +668,12 @@ def supports_pallas() -> bool:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "valid_n", "block_n", "approx"))
+                   static_argnames=("k", "valid_n", "block_n", "approx",
+                                    "lut_dtype"))
 def adc_top_k_pallas(luts: Array, codes_t: Array, k: int, *,
                      valid_n: int | None = None, block_n: int = 2048,
-                     approx: bool = True) -> tuple[Array, Array]:
+                     approx: bool = True, lut_dtype: str = "bf16"
+                     ) -> tuple[Array, Array]:
     """Exhaustive ADC top-k via the matmul-scan kernel → (dists, ids).
 
     ``valid_n`` masks padding columns appended to reach a block multiple.
@@ -577,7 +681,8 @@ def adc_top_k_pallas(luts: Array, codes_t: Array, k: int, *,
     from postgres_word2vec_tpu.ops import topk as topk_ops
 
     n = codes_t.shape[1]
-    dists = adc_scan_pallas(luts, codes_t, block_n=block_n)
+    dists = adc_scan_pallas(luts, codes_t, block_n=block_n,
+                            lut_dtype=lut_dtype)
     if valid_n is not None and valid_n < n:
         col = jnp.arange(n)
         dists = jnp.where(col[None, :] < valid_n, dists, jnp.inf)
@@ -591,10 +696,12 @@ def adc_top_k_pallas(luts: Array, codes_t: Array, k: int, *,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "valid_n", "block_n",
-                                             "bins", "approx", "interpret"))
+                                             "bins", "approx", "lut_dtype",
+                                             "interpret"))
 def adc_top_k_binned_pallas(luts: Array, codes_t: Array, k: int, *,
                             valid_n: int | None = None, block_n: int = 2048,
                             bins: int = 128, approx: bool = True,
+                            lut_dtype: str = "bf16",
                             interpret: bool = False) -> tuple[Array, Array]:
     """Memory-lean exhaustive ADC top-k via the fused binned scan.
 
@@ -610,7 +717,8 @@ def adc_top_k_binned_pallas(luts: Array, codes_t: Array, k: int, *,
     scales where this path is selected.
     """
     mins, ids = adc_scan_binned_pallas(luts, codes_t, block_n=block_n,
-                                       bins=bins, interpret=interpret)
+                                       bins=bins, lut_dtype=lut_dtype,
+                                       interpret=interpret)
     if valid_n is not None and valid_n < codes_t.shape[1]:
         mins = jnp.where(ids < valid_n, mins, jnp.inf)
     if approx:

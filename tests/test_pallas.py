@@ -214,3 +214,73 @@ def test_adc_top_k_binned_wrapper(rng):
         row = ids[b][fin[b]]
         assert len(set(row.tolist())) == len(row)
         assert (np.diff(vals[b][fin[b]]) >= 0).all()
+
+
+def test_adc_scan_int8_matches_f32(rng):
+    """int8-LUT dense scan: per-query quantization bounds the absolute
+    error at m · scale/2 (scale = row max/127); ordering of true
+    neighbours must be preserved at recall tolerances."""
+    B, m, k, n = 4, 6, 16, 1024
+    cb = jnp.asarray(rng.normal(size=(m, k, 5)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(B, 30)).astype(np.float32))
+    codes = rng.integers(0, k, size=(n, m)).astype(np.uint8)
+    luts = lut.build_luts(q, cb)
+    want = np.asarray(adc.adc_distances(luts, jnp.asarray(codes)))
+    got = np.asarray(pk.adc_scan_pallas(luts, jnp.asarray(codes.T),
+                                        block_n=256, lut_dtype="int8",
+                                        interpret=True))
+    # error bound: m lookups, each off by <= scale/2 = row_max/254
+    row_max = np.asarray(luts).reshape(B, -1).max(axis=1)
+    bound = m * row_max / 254 * 1.01
+    assert (np.abs(got - want) <= bound[:, None]).all()
+    # top-10 by int8 distances must be drawn from the true top-32
+    true_rank = np.argsort(want, axis=1)
+    top32 = [set(r[:32]) for r in true_rank]
+    got_top10 = np.argsort(got, axis=1)[:, :10]
+    for b in range(B):
+        assert sum(i in top32[b] for i in got_top10[b]) >= 9
+
+
+def test_adc_binned_int8_matches_dense_int8(rng):
+    """The int8 binned kernel's packed argmin is EXACT (int sums shifted,
+    no mantissa floor): per-bin mins must equal the binned reduction of
+    the int8 dense output bit-for-bit, and ids must point at them."""
+    B, m, k, n = 4, 6, 16, 1024
+    cb = jnp.asarray(rng.normal(size=(m, k, 5)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(B, 30)).astype(np.float32))
+    codes = rng.integers(0, k, size=(n, m)).astype(np.uint8)
+    luts = lut.build_luts(q, cb)
+    ct = jnp.asarray(codes.T)
+    dense = np.asarray(pk.adc_scan_pallas(luts, ct, block_n=256,
+                                          lut_dtype="int8", interpret=True))
+    mins, ids = pk.adc_scan_binned_pallas(luts, ct, block_n=256, bins=128,
+                                          lut_dtype="int8", interpret=True)
+    mins, ids = np.asarray(mins), np.asarray(ids)
+    assert mins.shape == (B, (n // 256) * 128)
+    binned = dense.reshape(B, -1, 2, 128).min(axis=2).reshape(B, -1)
+    np.testing.assert_array_equal(mins, binned)
+    np.testing.assert_array_equal(
+        np.take_along_axis(dense, ids, axis=-1), binned)
+
+
+def test_adc_top_k_binned_int8_wrapper(rng):
+    """End-to-end binned top-k on the int8 path: k=1 equals the int8 dense
+    argmin and valid_n masking holds."""
+    B, m, k, n = 4, 6, 16, 1024
+    cb = jnp.asarray(rng.normal(size=(m, k, 5)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(B, 30)).astype(np.float32))
+    codes = rng.integers(0, k, size=(n, m)).astype(np.uint8)
+    luts = lut.build_luts(q, cb)
+    ct = jnp.asarray(codes.T)
+    dense = np.asarray(pk.adc_scan_pallas(luts, ct, block_n=256,
+                                          lut_dtype="int8", interpret=True))
+    valid_n = 1000
+    masked = dense.copy()
+    masked[:, valid_n:] = np.inf
+    v1, i1 = pk.adc_top_k_binned_pallas(luts, ct, 1, valid_n=valid_n,
+                                        block_n=256, approx=False,
+                                        lut_dtype="int8", interpret=True)
+    np.testing.assert_array_equal(np.asarray(i1)[:, 0],
+                                  masked.argmin(axis=-1))
+    np.testing.assert_allclose(np.asarray(v1)[:, 0], masked.min(axis=-1),
+                               rtol=1e-6)

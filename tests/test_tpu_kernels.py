@@ -216,3 +216,39 @@ def test_adc_top_k_binned_compiled(pk, rng):
     np.testing.assert_allclose(vals[fin], dense[bi[fin], ids[fin]],
                                rtol=1e-5)
     assert (ids[fin] < valid_n).all()
+
+
+def test_adc_scan_int8_compiled(pk, rng):
+    """Compiled int8-LUT path (Mosaic int8 matmul + int32 accumulate) vs
+    the XLA gather reference at the quantization error bound."""
+    from postgres_word2vec_tpu.ops import adc
+
+    B, m, k, t = 16, 12, 256, 4096
+    codes = rng.integers(0, k, size=(t, m)).astype(np.uint8)
+    luts = np.abs(rng.normal(size=(B, m, k))).astype(np.float32)
+    want = np.asarray(adc.adc_distances(jnp.asarray(luts),
+                                        jnp.asarray(codes.astype(np.int32))))
+    got = np.asarray(pk.adc_scan_pallas(jnp.asarray(luts),
+                                        jnp.asarray(codes.T),
+                                        block_n=2048, lut_dtype="int8"))
+    bound = m * luts.reshape(B, -1).max(axis=1) / 254 * 1.01
+    assert (np.abs(got - want) <= bound[:, None]).all()
+
+
+def test_adc_binned_int8_compiled(pk, rng):
+    """Compiled int8 binned kernel: per-bin mins must equal the binned
+    reduction of the compiled int8 dense output bit-for-bit."""
+    B, m, k, t = 16, 12, 256, 4096
+    codes = rng.integers(0, k, size=(t, m)).astype(np.uint8)
+    luts = np.abs(rng.normal(size=(B, m, k))).astype(np.float32)
+    ct = jnp.asarray(codes.T)
+    dense = np.asarray(pk.adc_scan_pallas(jnp.asarray(luts), ct,
+                                          block_n=2048, lut_dtype="int8"))
+    mins, ids = pk.adc_scan_binned_pallas(jnp.asarray(luts), ct,
+                                          block_n=2048, bins=128,
+                                          lut_dtype="int8")
+    mins, ids = np.asarray(mins), np.asarray(ids)
+    binned = dense.reshape(B, -1, 16, 128).min(axis=2).reshape(B, -1)
+    np.testing.assert_array_equal(mins, binned)
+    np.testing.assert_array_equal(
+        np.take_along_axis(dense, ids, axis=-1), binned)
