@@ -168,6 +168,26 @@ def main():
         add("pq_scan_b256", ids5, ids, per_query_ms=t / B2 * 1e3, batch=B2,
             ref_s=1.06, ref_recall=0.38,
             note="same kernel at batch 256 (throughput shape)")
+
+        # int8-LUT MXU path: per-query quantized LUTs on the chip's
+        # double-rate int8 matmul (ops/pallas_kernels._quantize_luts_int8).
+        B = 64
+        t, _ = timeit(lambda q: pq.search(q, K, impl="pallas_int8"), V[:B])
+        _, ids = pq.search(queries_eval, K, impl="pallas_int8")
+        _, ids5 = pq.search(queries_eval, 5, impl="pallas_int8")
+        add("pq_scan_int8", ids5, ids, per_query_ms=t / B * 1e3, batch=B,
+            ref_s=1.06, ref_recall=0.38, note="int8-LUT ADC full scan")
+        t, _ = timeit(lambda q: pq.search(q, K, impl="pallas_int8"), V[:B2])
+        add("pq_scan_int8_b256", ids5, ids, per_query_ms=t / B2 * 1e3,
+            batch=B2, ref_s=1.06, ref_recall=0.38,
+            note="int8-LUT ADC at batch 256 (throughput shape)")
+        t, _ = timeit(lambda q: pq.search_pv(q, K, 20, V,
+                                             impl="pallas_int8"), V[:B])
+        _, ids = pq.search_pv(queries_eval, K, 20, V, impl="pallas_int8")
+        _, ids5 = pq.search_pv(queries_eval, 5, 20, V, impl="pallas_int8")
+        add("pq_pv_20_int8", ids5, ids, per_query_ms=t / B * 1e3, batch=B,
+            ref_s=1.29, ref_recall=0.87,
+            note="int8-LUT ADC + exact re-rank pvf=20")
         del pq
     except Exception as e:  # pragma: no cover
         log(f"pq bench failed: {e!r}")

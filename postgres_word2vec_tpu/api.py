@@ -86,6 +86,7 @@ class RuntimeParams:
     confidence: float = 0.8
     long_codes_threshold: float = 1e7
     statistics_table: str | None = None
+    pq_lut_dtype: str = "bf16"          # "bf16" | "int8" (double-rate MXU)
 
 
 #: Default dispatch registry (sql:188-202).
@@ -269,6 +270,15 @@ class Freddy:
     def set_long_codes_threshold(self, threshold: float) -> None:
         self.params.long_codes_threshold = float(threshold)
 
+    def set_pq_lut_dtype(self, dtype: str) -> None:
+        """Select the PQ scan's LUT arithmetic: "bf16" (default) or "int8"
+        (per-query quantized LUTs on the MXU's double-rate int8 path —
+        beyond-reference perf knob; no reference counterpart)."""
+        if dtype not in ("bf16", "int8"):
+            raise ValueError(f"pq_lut_dtype must be 'bf16' or 'int8', "
+                             f"got {dtype!r}")
+        self.params.pq_lut_dtype = dtype
+
     def set_statistics_table(self, name: str | None) -> None:
         if name is not None and name not in self.statistics:
             raise KeyError(f"no statistics table {name!r}; call "
@@ -418,6 +428,16 @@ class Freddy:
             return _jitted_luts(qp, pq.codebook.centroids)
         return _jitted_rotate_luts(qp, pq.rotation, pq.codebook.centroids)
 
+    def _pq_impl(self) -> str | None:
+        """Scan-impl override from ``pq_lut_dtype``: the int8 path applies
+        only on the TPU backend (the XLA gather path has no quantized
+        variant); None keeps PQIndex's backend auto-select."""
+        if self.params.pq_lut_dtype == "int8":
+            from postgres_word2vec_tpu.ops import pallas_kernels as pk
+            if pk.supports_pallas():
+                return "pallas_int8"
+        return None
+
     def _pq_knn_core(self, q: Array, k: int) -> tuple[Array, Array]:
         pq = self._require(self.pq, "PQ")
         if self.mesh is not None:
@@ -428,7 +448,7 @@ class Freddy:
                 self.mesh, luts, self._shard["pq_codes"], k,
                 valid_rows=pq.size)
             return d[:b], i[:b]
-        return pq.search(q, k)
+        return pq.search(q, k, impl=self._pq_impl())
 
     def _pq_pv_knn_core(self, q: Array, k: int) -> tuple[Array, Array]:
         pq = self._require(self.pq, "PQ")
@@ -442,7 +462,8 @@ class Freddy:
             d, i = sharding.sharded_post_verify(
                 self.mesh, qp, cd, ci, self._shard["vectors"], k)
             return d[:b], i[:b]
-        return pq.search_pv(q, k, self.params.pvf, self.store.vectors_norm)
+        return pq.search_pv(q, k, self.params.pvf, self.store.vectors_norm,
+                            impl=self._pq_impl())
 
     def _ivfadc_knn_core(self, q: Array, k: int) -> tuple[Array, Array]:
         ivf = self._require(self.ivfadc, "IVFADC")

@@ -268,3 +268,19 @@ def test_chunked_q_ragged_tail(engine):
     assert d.shape == (10, 3) and i.shape == (10, 3)
     np.testing.assert_allclose(np.asarray(d), np.asarray(want_d), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(want_i))
+
+
+def test_set_pq_lut_dtype(engine):
+    """int8 LUT knob: validated values; CPU backend keeps auto-select
+    (the XLA gather path has no quantized variant) and results stay
+    identical."""
+    import pytest
+
+    engine.set_knn_function("k_nearest_neighbour_pq")
+    base = engine.knn("w100", 5)
+    engine.set_pq_lut_dtype("int8")
+    assert engine._pq_impl() is None        # CPU: no pallas backend
+    assert engine.knn("w100", 5) == base
+    engine.set_pq_lut_dtype("bf16")
+    with pytest.raises(ValueError):
+        engine.set_pq_lut_dtype("fp8")
