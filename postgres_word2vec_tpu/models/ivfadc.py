@@ -179,8 +179,8 @@ def _ivfadc_probe_budget(queries: Array, coarse: Array, centroids: Array,
     luts = lut.build_luts(queries, centroids)                # (B, m, k)
     if use_pallas:
         from postgres_word2vec_tpu.ops import pallas_kernels as pk
-        d = pk.budget_adc_pallas(luts, tiled.codes_t, tiled.rowterm, tiles,
-                                 block_t=block_t)
+        d = pk.budget_adc_auto(luts, tiled.codes_t, tiled.rowterm, tiles,
+                               block_t=block_t)
     else:
         d = adc.budget_adc_xla(luts, tiled.codes_rows, tiled.rowterm, tiles,
                                block_t=block_t)

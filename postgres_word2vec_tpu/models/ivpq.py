@@ -480,8 +480,8 @@ def _ivpq_round_budget(queries: Array, coarse_centroids: Array,
         qq = jnp.sum(qf * qf, axis=-1, keepdims=True)
         if use_pallas:
             from postgres_word2vec_tpu.ops import pallas_kernels as pk
-            d = pk.budget_exact_pallas(queries, jt.vecs_t, jt.rownorm,
-                                       tiles, block_t=block_t)
+            d = pk.budget_exact_auto(queries, jt.vecs_t, jt.rownorm,
+                                     tiles, block_t=block_t)
         else:
             d = adc.budget_exact_xla(queries, jt.vecs_t.T, jt.rownorm,
                                      tiles, block_t=block_t)
@@ -499,8 +499,8 @@ def _ivpq_round_budget(queries: Array, coarse_centroids: Array,
                        + codes_t[1::2])
         if use_pallas:
             from postgres_word2vec_tpu.ops import pallas_kernels as pk
-            dists = pk.budget_adc_pallas(luts, codes_t, jt.rowterm, tiles,
-                                         block_t=block_t)
+            dists = pk.budget_adc_auto(luts, codes_t, jt.rowterm, tiles,
+                                       block_t=block_t)
         else:
             dists = adc.budget_adc_xla(luts, codes_t.T, jt.rowterm, tiles,
                                        block_t=block_t)

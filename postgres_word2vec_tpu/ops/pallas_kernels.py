@@ -658,6 +658,205 @@ def budget_exact_pallas(queries: Array, vecs_t: Array, rownorm: Array,
     return out[:B] if pad_b else out
 
 
+def _group_probe_layout(tiles: Array, n_queries: int, p: int,
+                        groups: int, inf_tile: int):
+    """Regroup (query, tile-slot) pairs BY TILE into 8-query blocks.
+
+    The per-query budget kernels run ONE query row per program: the
+    one-hot is rebuilt for every (query, tile) pair and the matmul fills
+    1/8 sublanes. Queries probing the SAME tile can share both — this
+    computes, with static shapes, the sorted-run grouping:
+
+      qidx  (groups, 8) int32 — query index per slot (n_queries = dummy)
+      tog   (groups,)   int32 — tile id per group (inf_tile for padding)
+      row   (B·P,)      int32 — grouped-row index of each original flat
+                                (query-major) pair, for reassembly
+
+    ``groups`` must be ≥ ceil(B·P/8) + number of distinct tile values
+    (each run of equal tiles wastes at most one partial 8-block); callers
+    bound distinct tiles by the table's total tile count.
+    """
+    bp = tiles.size
+    flat = tiles.reshape(bp).astype(jnp.int32)
+    order = jnp.argsort(flat, stable=True)
+    s = jnp.take(flat, order)
+    idx = jnp.arange(bp, dtype=jnp.int32)
+    head = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    run_start = lax.associative_scan(jnp.maximum,
+                                     jnp.where(head, idx, 0))
+    j = idx - run_start
+    gid = jnp.cumsum((j % 8 == 0).astype(jnp.int32)) - 1      # (bp,)
+    row_sorted = gid * 8 + (j % 8)
+    qidx = jnp.full((groups * 8,), n_queries, jnp.int32)
+    qidx = qidx.at[row_sorted].set(order // p)
+    tog = jnp.full((groups,), inf_tile, jnp.int32).at[gid].set(s)
+    row = jnp.zeros((bp,), jnp.int32).at[order].set(row_sorted)
+    return qidx.reshape(groups, 8), tog, row
+
+
+def _budget_adc_grouped_kernel(tog_ref, codes_ref, rt_ref, lutx_ref,
+                               out_ref, *, m: int, k: int, g: int,
+                               block_t: int):
+    """One grid step: ADC distances for EIGHT queries sharing one tile.
+
+    codes_ref: (m, block_t) codes of this group's tile
+    rt_ref:    (1, block_t) f32 row term (+inf padding)
+    lutx_ref:  (8, m//g, g·k) bf16 — the group's gathered per-query LUTs
+    out_ref:   (8, block_t) f32
+    """
+    codes = codes_ref[:].astype(jnp.int32)
+    acc = jnp.zeros((8, block_t), jnp.float32)
+    for jg in range(m // g):
+        onehot = _group_onehot(codes, jg, g, k, block_t)
+        acc += jnp.dot(lutx_ref[:, jg, :], onehot,
+                       preferred_element_type=jnp.float32)
+    out_ref[:] = acc + rt_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
+def budget_adc_grouped_pallas(luts: Array, codes_t: Array, rowterm: Array,
+                              tiles: Array, *, block_t: int,
+                              interpret: bool = False) -> Array:
+    """Tile-grouped twin of :func:`budget_adc_pallas` → same
+    ``(B, P·block_t)`` float32 contract.
+
+    Sorts the (query, tile) pairs by tile and runs 8 queries per program
+    sharing one code tile: the one-hot build amortizes 8× and the ADC
+    matmul fills all 8 sublane rows. Program count is
+    ``⌈B·P/8⌉ + NA/block_t`` (vs ``B·P``) — a win whenever queries share
+    probed tiles, which is the IVPQ join's regime (few hundred target
+    tiles, thousands of probes). Results are bit-identical to the
+    per-query kernel (same bf16 LUT matmul, f32 accumulation).
+    """
+    B, m, k = luts.shape
+    na = codes_t.shape[1]
+    if na % block_t != 0:
+        raise ValueError(f"NA={na} not a multiple of block_t={block_t}")
+    n_tiles = na // block_t
+    inf_tile = n_tiles - 1
+    P = tiles.shape[1]
+    grp = _group_size(m, k)
+    pad_m = (-m) % grp
+    luts_in = luts.astype(jnp.bfloat16)
+    codes_in = (codes_t if jnp.issubdtype(codes_t.dtype, jnp.integer)
+                else codes_t.astype(jnp.int32))
+    if pad_m:
+        luts_in = jnp.pad(luts_in, ((0, 0), (0, pad_m), (0, 0)))
+        codes_in = jnp.pad(codes_in, ((0, pad_m), (0, 0)))
+    mp = m + pad_m
+    # one zero-LUT dummy row for unfilled group slots.
+    luts_in = jnp.pad(luts_in, ((0, 1), (0, 0), (0, 0)))
+    luts_in = luts_in.reshape(B + 1, mp // grp, grp * k)
+
+    groups = -(-B * P // 8) + n_tiles
+    qidx, tog, row = _group_probe_layout(tiles, B, P, groups, inf_tile)
+    lutx = jnp.take(luts_in, qidx.reshape(-1), axis=0)  # (G·8, m/g, g·k)
+    rt = rowterm.reshape(1, na).astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(groups,),
+        in_specs=[
+            pl.BlockSpec((mp, block_t), lambda i, t: (0, t[i])),
+            pl.BlockSpec((1, block_t), lambda i, t: (0, t[i])),
+            pl.BlockSpec((8, mp // grp, grp * k), lambda i, t: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((8, block_t), lambda i, t: (i, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_budget_adc_grouped_kernel, m=mp, k=k, g=grp,
+                          block_t=block_t),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((groups * 8, block_t), jnp.float32),
+        interpret=interpret,
+    )(tog, codes_in, rt, lutx)
+    return jnp.take(out, row, axis=0).reshape(B, P * block_t)
+
+
+def _budget_exact_grouped_kernel(tog_ref, vecs_ref, norm_ref, qx_ref,
+                                 out_ref, *, block_t: int):
+    """Eight queries sharing one raw-vector tile: (8, d)@(d, block_t)."""
+    s = jnp.dot(qx_ref[:], vecs_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = norm_ref[:] - 2.0 * s
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
+def budget_exact_grouped_pallas(queries: Array, vecs_t: Array,
+                                rownorm: Array, tiles: Array, *,
+                                block_t: int, interpret: bool = False
+                                ) -> Array:
+    """Tile-grouped twin of :func:`budget_exact_pallas` (same
+    ``(B, P·block_t)`` shifted-score contract): 8 queries per program
+    share one raw-vector tile, filling the matmul's sublane rows."""
+    B, d = queries.shape
+    na = vecs_t.shape[1]
+    if na % block_t != 0:
+        raise ValueError(f"NA={na} not a multiple of block_t={block_t}")
+    n_tiles = na // block_t
+    inf_tile = n_tiles - 1
+    P = tiles.shape[1]
+    pad_d = (-d) % 128
+    q_in = queries.astype(jnp.bfloat16)
+    vecs_in = vecs_t.astype(jnp.bfloat16)
+    if pad_d:
+        q_in = jnp.pad(q_in, ((0, 0), (0, pad_d)))
+        vecs_in = jnp.pad(vecs_in, ((0, pad_d), (0, 0)))
+    # zero dummy row: dummy slots produce finite garbage that reassembly
+    # never reads (no flat pair maps to them).
+    q_in = jnp.pad(q_in, ((0, 1), (0, 0)))
+
+    groups = -(-B * P // 8) + n_tiles
+    qidx, tog, row = _group_probe_layout(tiles, B, P, groups, inf_tile)
+    qx = jnp.take(q_in, qidx.reshape(-1), axis=0)       # (G·8, d_pad)
+    nrm = rownorm.reshape(1, na).astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(groups,),
+        in_specs=[
+            pl.BlockSpec((d + pad_d, block_t), lambda i, t: (0, t[i])),
+            pl.BlockSpec((1, block_t), lambda i, t: (0, t[i])),
+            pl.BlockSpec((8, d + pad_d), lambda i, t: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((8, block_t), lambda i, t: (i, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_budget_exact_grouped_kernel, block_t=block_t),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((groups * 8, block_t), jnp.float32),
+        interpret=interpret,
+    )(tog, vecs_in, nrm, qx)
+    return jnp.take(out, row, axis=0).reshape(B, P * block_t)
+
+
+def budget_adc_auto(luts: Array, codes_t: Array, rowterm: Array,
+                    tiles: Array, *, block_t: int) -> Array:
+    """Static dispatch between the tile-grouped and per-query budget ADC
+    kernels: grouped when its program bound ``⌈B·P/8⌉ + n_tiles`` beats
+    the per-query ``B·P`` by ≥2× (probe sets over few tiles — the join
+    regime); per-query otherwise (wide tables, sparse probes)."""
+    bp = tiles.shape[0] * tiles.shape[1]
+    n_tiles = codes_t.shape[1] // block_t
+    if (bp // 8 + n_tiles) * 2 < bp:
+        return budget_adc_grouped_pallas(luts, codes_t, rowterm, tiles,
+                                         block_t=block_t)
+    return budget_adc_pallas(luts, codes_t, rowterm, tiles,
+                             block_t=block_t)
+
+
+def budget_exact_auto(queries: Array, vecs_t: Array, rownorm: Array,
+                      tiles: Array, *, block_t: int) -> Array:
+    """Grouped/per-query dispatch for the exact budget kernel (same bound
+    as :func:`budget_adc_auto`)."""
+    bp = tiles.shape[0] * tiles.shape[1]
+    n_tiles = vecs_t.shape[1] // block_t
+    if (bp // 8 + n_tiles) * 2 < bp:
+        return budget_exact_grouped_pallas(queries, vecs_t, rownorm, tiles,
+                                           block_t=block_t)
+    return budget_exact_pallas(queries, vecs_t, rownorm, tiles,
+                               block_t=block_t)
+
+
 def supports_pallas() -> bool:
     """True when running on a TPU backend (incl. tunneled platforms)."""
     try:

@@ -284,3 +284,69 @@ def test_adc_top_k_binned_int8_wrapper(rng):
                                   masked.argmin(axis=-1))
     np.testing.assert_allclose(np.asarray(v1)[:, 0], masked.min(axis=-1),
                                rtol=1e-6)
+
+
+def _budget_setup(rng, B=12, m=6, k=32, block_t=128, nt=5, P=4, d=30):
+    cb = jnp.asarray(rng.normal(size=(m, k, d // m)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(B, d)).astype(np.float32))
+    na = (nt + 1) * block_t
+    codes = rng.integers(0, k, size=(na, m)).astype(np.uint8)
+    rowterm = rng.normal(size=(na,)).astype(np.float32)
+    rowterm[nt * block_t:] = np.inf
+    luts = lut.build_luts(q, cb)
+    tiles = rng.integers(0, nt, size=(B, P)).astype(np.int32)
+    tiles[3, 2] = nt          # unused slot -> inf tile
+    tiles[7, :] = 0           # heavy sharing: whole row on one tile
+    return q, luts, codes, rowterm, tiles, block_t
+
+
+def test_budget_adc_grouped_matches_per_query(rng):
+    """Tile-grouped budget ADC == per-query kernel on every finite entry
+    (shared tiles, inf-tile slots, B not a multiple of 8)."""
+    _, luts, codes, rowterm, tiles, block_t = _budget_setup(rng)
+    ref = np.asarray(pk.budget_adc_pallas(
+        luts, jnp.asarray(codes.T), jnp.asarray(rowterm),
+        jnp.asarray(tiles), block_t=block_t, interpret=True))
+    got = np.asarray(pk.budget_adc_grouped_pallas(
+        luts, jnp.asarray(codes.T), jnp.asarray(rowterm),
+        jnp.asarray(tiles), block_t=block_t, interpret=True))
+    fin = np.isfinite(ref)
+    np.testing.assert_array_equal(np.isfinite(got), fin)
+    np.testing.assert_allclose(got[fin], ref[fin], rtol=1e-6, atol=1e-6)
+
+
+def test_budget_exact_grouped_matches_per_query(rng):
+    q, _, _, _, tiles, block_t = _budget_setup(rng)
+    na = (5 + 1) * block_t
+    vecs = rng.normal(size=(na, 30)).astype(np.float32)
+    rownorm = (vecs * vecs).sum(axis=1)
+    rownorm[5 * block_t:] = np.inf
+    ref = np.asarray(pk.budget_exact_pallas(
+        q, jnp.asarray(vecs.T), jnp.asarray(rownorm), jnp.asarray(tiles),
+        block_t=block_t, interpret=True))
+    got = np.asarray(pk.budget_exact_grouped_pallas(
+        q, jnp.asarray(vecs.T), jnp.asarray(rownorm), jnp.asarray(tiles),
+        block_t=block_t, interpret=True))
+    fin = np.isfinite(ref)
+    np.testing.assert_array_equal(np.isfinite(got), fin)
+    np.testing.assert_allclose(got[fin], ref[fin], rtol=1e-5, atol=1e-5)
+
+
+def test_group_probe_layout_bounds_and_coverage(rng):
+    """Every (query, slot) pair lands on exactly one grouped row; its
+    group's tile matches; groups stay within the static bound."""
+    B, P, nt = 40, 6, 4
+    tiles = jnp.asarray(rng.integers(0, nt + 1, size=(B, P)).astype(np.int32))
+    groups = -(-B * P // 8) + nt + 1
+    qidx, tog, row = pk._group_probe_layout(tiles, B, P, groups, nt)
+    qidx, tog, row = map(np.asarray, (qidx, tog, row))
+    flat = np.asarray(tiles).reshape(-1)
+    assert sorted(row.tolist()) == sorted(set(row.tolist()))  # injective
+    for i, r in enumerate(row):
+        g, s = divmod(int(r), 8)
+        assert qidx[g, s] == i // P          # right query in the slot
+        assert tog[g] == flat[i]             # right tile for the group
+    # dummy slots carry the sentinel query index
+    used = np.zeros(groups * 8, bool)
+    used[row] = True
+    assert (qidx.reshape(-1)[~used] == B).all()

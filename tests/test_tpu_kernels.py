@@ -252,3 +252,43 @@ def test_adc_binned_int8_compiled(pk, rng):
     np.testing.assert_array_equal(mins, binned)
     np.testing.assert_array_equal(
         np.take_along_axis(dense, ids, axis=-1), binned)
+
+
+def test_budget_adc_grouped_compiled(pk, rng):
+    """Compiled tile-grouped budget ADC vs the per-query kernel."""
+    B, m, k, block_t, nt, P = 64, 6, 32, 512, 5, 4
+    na = (nt + 1) * block_t
+    codes = rng.integers(0, k, size=(na, m)).astype(np.uint8)
+    rowterm = rng.normal(size=(na,)).astype(np.float32)
+    rowterm[nt * block_t:] = np.inf
+    luts = np.abs(rng.normal(size=(B, m, k))).astype(np.float32)
+    tiles = rng.integers(0, nt, size=(B, P)).astype(np.int32)
+    tiles[3, 2] = nt
+    ref = np.asarray(pk.budget_adc_pallas(
+        jnp.asarray(luts), jnp.asarray(codes.T), jnp.asarray(rowterm),
+        jnp.asarray(tiles), block_t=block_t))
+    got = np.asarray(pk.budget_adc_grouped_pallas(
+        jnp.asarray(luts), jnp.asarray(codes.T), jnp.asarray(rowterm),
+        jnp.asarray(tiles), block_t=block_t))
+    fin = np.isfinite(ref)
+    np.testing.assert_array_equal(np.isfinite(got), fin)
+    np.testing.assert_allclose(got[fin], ref[fin], rtol=1e-5, atol=1e-4)
+
+
+def test_budget_exact_grouped_compiled(pk, rng):
+    B, d, block_t, nt, P = 64, 300, 512, 5, 4
+    na = (nt + 1) * block_t
+    vecs = rng.normal(size=(na, d)).astype(np.float32)
+    rownorm = (vecs * vecs).sum(axis=1)
+    rownorm[nt * block_t:] = np.inf
+    q = rng.normal(size=(B, d)).astype(np.float32)
+    tiles = rng.integers(0, nt, size=(B, P)).astype(np.int32)
+    ref = np.asarray(pk.budget_exact_pallas(
+        jnp.asarray(q), jnp.asarray(vecs.T), jnp.asarray(rownorm),
+        jnp.asarray(tiles), block_t=block_t))
+    got = np.asarray(pk.budget_exact_grouped_pallas(
+        jnp.asarray(q), jnp.asarray(vecs.T), jnp.asarray(rownorm),
+        jnp.asarray(tiles), block_t=block_t))
+    fin = np.isfinite(ref)
+    np.testing.assert_array_equal(np.isfinite(got), fin)
+    np.testing.assert_allclose(got[fin], ref[fin], rtol=1e-4, atol=1e-3)
