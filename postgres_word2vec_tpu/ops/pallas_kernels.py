@@ -830,31 +830,42 @@ def budget_exact_grouped_pallas(queries: Array, vecs_t: Array,
 
 
 def budget_adc_auto(luts: Array, codes_t: Array, rowterm: Array,
-                    tiles: Array, *, block_t: int) -> Array:
+                    tiles: Array, *, block_t: int,
+                    interpret: bool = False) -> Array:
     """Static dispatch between the tile-grouped and per-query budget ADC
     kernels: grouped when its program bound ``⌈B·P/8⌉ + n_tiles`` beats
     the per-query ``B·P`` by ≥2× (probe sets over few tiles — the join
     regime); per-query otherwise (wide tables, sparse probes)."""
     bp = tiles.shape[0] * tiles.shape[1]
     n_tiles = codes_t.shape[1] // block_t
-    if (bp // 8 + n_tiles) * 2 < bp:
+    groups = bp // 8 + n_tiles
+    # the grouped path materializes a (G·8, m, k) bf16 expanded-LUT copy —
+    # bound it so huge probe batches (IVFADC at B≈10k, k=256) don't trade
+    # program count for hundreds of MB of HBM.
+    lutx_bytes = groups * 8 * luts.shape[1] * luts.shape[2] * 2
+    if groups * 2 < bp and lutx_bytes <= 128 * 2**20:
         return budget_adc_grouped_pallas(luts, codes_t, rowterm, tiles,
-                                         block_t=block_t)
+                                         block_t=block_t,
+                                         interpret=interpret)
     return budget_adc_pallas(luts, codes_t, rowterm, tiles,
-                             block_t=block_t)
+                             block_t=block_t, interpret=interpret)
 
 
 def budget_exact_auto(queries: Array, vecs_t: Array, rownorm: Array,
-                      tiles: Array, *, block_t: int) -> Array:
+                      tiles: Array, *, block_t: int,
+                      interpret: bool = False) -> Array:
     """Grouped/per-query dispatch for the exact budget kernel (same bound
     as :func:`budget_adc_auto`)."""
     bp = tiles.shape[0] * tiles.shape[1]
     n_tiles = vecs_t.shape[1] // block_t
-    if (bp // 8 + n_tiles) * 2 < bp:
+    groups = bp // 8 + n_tiles
+    qx_bytes = groups * 8 * queries.shape[1] * 2
+    if groups * 2 < bp and qx_bytes <= 128 * 2**20:
         return budget_exact_grouped_pallas(queries, vecs_t, rownorm, tiles,
-                                           block_t=block_t)
+                                           block_t=block_t,
+                                           interpret=interpret)
     return budget_exact_pallas(queries, vecs_t, rownorm, tiles,
-                               block_t=block_t)
+                               block_t=block_t, interpret=interpret)
 
 
 def supports_pallas() -> bool:

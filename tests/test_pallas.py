@@ -350,3 +350,33 @@ def test_group_probe_layout_bounds_and_coverage(rng):
     used = np.zeros(groups * 8, bool)
     used[row] = True
     assert (qidx.reshape(-1)[~used] == B).all()
+
+
+def test_budget_auto_dispatch_bounds(rng):
+    """The auto dispatcher picks grouped when the program bound wins 2x
+    and the expanded-LUT copy stays small; results match the per-query
+    kernel either way."""
+    _, luts, codes, rowterm, tiles, block_t = _budget_setup(
+        rng, B=64, P=8, nt=5)
+    # join regime: 512 probes over 6 tiles -> grouped path selected
+    bp = 64 * 8
+    assert (bp // 8 + 6) * 2 < bp
+    got = np.asarray(pk.budget_adc_auto(
+        luts, jnp.asarray(codes.T), jnp.asarray(rowterm),
+        jnp.asarray(tiles), block_t=block_t, interpret=True))
+    ref = np.asarray(pk.budget_adc_pallas(
+        luts, jnp.asarray(codes.T), jnp.asarray(rowterm),
+        jnp.asarray(tiles), block_t=block_t, interpret=True))
+    fin = np.isfinite(ref)
+    np.testing.assert_array_equal(np.isfinite(got), fin)
+    np.testing.assert_allclose(got[fin], ref[fin], rtol=1e-6, atol=1e-6)
+    # sparse regime: bound loses -> per-query kernel (same contract)
+    sparse = jnp.asarray(tiles[:2, :2])
+    got2 = np.asarray(pk.budget_adc_auto(
+        luts[:2], jnp.asarray(codes.T), jnp.asarray(rowterm),
+        sparse, block_t=block_t, interpret=True))
+    ref2 = np.asarray(pk.budget_adc_pallas(
+        luts[:2], jnp.asarray(codes.T), jnp.asarray(rowterm),
+        sparse, block_t=block_t, interpret=True))
+    fin2 = np.isfinite(ref2)
+    np.testing.assert_allclose(got2[fin2], ref2[fin2], rtol=1e-6)
