@@ -659,7 +659,7 @@ def budget_exact_pallas(queries: Array, vecs_t: Array, rownorm: Array,
 
 
 def _group_probe_layout(tiles: Array, n_queries: int, p: int,
-                        groups: int, inf_tile: int):
+                        groups: int, inf_tile: int, rows: int = 8):
     """Regroup (query, tile-slot) pairs BY TILE into 8-query blocks.
 
     The per-query budget kernels run ONE query row per program: the
@@ -667,14 +667,16 @@ def _group_probe_layout(tiles: Array, n_queries: int, p: int,
     1/8 sublanes. Queries probing the SAME tile can share both — this
     computes, with static shapes, the sorted-run grouping:
 
-      qidx  (groups, 8) int32 — query index per slot (n_queries = dummy)
+      qidx  (groups, rows) int32 — query index per slot (n_queries = dummy)
       tog   (groups,)   int32 — tile id per group (inf_tile for padding)
       row   (B·P,)      int32 — grouped-row index of each original flat
                                 (query-major) pair, for reassembly
 
-    ``groups`` must be ≥ ceil(B·P/8) + number of distinct tile values
-    (each run of equal tiles wastes at most one partial 8-block); callers
-    bound distinct tiles by the table's total tile count.
+    ``groups`` must be ≥ ceil(B·P/rows) + number of distinct tile values
+    (each run of equal tiles wastes at most one partial block); callers
+    bound distinct tiles by the table's total tile count. ``rows`` is the
+    queries-per-group block height (8 = min sublane tile; larger groups
+    fill the MXU further when probe runs are long).
     """
     bp = tiles.size
     flat = tiles.reshape(bp).astype(jnp.int32)
@@ -685,27 +687,27 @@ def _group_probe_layout(tiles: Array, n_queries: int, p: int,
     run_start = lax.associative_scan(jnp.maximum,
                                      jnp.where(head, idx, 0))
     j = idx - run_start
-    gid = jnp.cumsum((j % 8 == 0).astype(jnp.int32)) - 1      # (bp,)
-    row_sorted = gid * 8 + (j % 8)
-    qidx = jnp.full((groups * 8,), n_queries, jnp.int32)
+    gid = jnp.cumsum((j % rows == 0).astype(jnp.int32)) - 1  # (bp,)
+    row_sorted = gid * rows + (j % rows)
+    qidx = jnp.full((groups * rows,), n_queries, jnp.int32)
     qidx = qidx.at[row_sorted].set(order // p)
     tog = jnp.full((groups,), inf_tile, jnp.int32).at[gid].set(s)
     row = jnp.zeros((bp,), jnp.int32).at[order].set(row_sorted)
-    return qidx.reshape(groups, 8), tog, row
+    return qidx.reshape(groups, rows), tog, row
 
 
 def _budget_adc_grouped_kernel(tog_ref, codes_ref, rt_ref, lutx_ref,
                                out_ref, *, m: int, k: int, g: int,
-                               block_t: int):
-    """One grid step: ADC distances for EIGHT queries sharing one tile.
+                               block_t: int, rows: int):
+    """One grid step: ADC distances for ``rows`` queries sharing one tile.
 
     codes_ref: (m, block_t) codes of this group's tile
     rt_ref:    (1, block_t) f32 row term (+inf padding)
-    lutx_ref:  (8, m//g, g·k) bf16 — the group's gathered per-query LUTs
-    out_ref:   (8, block_t) f32
+    lutx_ref:  (rows, m//g, g·k) bf16 — the group's gathered per-query LUTs
+    out_ref:   (rows, block_t) f32
     """
     codes = codes_ref[:].astype(jnp.int32)
-    acc = jnp.zeros((8, block_t), jnp.float32)
+    acc = jnp.zeros((rows, block_t), jnp.float32)
     for jg in range(m // g):
         onehot = _group_onehot(codes, jg, g, k, block_t)
         acc += jnp.dot(lutx_ref[:, jg, :], onehot,
@@ -713,17 +715,18 @@ def _budget_adc_grouped_kernel(tog_ref, codes_ref, rt_ref, lutx_ref,
     out_ref[:] = acc + rt_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_t", "rows",
+                                             "interpret"))
 def budget_adc_grouped_pallas(luts: Array, codes_t: Array, rowterm: Array,
-                              tiles: Array, *, block_t: int,
+                              tiles: Array, *, block_t: int, rows: int = 8,
                               interpret: bool = False) -> Array:
     """Tile-grouped twin of :func:`budget_adc_pallas` → same
     ``(B, P·block_t)`` float32 contract.
 
-    Sorts the (query, tile) pairs by tile and runs 8 queries per program
-    sharing one code tile: the one-hot build amortizes 8× and the ADC
-    matmul fills all 8 sublane rows. Program count is
-    ``⌈B·P/8⌉ + NA/block_t`` (vs ``B·P``) — a win whenever queries share
+    Sorts the (query, tile) pairs by tile and runs ``rows`` queries per
+    program sharing one code tile: the one-hot build amortizes rows× and
+    the ADC matmul fills the sublane rows. Program count is
+    ``⌈B·P/rows⌉ + NA/block_t`` (vs ``B·P``) — a win whenever queries share
     probed tiles, which is the IVPQ join's regime (few hundred target
     tiles, thousands of probes). Results are bit-identical to the
     per-query kernel (same bf16 LUT matmul, f32 accumulation).
@@ -748,9 +751,10 @@ def budget_adc_grouped_pallas(luts: Array, codes_t: Array, rowterm: Array,
     luts_in = jnp.pad(luts_in, ((0, 1), (0, 0), (0, 0)))
     luts_in = luts_in.reshape(B + 1, mp // grp, grp * k)
 
-    groups = -(-B * P // 8) + n_tiles
-    qidx, tog, row = _group_probe_layout(tiles, B, P, groups, inf_tile)
-    lutx = jnp.take(luts_in, qidx.reshape(-1), axis=0)  # (G·8, m/g, g·k)
+    groups = -(-B * P // rows) + n_tiles
+    qidx, tog, row = _group_probe_layout(tiles, B, P, groups, inf_tile,
+                                         rows)
+    lutx = jnp.take(luts_in, qidx.reshape(-1), axis=0)  # (G·r, m/g, g·k)
     rt = rowterm.reshape(1, na).astype(jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -759,15 +763,17 @@ def budget_adc_grouped_pallas(luts: Array, codes_t: Array, rowterm: Array,
         in_specs=[
             pl.BlockSpec((mp, block_t), lambda i, t: (0, t[i])),
             pl.BlockSpec((1, block_t), lambda i, t: (0, t[i])),
-            pl.BlockSpec((8, mp // grp, grp * k), lambda i, t: (i, 0, 0)),
+            pl.BlockSpec((rows, mp // grp, grp * k),
+                         lambda i, t: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((8, block_t), lambda i, t: (i, 0)),
+        out_specs=pl.BlockSpec((rows, block_t), lambda i, t: (i, 0)),
     )
     out = pl.pallas_call(
         functools.partial(_budget_adc_grouped_kernel, m=mp, k=k, g=grp,
-                          block_t=block_t),
+                          block_t=block_t, rows=rows),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((groups * 8, block_t), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((groups * rows, block_t),
+                                       jnp.float32),
         interpret=interpret,
     )(tog, codes_in, rt, lutx)
     return jnp.take(out, row, axis=0).reshape(B, P * block_t)
@@ -775,19 +781,20 @@ def budget_adc_grouped_pallas(luts: Array, codes_t: Array, rowterm: Array,
 
 def _budget_exact_grouped_kernel(tog_ref, vecs_ref, norm_ref, qx_ref,
                                  out_ref, *, block_t: int):
-    """Eight queries sharing one raw-vector tile: (8, d)@(d, block_t)."""
+    """A query group sharing one raw-vector tile: (rows, d)@(d, block_t)."""
     s = jnp.dot(qx_ref[:], vecs_ref[:], preferred_element_type=jnp.float32)
     out_ref[:] = norm_ref[:] - 2.0 * s
 
 
-@functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_t", "rows",
+                                             "interpret"))
 def budget_exact_grouped_pallas(queries: Array, vecs_t: Array,
                                 rownorm: Array, tiles: Array, *,
-                                block_t: int, interpret: bool = False
-                                ) -> Array:
+                                block_t: int, rows: int = 8,
+                                interpret: bool = False) -> Array:
     """Tile-grouped twin of :func:`budget_exact_pallas` (same
-    ``(B, P·block_t)`` shifted-score contract): 8 queries per program
-    share one raw-vector tile, filling the matmul's sublane rows."""
+    ``(B, P·block_t)`` shifted-score contract): ``rows`` queries per
+    program share one raw-vector tile, filling the matmul's sublanes."""
     B, d = queries.shape
     na = vecs_t.shape[1]
     if na % block_t != 0:
@@ -805,9 +812,10 @@ def budget_exact_grouped_pallas(queries: Array, vecs_t: Array,
     # never reads (no flat pair maps to them).
     q_in = jnp.pad(q_in, ((0, 1), (0, 0)))
 
-    groups = -(-B * P // 8) + n_tiles
-    qidx, tog, row = _group_probe_layout(tiles, B, P, groups, inf_tile)
-    qx = jnp.take(q_in, qidx.reshape(-1), axis=0)       # (G·8, d_pad)
+    groups = -(-B * P // rows) + n_tiles
+    qidx, tog, row = _group_probe_layout(tiles, B, P, groups, inf_tile,
+                                         rows)
+    qx = jnp.take(q_in, qidx.reshape(-1), axis=0)       # (G·r, d_pad)
     nrm = rownorm.reshape(1, na).astype(jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -816,14 +824,15 @@ def budget_exact_grouped_pallas(queries: Array, vecs_t: Array,
         in_specs=[
             pl.BlockSpec((d + pad_d, block_t), lambda i, t: (0, t[i])),
             pl.BlockSpec((1, block_t), lambda i, t: (0, t[i])),
-            pl.BlockSpec((8, d + pad_d), lambda i, t: (i, 0)),
+            pl.BlockSpec((rows, d + pad_d), lambda i, t: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((8, block_t), lambda i, t: (i, 0)),
+        out_specs=pl.BlockSpec((rows, block_t), lambda i, t: (i, 0)),
     )
     out = pl.pallas_call(
         functools.partial(_budget_exact_grouped_kernel, block_t=block_t),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((groups * 8, block_t), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((groups * rows, block_t),
+                                       jnp.float32),
         interpret=interpret,
     )(tog, vecs_in, nrm, qx)
     return jnp.take(out, row, axis=0).reshape(B, P * block_t)

@@ -380,3 +380,18 @@ def test_budget_auto_dispatch_bounds(rng):
         sparse, block_t=block_t, interpret=True))
     fin2 = np.isfinite(ref2)
     np.testing.assert_allclose(got2[fin2], ref2[fin2], rtol=1e-6)
+
+
+def test_budget_adc_grouped_rows16(rng):
+    """rows=16 grouping (2 sublane tiles per group) matches per-query."""
+    _, luts, codes, rowterm, tiles, block_t = _budget_setup(
+        rng, B=24, P=5, nt=4)
+    ref = np.asarray(pk.budget_adc_pallas(
+        luts, jnp.asarray(codes.T), jnp.asarray(rowterm),
+        jnp.asarray(tiles), block_t=block_t, interpret=True))
+    got = np.asarray(pk.budget_adc_grouped_pallas(
+        luts, jnp.asarray(codes.T), jnp.asarray(rowterm),
+        jnp.asarray(tiles), block_t=block_t, rows=16, interpret=True))
+    fin = np.isfinite(ref)
+    np.testing.assert_array_equal(np.isfinite(got), fin)
+    np.testing.assert_allclose(got[fin], ref[fin], rtol=1e-6, atol=1e-6)
