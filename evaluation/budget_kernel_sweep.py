@@ -115,6 +115,30 @@ def main():
         log(f"grouped rows={rows}: {t * 1e3:.2f} ms ({progs} programs, "
             f"match={ok}, {results['per_query_s'] / t:.2f}x)")
 
+    # int8 gathered LUTs at the best-of-sweep row count candidates
+    for rows in (16, 32):
+        t0 = time.perf_counter()
+        out = pk.budget_adc_grouped_pallas(luts_d, codes_d, rt_d, tiles_d,
+                                           block_t=bt, rows=rows,
+                                           lut_dtype="int8",
+                                           interpret=args.interpret)
+        np.asarray(out[..., :1])
+        log(f"int8 rows={rows} compile+run {time.perf_counter() - t0:.1f}s")
+        got = np.asarray(out)
+        # quantization error bound: m · row_max / 254
+        bound = (m * luts.reshape(B, -1).max(axis=1) / 254 * 1.01)
+        err = np.abs(np.where(fin, got - ref, 0.0))
+        ok = bool((err <= bound[:, None] + 1e-6).all()
+                  and np.array_equal(np.isfinite(got), fin))
+        t = timeit_piped(
+            lambda q, rows=rows: pk.budget_adc_grouped_pallas(
+                q, codes_d, rt_d, tiles_d, block_t=bt, rows=rows,
+                lut_dtype="int8", interpret=args.interpret), luts_d)
+        results[f"grouped_i8_r{rows}_s"] = t
+        results[f"grouped_i8_r{rows}_match"] = ok
+        log(f"grouped int8 rows={rows}: {t * 1e3:.2f} ms (match={ok}, "
+            f"{results['per_query_s'] / t:.2f}x)")
+
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)

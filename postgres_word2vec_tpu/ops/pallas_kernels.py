@@ -715,10 +715,31 @@ def _budget_adc_grouped_kernel(tog_ref, codes_ref, rt_ref, lutx_ref,
     out_ref[:] = acc + rt_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("block_t", "rows",
+def _budget_adc_grouped_kernel_i8(tog_ref, codes_ref, rt_ref, lutx_ref,
+                                  scalex_ref, out_ref, *, m: int, k: int,
+                                  g: int, block_t: int, rows: int):
+    """int8 twin of :func:`_budget_adc_grouped_kernel`: int8 gathered LUTs
+    (half the expanded-LUT HBM traffic — the grouped path's largest
+    stream) × int8 one-hot on the double-rate MXU path, exact int32
+    accumulation, per-slot f32 scale fixup before the rowterm add.
+
+    lutx_ref:   (rows, m//g, g·k) int8
+    scalex_ref: (rows, 1) f32 per-slot dequantization scale
+    """
+    codes = codes_ref[:].astype(jnp.int32)
+    acc = jnp.zeros((rows, block_t), jnp.int32)
+    for jg in range(m // g):
+        onehot = _group_onehot(codes, jg, g, k, block_t, dtype=jnp.int8)
+        acc += jnp.dot(lutx_ref[:, jg, :], onehot,
+                       preferred_element_type=jnp.int32)
+    out_ref[:] = (acc.astype(jnp.float32) * scalex_ref[:]) + rt_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "rows", "lut_dtype",
                                              "interpret"))
 def budget_adc_grouped_pallas(luts: Array, codes_t: Array, rowterm: Array,
                               tiles: Array, *, block_t: int, rows: int = 8,
+                              lut_dtype: str = "bf16",
                               interpret: bool = False) -> Array:
     """Tile-grouped twin of :func:`budget_adc_pallas` → same
     ``(B, P·block_t)`` float32 contract.
@@ -740,7 +761,12 @@ def budget_adc_grouped_pallas(luts: Array, codes_t: Array, rowterm: Array,
     P = tiles.shape[1]
     grp = _group_size(m, k)
     pad_m = (-m) % grp
-    luts_in = luts.astype(jnp.bfloat16)
+    int8 = lut_dtype == "int8"
+    if int8:
+        luts_in, scale = _quantize_luts_int8(luts)
+        scale = jnp.pad(scale, (0, 1), constant_values=1.0)   # dummy slot
+    else:
+        luts_in = luts.astype(jnp.bfloat16)
     codes_in = (codes_t if jnp.issubdtype(codes_t.dtype, jnp.integer)
                 else codes_t.astype(jnp.int32))
     if pad_m:
@@ -757,25 +783,34 @@ def budget_adc_grouped_pallas(luts: Array, codes_t: Array, rowterm: Array,
     lutx = jnp.take(luts_in, qidx.reshape(-1), axis=0)  # (G·r, m/g, g·k)
     rt = rowterm.reshape(1, na).astype(jnp.float32)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(groups,),
-        in_specs=[
-            pl.BlockSpec((mp, block_t), lambda i, t: (0, t[i])),
-            pl.BlockSpec((1, block_t), lambda i, t: (0, t[i])),
-            pl.BlockSpec((rows, mp // grp, grp * k),
-                         lambda i, t: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((rows, block_t), lambda i, t: (i, 0)),
-    )
-    out = pl.pallas_call(
-        functools.partial(_budget_adc_grouped_kernel, m=mp, k=k, g=grp,
-                          block_t=block_t, rows=rows),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((groups * rows, block_t),
-                                       jnp.float32),
-        interpret=interpret,
-    )(tog, codes_in, rt, lutx)
+    in_specs = [
+        pl.BlockSpec((mp, block_t), lambda i, t: (0, t[i])),
+        pl.BlockSpec((1, block_t), lambda i, t: (0, t[i])),
+        pl.BlockSpec((rows, mp // grp, grp * k),
+                     lambda i, t: (i, 0, 0)),
+    ]
+    out_spec = pl.BlockSpec((rows, block_t), lambda i, t: (i, 0))
+    out_shape = jax.ShapeDtypeStruct((groups * rows, block_t), jnp.float32)
+    if int8:
+        scalex = jnp.take(scale, qidx.reshape(-1))[:, None]   # (G·r, 1)
+        in_specs.append(pl.BlockSpec((rows, 1), lambda i, t: (i, 0)))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(groups,), in_specs=in_specs,
+            out_specs=out_spec)
+        out = pl.pallas_call(
+            functools.partial(_budget_adc_grouped_kernel_i8, m=mp, k=k,
+                              g=grp, block_t=block_t, rows=rows),
+            grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+        )(tog, codes_in, rt, lutx, scalex)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(groups,), in_specs=in_specs,
+            out_specs=out_spec)
+        out = pl.pallas_call(
+            functools.partial(_budget_adc_grouped_kernel, m=mp, k=k,
+                              g=grp, block_t=block_t, rows=rows),
+            grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+        )(tog, codes_in, rt, lutx)
     return jnp.take(out, row, axis=0).reshape(B, P * block_t)
 
 

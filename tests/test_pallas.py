@@ -395,3 +395,28 @@ def test_budget_adc_grouped_rows16(rng):
     fin = np.isfinite(ref)
     np.testing.assert_array_equal(np.isfinite(got), fin)
     np.testing.assert_allclose(got[fin], ref[fin], rtol=1e-6, atol=1e-6)
+
+
+def test_budget_adc_grouped_int8(rng):
+    """int8 grouped budget ADC == numpy emulation of the quantized sums
+    (exact: int32 accumulation + one f32 scale multiply + rowterm)."""
+    _, luts, codes, rowterm, tiles, block_t = _budget_setup(rng)
+    got = np.asarray(pk.budget_adc_grouped_pallas(
+        luts, jnp.asarray(codes.T), jnp.asarray(rowterm),
+        jnp.asarray(tiles), block_t=block_t, lut_dtype="int8",
+        interpret=True))
+    lq, scale = map(np.asarray, pk._quantize_luts_int8(luts))
+    B, P = tiles.shape
+    m = lq.shape[1]
+    want = np.empty((B, P * block_t), np.float32)
+    for b in range(B):
+        for p in range(P):
+            rows = tiles[b, p] * block_t + np.arange(block_t)
+            s = np.zeros(block_t, np.int64)
+            for j in range(m):
+                s += lq[b, j, codes[rows, j]]
+            want[b, p * block_t:(p + 1) * block_t] = (
+                s.astype(np.float32) * scale[b] + rowterm[rows])
+    fin = np.isfinite(want)
+    np.testing.assert_array_equal(np.isfinite(got), fin)
+    np.testing.assert_allclose(got[fin], want[fin], rtol=1e-6, atol=1e-6)
