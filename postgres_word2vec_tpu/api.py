@@ -273,10 +273,20 @@ class Freddy:
     def set_pq_lut_dtype(self, dtype: str) -> None:
         """Select the PQ scan's LUT arithmetic: "bf16" (default) or "int8"
         (per-query quantized LUTs on the MXU's double-rate int8 path —
-        beyond-reference perf knob; no reference counterpart)."""
+        beyond-reference perf knob; no reference counterpart).
+
+        Applies to the single-device TPU scan paths; the XLA gather
+        backend has no quantized variant and the mesh-sharded programs run
+        bf16 regardless (warned below)."""
         if dtype not in ("bf16", "int8"):
             raise ValueError(f"pq_lut_dtype must be 'bf16' or 'int8', "
                              f"got {dtype!r}")
+        if dtype == "int8" and self.mesh is not None:
+            import warnings
+            warnings.warn(
+                "pq_lut_dtype='int8' has no effect on mesh-sharded PQ "
+                "paths (sharded programs run bf16); it applies when "
+                "sharding is disabled.", stacklevel=2)
         self.params.pq_lut_dtype = dtype
 
     def set_statistics_table(self, name: str | None) -> None:
@@ -1054,8 +1064,12 @@ class Freddy:
         tids = jnp.asarray(targets, jnp.int32)
         self.exact.search_in(q, k, tids)
         if self.pq is not None:
-            self.pq.search(q, k)
-            self.pq.search_pv(q, k, self.params.pvf, self.store.vectors_norm)
+            # honor the LUT dtype knob: int8 serving compiles a distinct
+            # static mode ("dense_i8"/"binned_i8") the bf16 warmup would
+            # never touch.
+            self.pq.search(q, k, impl=self._pq_impl())
+            self.pq.search_pv(q, k, self.params.pvf, self.store.vectors_norm,
+                              impl=self._pq_impl())
             self.pq.search_in(q, k, tids)
         if self.ivfadc is not None:
             self.ivfadc.search(q, k, w=self.params.w)

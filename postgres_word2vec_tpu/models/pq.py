@@ -340,8 +340,11 @@ class PQIndex:
             # past the no-go bar only the binned kernel can run — but its
             # results are bin-survivor approximations even with
             # approx=False, so never degrade an EXPLICIT exact-kernel
-            # request silently.
-            if impl_requested in ("pallas", "pallas_int8"):
+            # request silently. "pallas_int8" is a DTYPE preference (the
+            # engine's pq_lut_dtype knob resolves to it), not an exactness
+            # demand — it degrades to the binned int8 kernel with the
+            # warning below rather than raising.
+            if impl_requested == "pallas":
                 raise ValueError(
                     f"impl='pallas' dense distance buffer would be "
                     f"{dense_bytes / 2**30:.1f} GiB (> "

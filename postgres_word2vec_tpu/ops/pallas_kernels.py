@@ -873,23 +873,39 @@ def budget_exact_grouped_pallas(queries: Array, vecs_t: Array,
     return jnp.take(out, row, axis=0).reshape(B, P * block_t)
 
 
+#: queries per grouped-kernel program (sweepable via
+#: evaluation/budget_kernel_sweep.py; the auto bound below derives from it)
+GROUPED_ROWS_DEFAULT = 8
+
+
+def _grouped_wins(bp: int, n_tiles: int, rows: int,
+                  slot_bytes: int) -> bool:
+    """True when the grouped layout's program bound ``⌈bp/rows⌉ + n_tiles``
+    beats the per-query ``bp`` by ≥2× AND its expanded per-slot copy
+    (gathered LUTs / query rows) stays small — huge probe batches (IVFADC
+    at B≈10k, k=256) must not trade program count for hundreds of MB of
+    HBM."""
+    groups = -(-bp // rows) + n_tiles
+    return groups * 2 < bp and groups * rows * slot_bytes <= 128 * 2**20
+
+
 def budget_adc_auto(luts: Array, codes_t: Array, rowterm: Array,
                     tiles: Array, *, block_t: int,
+                    rows: int | None = None, lut_dtype: str = "bf16",
                     interpret: bool = False) -> Array:
     """Static dispatch between the tile-grouped and per-query budget ADC
-    kernels: grouped when its program bound ``⌈B·P/8⌉ + n_tiles`` beats
-    the per-query ``B·P`` by ≥2× (probe sets over few tiles — the join
-    regime); per-query otherwise (wide tables, sparse probes)."""
+    kernels: grouped for probe sets over few tiles (the join regime),
+    per-query otherwise (wide tables, sparse probes). ``lut_dtype="int8"``
+    applies on the grouped path only (the per-query kernel stays bf16)."""
+    rows = GROUPED_ROWS_DEFAULT if rows is None else rows
     bp = tiles.shape[0] * tiles.shape[1]
     n_tiles = codes_t.shape[1] // block_t
-    groups = bp // 8 + n_tiles
-    # the grouped path materializes a (G·8, m, k) bf16 expanded-LUT copy —
-    # bound it so huge probe batches (IVFADC at B≈10k, k=256) don't trade
-    # program count for hundreds of MB of HBM.
-    lutx_bytes = groups * 8 * luts.shape[1] * luts.shape[2] * 2
-    if groups * 2 < bp and lutx_bytes <= 128 * 2**20:
+    slot_bytes = luts.shape[1] * luts.shape[2] * (1 if lut_dtype == "int8"
+                                                  else 2)
+    if _grouped_wins(bp, n_tiles, rows, slot_bytes):
         return budget_adc_grouped_pallas(luts, codes_t, rowterm, tiles,
-                                         block_t=block_t,
+                                         block_t=block_t, rows=rows,
+                                         lut_dtype=lut_dtype,
                                          interpret=interpret)
     return budget_adc_pallas(luts, codes_t, rowterm, tiles,
                              block_t=block_t, interpret=interpret)
@@ -897,16 +913,16 @@ def budget_adc_auto(luts: Array, codes_t: Array, rowterm: Array,
 
 def budget_exact_auto(queries: Array, vecs_t: Array, rownorm: Array,
                       tiles: Array, *, block_t: int,
+                      rows: int | None = None,
                       interpret: bool = False) -> Array:
     """Grouped/per-query dispatch for the exact budget kernel (same bound
     as :func:`budget_adc_auto`)."""
+    rows = GROUPED_ROWS_DEFAULT if rows is None else rows
     bp = tiles.shape[0] * tiles.shape[1]
     n_tiles = vecs_t.shape[1] // block_t
-    groups = bp // 8 + n_tiles
-    qx_bytes = groups * 8 * queries.shape[1] * 2
-    if groups * 2 < bp and qx_bytes <= 128 * 2**20:
+    if _grouped_wins(bp, n_tiles, rows, queries.shape[1] * 2):
         return budget_exact_grouped_pallas(queries, vecs_t, rownorm, tiles,
-                                           block_t=block_t,
+                                           block_t=block_t, rows=rows,
                                            interpret=interpret)
     return budget_exact_pallas(queries, vecs_t, rownorm, tiles,
                                block_t=block_t, interpret=interpret)

@@ -206,3 +206,13 @@ def test_dense_nogo_autoselect_warns(pq, monkeypatch):
 def test_dense_under_bar_stays_dense(pq):
     mode, _, _ = pq._search_plan(64, approx=False, impl="pallas")
     assert mode == "dense"
+
+
+def test_dense_nogo_int8_degrades_to_binned_i8(pq, monkeypatch):
+    """'pallas_int8' is a DTYPE preference (the engine knob resolves to
+    it), not an exactness demand: past the dense bar it must warn and
+    keep the int8 request on the binned kernel, not raise."""
+    monkeypatch.setattr(PQIndex, "_DENSE_SCAN_BYTES", 1)
+    with pytest.warns(UserWarning, match="binned"):
+        mode, _, _ = pq._search_plan(64, approx=False, impl="pallas_int8")
+    assert mode == "binned_i8"

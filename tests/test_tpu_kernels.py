@@ -292,3 +292,29 @@ def test_budget_exact_grouped_compiled(pk, rng):
     fin = np.isfinite(ref)
     np.testing.assert_array_equal(np.isfinite(got), fin)
     np.testing.assert_allclose(got[fin], ref[fin], rtol=1e-4, atol=1e-3)
+
+
+def test_budget_adc_grouped_int8_compiled(pk, rng):
+    """Compiled int8 grouped budget kernel ((rows,1) f32 scale block
+    beside int8 lutx under scalar prefetch) vs bf16 per-query, within the
+    per-query quantization bound."""
+    B, m, k, block_t, nt, P = 64, 6, 32, 512, 5, 4
+    na = (nt + 1) * block_t
+    codes = rng.integers(0, k, size=(na, m)).astype(np.uint8)
+    rowterm = (rng.normal(size=(na,)) ** 2).astype(np.float32)
+    rowterm[nt * block_t:] = np.inf
+    luts = np.abs(rng.normal(size=(B, m, k))).astype(np.float32)
+    tiles = rng.integers(0, nt, size=(B, P)).astype(np.int32)
+    ref = np.asarray(pk.budget_adc_pallas(
+        jnp.asarray(luts), jnp.asarray(codes.T), jnp.asarray(rowterm),
+        jnp.asarray(tiles), block_t=block_t))
+    for rows in (8, 16):
+        got = np.asarray(pk.budget_adc_grouped_pallas(
+            jnp.asarray(luts), jnp.asarray(codes.T), jnp.asarray(rowterm),
+            jnp.asarray(tiles), block_t=block_t, rows=rows,
+            lut_dtype="int8"))
+        fin = np.isfinite(ref)
+        np.testing.assert_array_equal(np.isfinite(got), fin)
+        bound = m * luts.reshape(B, -1).max(axis=1) / 254 * 1.01 + 1e-2
+        err = np.abs(np.where(fin, got - ref, 0.0))
+        assert (err <= bound[:, None]).all(), rows
