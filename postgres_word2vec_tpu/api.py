@@ -767,7 +767,8 @@ class Freddy:
                     alpha=p.alpha, pvf=p.pvf, method=p.method,
                     confidence=p.confidence,
                     long_codes_threshold=p.long_codes_threshold,
-                    use_targetlists=p.use_targetlist, return_info=True)
+                    use_targetlists=p.use_targetlist,
+                    lut_dtype=p.pq_lut_dtype, return_info=True)
             # materialize the (small) id block BEFORE reading the clock:
             # jax dispatch is async, and on mesh the search above returns
             # unmaterialized device arrays — timing the dispatch alone
@@ -891,7 +892,8 @@ class Freddy:
             vectors=self.store.vectors_norm,
             statistics=self._active_statistics(), alpha=p.alpha, pvf=p.pvf,
             method=p.method, confidence=p.confidence,
-            long_codes_threshold=p.long_codes_threshold)
+            long_codes_threshold=p.long_codes_threshold,
+            lut_dtype=p.pq_lut_dtype)
         return self._pick_not_banned(i[0], (w1, w2, w3))
 
     def _pick_not_banned(self, ids: Array, banned_words) -> str:
@@ -996,7 +998,8 @@ class Freddy:
                 vectors=self.store.vectors_norm,
                 statistics=self._active_statistics(), alpha=p.alpha,
                 pvf=p.pvf, method=p.method, confidence=p.confidence,
-                long_codes_threshold=p.long_codes_threshold)
+                long_codes_threshold=p.long_codes_threshold,
+                lut_dtype=p.pq_lut_dtype)
             return d, _globals_to_locals(i, tids)
 
         return {"exact": exact_join, "pq": pq_join, "ivpq": ivpq_join}[impl]
@@ -1082,7 +1085,8 @@ class Freddy:
                 alpha=self.params.alpha, pvf=self.params.pvf,
                 method=self.params.method, confidence=self.params.confidence,
                 long_codes_threshold=self.params.long_codes_threshold,
-                query_chunk=query_chunk)
+                query_chunk=query_chunk,
+                lut_dtype=self.params.pq_lut_dtype)
 
     # ========================================================= persistence
     def save(self, directory) -> None:

@@ -438,13 +438,13 @@ def build_join_tiles(target_codes: Array, target_cells: Array,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "alpha", "pvf", "method", "use_double",
-                     "p_budget", "block_t", "use_pallas"))
+                     "p_budget", "block_t", "use_pallas", "lut_dtype"))
 def _ivpq_round_budget(queries: Array, coarse_centroids: Array,
                        codebook_cent: Array, jt: JoinTiles,
                        target_vecs: Array, statistics: Array, k: int,
                        alpha: int, pvf: int, method: int, confidence: Array,
                        use_double: bool, p_budget: int, block_t: int,
-                       use_pallas: bool,
+                       use_pallas: bool, lut_dtype: str = "bf16",
                        t_real_override: Array | None = None,
                        cell_counts_override: Array | None = None
                        ) -> tuple[Array, Array, Array, Array, Array]:
@@ -500,7 +500,8 @@ def _ivpq_round_budget(queries: Array, coarse_centroids: Array,
         if use_pallas:
             from postgres_word2vec_tpu.ops import pallas_kernels as pk
             dists = pk.budget_adc_auto(luts, codes_t, jt.rowterm, tiles,
-                                       block_t=block_t)
+                                       block_t=block_t,
+                                       lut_dtype=lut_dtype)
         else:
             dists = adc.budget_adc_xla(luts, codes_t.T, jt.rowterm, tiles,
                                        block_t=block_t)
@@ -603,6 +604,7 @@ class IVPQIndex:
                     query_chunk: int = 1024,
                     impl: str | None = None,
                     budget_tiles: int | None = None,
+                    lut_dtype: str = "bf16",
                     return_info: bool = False):
         """Batched kNN-join (``ivpq_search_in`` parity) → (sqdists, ids).
 
@@ -613,6 +615,11 @@ class IVPQIndex:
         cell-sorted tiling IS the reference's per-query target-list
         buffering (ivpq_search_in.c:462-479) reorganized target-major;
         ``use_targetlists=False`` forces the dense path.
+
+        ``lut_dtype``: "bf16" (default) or "int8" — the ADC LUT arithmetic
+        of the budget path's grouped kernel (double-rate int8 MXU; see
+        ops/pallas_kernels._quantize_luts_int8). Ignored off the budget
+        path.
         """
         if target_mask is None:
             target_mask = jnp.ones(target_ids.shape, dtype=bool)
@@ -626,6 +633,8 @@ class IVPQIndex:
                 else "dense"
         if not use_targetlists:
             impl = "dense"
+        if impl != "budget":
+            lut_dtype = "bf16"   # avoid pointless static-arg cache splits
 
         t_ids = jnp.maximum(target_ids, 0)
         target_codes = jnp.take(self.codes, t_ids, axis=0)
@@ -693,7 +702,7 @@ class IVPQIndex:
                 qc, target_codes, target_cells, target_ids, target_mask,
                 target_vecs, statistics, k, alpha, pvf, method, confidence,
                 long_codes_threshold, max_rounds, jt=jt,
-                budget_tiles=budget_tiles)
+                budget_tiles=budget_tiles, lut_dtype=lut_dtype)
             out_vals.append(vals)
             out_ids.append(ids)
             infos.append((pad_q, info))
@@ -752,7 +761,7 @@ class IVPQIndex:
     def _join_chunk(self, queries, target_codes, target_cells, target_ids,
                     target_mask, target_vecs, statistics, k, alpha, pvf,
                     method, confidence, long_codes_threshold, max_rounds,
-                    jt=None, budget_tiles=None):
+                    jt=None, budget_tiles=None, lut_dtype="bf16"):
         """Alpha-escalation loop over fixed-shape rounds
         (ivpq_search_in.c:639-684)."""
         conf_arr = jnp.float32(confidence)
@@ -764,7 +773,7 @@ class IVPQIndex:
         vals, ids, retrieved, exhausted, predicted = self._run_round(
             queries, target_codes, target_cells, target_ids, target_mask,
             target_vecs, statistics, k, cur_alpha, pvf, method, conf_arr,
-            use_double, jt, budget_tiles)
+            use_double, jt, budget_tiles, lut_dtype)
         best_vals, best_ids = vals, ids
         best_retrieved, best_predicted = retrieved, predicted
         resolved = retrieved >= k
@@ -777,7 +786,7 @@ class IVPQIndex:
             vals, ids, retrieved, exhausted, predicted = self._run_round(
                 queries, target_codes, target_cells, target_ids, target_mask,
                 target_vecs, statistics, k, cur_alpha, pvf, method, conf_arr,
-                use_double, jt, budget_tiles)
+                use_double, jt, budget_tiles, lut_dtype)
             upd = ~resolved
             best_vals = jnp.where(upd[:, None], vals, best_vals)
             best_ids = jnp.where(upd[:, None], ids, best_ids)
@@ -801,14 +810,14 @@ class IVPQIndex:
     def _run_round(self, queries, target_codes, target_cells, target_ids,
                    target_mask, target_vecs, statistics, k, alpha, pvf,
                    method, confidence, use_double, jt=None,
-                   budget_tiles=None):
+                   budget_tiles=None, lut_dtype="bf16"):
         if jt is not None:
             p = self._budget_for(jt, k, alpha, budget_tiles)
             vals, lids, retrieved, exhausted, predicted = _ivpq_round_budget(
                 queries, self.coarse.centroids, self.codebook.centroids,
                 jt, target_vecs, statistics, k, alpha, pvf, method,
                 confidence, use_double, p_budget=p, block_t=jt.block_t,
-                use_pallas=_use_pallas())
+                use_pallas=_use_pallas(), lut_dtype=lut_dtype)
             ids = jnp.where(lids >= 0,
                             jnp.take(target_ids, jnp.maximum(lids, 0)),
                             -1).astype(jnp.int32)
