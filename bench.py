@@ -171,23 +171,33 @@ def main():
 
         # int8-LUT MXU path: per-query quantized LUTs on the chip's
         # double-rate int8 matmul (ops/pallas_kernels._quantize_luts_int8).
-        B = 64
-        t, _ = timeit(lambda q: pq.search(q, K, impl="pallas_int8"), V[:B])
-        _, ids = pq.search(queries_eval, K, impl="pallas_int8")
-        _, ids5 = pq.search(queries_eval, 5, impl="pallas_int8")
-        add("pq_scan_int8", ids5, ids, per_query_ms=t / B * 1e3, batch=B,
-            ref_s=1.06, ref_recall=0.38, note="int8-LUT ADC full scan")
-        t, _ = timeit(lambda q: pq.search(q, K, impl="pallas_int8"), V[:B2])
-        add("pq_scan_int8_b256", ids5, ids, per_query_ms=t / B2 * 1e3,
-            batch=B2, ref_s=1.06, ref_recall=0.38,
-            note="int8-LUT ADC at batch 256 (throughput shape)")
-        t, _ = timeit(lambda q: pq.search_pv(q, K, 20, V,
-                                             impl="pallas_int8"), V[:B])
-        _, ids = pq.search_pv(queries_eval, K, 20, V, impl="pallas_int8")
-        _, ids5 = pq.search_pv(queries_eval, 5, 20, V, impl="pallas_int8")
-        add("pq_pv_20_int8", ids5, ids, per_query_ms=t / B * 1e3, batch=B,
-            ref_s=1.29, ref_recall=0.87,
-            note="int8-LUT ADC + exact re-rank pvf=20")
+        # Own guard: a Mosaic int8 lowering failure must not skip the rest
+        # of the PQ block or the `del pq` (HBM leak into later phases).
+        try:
+            B = 64
+            t, _ = timeit(lambda q: pq.search(q, K, impl="pallas_int8"),
+                          V[:B])
+            _, ids = pq.search(queries_eval, K, impl="pallas_int8")
+            _, ids5 = pq.search(queries_eval, 5, impl="pallas_int8")
+            add("pq_scan_int8", ids5, ids, per_query_ms=t / B * 1e3,
+                batch=B, ref_s=1.06, ref_recall=0.38,
+                note="int8-LUT ADC full scan")
+            t, _ = timeit(lambda q: pq.search(q, K, impl="pallas_int8"),
+                          V[:B2])
+            add("pq_scan_int8_b256", ids5, ids, per_query_ms=t / B2 * 1e3,
+                batch=B2, ref_s=1.06, ref_recall=0.38,
+                note="int8-LUT ADC at batch 256 (throughput shape)")
+            t, _ = timeit(lambda q: pq.search_pv(q, K, 20, V,
+                                                 impl="pallas_int8"), V[:B])
+            _, ids = pq.search_pv(queries_eval, K, 20, V,
+                                  impl="pallas_int8")
+            _, ids5 = pq.search_pv(queries_eval, 5, 20, V,
+                                   impl="pallas_int8")
+            add("pq_pv_20_int8", ids5, ids, per_query_ms=t / B * 1e3,
+                batch=B, ref_s=1.29, ref_recall=0.87,
+                note="int8-LUT ADC + exact re-rank pvf=20")
+        except Exception as e:  # pragma: no cover
+            log(f"pq int8 bench failed: {e!r}")
         del pq
     except Exception as e:  # pragma: no cover
         log(f"pq bench failed: {e!r}")
@@ -484,6 +494,12 @@ def main():
                  pvf=20, vectors=V)
         join_cfg("ivpq_join_pv_a400", alpha=400, method=2, confidence=0.8,
                  pvf=20, vectors=V)
+        # int8 gathered-LUT grouped kernel on the join's budget path
+        try:
+            join_cfg("ivpq_join_pv_a200_i8", alpha=200, method=2,
+                     confidence=0.8, pvf=20, vectors=V, lut_dtype="int8")
+        except Exception as e:  # pragma: no cover
+            log(f"ivpq int8 join bench failed: {e!r}")
         del ivpq
     except Exception as e:  # pragma: no cover
         log(f"ivpq bench failed: {e!r}")

@@ -277,10 +277,12 @@ def _adc_binned_kernel_i8(codes_ref, luts_ref, mins_ref, args_ref, *,
     bb = acc.shape[0]
     sub = block_n // bins
     sub_pow = 1 << (sub - 1).bit_length()
-    packed = (acc.reshape(bb, sub, bins) * sub_pow
+    shift = sub_pow.bit_length() - 1             # sub_pow is a power of 2
+    packed = (lax.shift_left(acc.reshape(bb, sub, bins), shift)
               + lax.broadcasted_iota(jnp.int32, (bb, sub, bins), 1))
     best = jnp.min(packed, axis=1)               # (bb, bins)
-    mins_ref[:] = best // sub_pow
+    # arithmetic right shift == floor division by the pow2 field width
+    mins_ref[:] = lax.shift_right_arithmetic(best, shift)
     args_ref[:] = jnp.bitwise_and(best, sub_pow - 1)
 
 
