@@ -45,23 +45,23 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 #: candidate generator parameter sets. "v2" is the shipped calibration
 #: (the baseline); the candidates push the sibling/distractor gap.
 CONFIGS = {
-    "v2": dict(group=8, beta=0.55, sigma_c=0.7, sigma_v=0.55),
+    "v2": dict(group=8, beta=0.55, sigma_c=0.7, sigma_v=0.55, fringe_frac=0.0),
     # closer siblings (easier PV), more of them (scan confusion persists)
-    "cand1": dict(group=12, beta=0.55, sigma_c=0.7, sigma_v=0.48),
-    "cand2": dict(group=12, beta=0.55, sigma_c=0.8, sigma_v=0.45),
+    "cand1": dict(group=12, beta=0.55, sigma_c=0.7, sigma_v=0.48, fringe_frac=0.0),
+    "cand2": dict(group=12, beta=0.55, sigma_c=0.8, sigma_v=0.45, fringe_frac=0.0),
     # wider distractor shell, same siblings
-    "cand3": dict(group=8, beta=0.55, sigma_c=0.85, sigma_v=0.5),
+    "cand3": dict(group=8, beta=0.55, sigma_c=0.85, sigma_v=0.5, fringe_frac=0.0),
     # flatter spectrum (harder quantization) + close siblings
-    "cand4": dict(group=10, beta=0.5, sigma_c=0.75, sigma_v=0.45),
+    "cand4": dict(group=10, beta=0.5, sigma_c=0.75, sigma_v=0.45, fringe_frac=0.0),
     # strong gap
-    "cand5": dict(group=10, beta=0.55, sigma_c=0.9, sigma_v=0.42),
+    "cand5": dict(group=10, beta=0.55, sigma_c=0.9, sigma_v=0.42, fringe_frac=0.0),
     # 3M round-1 sweep: v2 (0.399/0.801) hits scan, cand1 (0.498/0.911)
     # overshoots scan — interpolate the sigma_v/group gap between them.
-    "cand6": dict(group=8, beta=0.55, sigma_c=0.7, sigma_v=0.50),
-    "cand7": dict(group=12, beta=0.55, sigma_c=0.7, sigma_v=0.52),
-    "cand8": dict(group=10, beta=0.55, sigma_c=0.7, sigma_v=0.50),
-    "cand9": dict(group=8, beta=0.55, sigma_c=0.7, sigma_v=0.48),
-    "cand10": dict(group=10, beta=0.55, sigma_c=0.7, sigma_v=0.52),
+    "cand6": dict(group=8, beta=0.55, sigma_c=0.7, sigma_v=0.50, fringe_frac=0.0),
+    "cand7": dict(group=12, beta=0.55, sigma_c=0.7, sigma_v=0.52, fringe_frac=0.0),
+    "cand8": dict(group=10, beta=0.55, sigma_c=0.7, sigma_v=0.50, fringe_frac=0.0),
+    "cand9": dict(group=8, beta=0.55, sigma_c=0.7, sigma_v=0.48, fringe_frac=0.0),
+    "cand10": dict(group=10, beta=0.55, sigma_c=0.7, sigma_v=0.52, fringe_frac=0.0),
     # 3M round-2 sweep: the sigma_v/group frontier passes through
     # (0.48, 0.88) — the published (0.38, 0.87) point needs DECOUPLING:
     # a fringe tier of same-concept distractors that contests the ADC

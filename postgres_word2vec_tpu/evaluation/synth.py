@@ -41,8 +41,11 @@ import jax.numpy as jnp
 Array = jax.Array
 
 #: round-2 calibration (scan-point parity only; PV ceiling 0.80) — kept
-#: for the recall-ceiling control's "before" comparison.
-V2_PARAMS = dict(group=8, beta=0.55, sigma_c=0.7, sigma_v=0.55)
+#: for the recall-ceiling control's "before" comparison. fringe_frac=0.0
+#: is EXPLICIT: the v3 defaults turned the fringe tier on, and inheriting
+#: them silently would stop reproducing the recorded v2 geometry.
+V2_PARAMS = dict(group=8, beta=0.55, sigma_c=0.7, sigma_v=0.55,
+                 fringe_frac=0.0)
 
 #: round-3 calibration (= generate_wordlike defaults): fringe-tier
 #: geometry whose ref-equivalent control clears both published PQ points.

@@ -659,6 +659,12 @@ class IVPQIndex:
             # tiling with the old table's rows baked in.
             hit = self._join_cache.get(ck)
             jt = hit[0] if hit is not None else None
+            if hit is not None:
+                # LRU, not FIFO: re-insert on hit so a hot target set (the
+                # statistics-table serving pattern) is never the first
+                # evicted just because it was inserted first.
+                self._join_cache.pop(ck)
+                self._join_cache[ck] = hit
             if jt is None:
                 # The tiling build is this framework's "data retrieval"
                 # stage: moving the target rows into scan layout — the SPI

@@ -277,7 +277,9 @@ def sharded_ivfadc_adaptive(mesh: Mesh, queries: Array, bundle: dict, *,
     vals_np = ids_np = q_np = None
     for _ in range(max_rounds - 1):
         if ids_np is None:
-            vals_np, ids_np = np.asarray(vals), np.asarray(ids)
+            # np.array (not asarray): np.asarray of a jax array returns a
+            # READ-ONLY view — the escalation round writes in place below.
+            vals_np, ids_np = np.array(vals), np.array(ids)
         unresolved = np.flatnonzero((ids_np >= 0).sum(axis=-1) < k)
         if unresolved.size == 0 or cur_w >= n_cells:
             break

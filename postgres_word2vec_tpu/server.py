@@ -284,7 +284,22 @@ class QueryServer:
             if out[j] is None:
                 groups.setdefault((int(k), tgt), []).append(j)
 
+        # impls without a batched matrix core (e.g. IVPQ's data-dependent
+        # rounds) go straight to per-item calls — resolving + padding +
+        # device-gathering the batch first just to have knn_in_matrix raise
+        # wasted a ~30 ms device gather per batch and re-resolved targets
+        # per item afterwards.
+        has_core = eng.dispatch["knn_in"] in eng._KNN_IN_CORES
+
         for (k, tgt), idxs in groups.items():
+            if not has_core:
+                with self._lock:
+                    for j in idxs:
+                        try:
+                            out[j] = eng.knn_in(items[j][0], k, list(tgt))
+                        except Exception as e:  # noqa: BLE001
+                            out[j] = e
+                continue
             try:
                 # resolve + pow2-pad the target axis on HOST; one transfer.
                 tid_list = (eng.store.get_ids(list(tgt), strict=False)

@@ -306,9 +306,17 @@ def import_engine(dump_dir: str | Path, *,
 
     eng = Freddy(store, pq=pq, ivfadc=ivfadc, ivpq=ivpq,
                  exact_dtype=exact_dtype, exact_approx=exact_approx)
+    # reference-style statistics dumps (stat_<table>_<column>) ...
     for stat_path in sorted(dump_dir.glob("stat_*")):
         stats = _read_statistics(stat_path)
         eng.statistics[stat_path.name.split(".")[0]] = jnp.asarray(stats)
+    # ... and this framework's own exports, which carry ARBITRARY
+    # statistics-table names under the reserved "stats." prefix —
+    # exporting them as bare <name>.copy silently dropped any table not
+    # named stat_* on the round trip.
+    for stat_path in sorted(dump_dir.glob("stats.*.copy")):
+        name = stat_path.name[len("stats."):-len(".copy")]
+        eng.statistics[name] = jnp.asarray(_read_statistics(stat_path))
     return eng
 
 
@@ -424,7 +432,10 @@ def export_engine(engine, dump_dir: str | Path, *,
     for name, stats in engine.statistics.items():
         s = np.asarray(stats)
         rows = [(i, float(s[i])) for i in range(s.shape[0])]
-        write_table(dump_dir / f"{name}.copy", rows)
+        # reserved "stats." prefix: import_engine only recognizes
+        # reference-style stat_* names otherwise, so a bare <name>.copy
+        # would be silently dropped on re-import.
+        write_table(dump_dir / f"stats.{name}.copy", rows)
 
 
 def _write_codebook(path: Path, codebook) -> None:

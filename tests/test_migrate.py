@@ -211,3 +211,18 @@ def test_csv_dump_import(roundtrip, tmp_path):
     eng3 = migrate.import_engine(csv_dir)
     np.testing.assert_array_equal(np.asarray(eng3.pq.codes),
                                   np.asarray(eng.pq.codes))
+
+
+def test_export_import_preserves_arbitrary_statistics_names(tmp_path):
+    """Statistics tables with names NOT starting with 'stat_' must survive
+    the export → import round trip (they were silently dropped)."""
+    import numpy as np
+
+    eng = _engine()
+    eng.create_statistics("targets", [w for w in eng.store.words[:40]])
+    migrate.export_engine(eng, tmp_path / "dump")
+    eng2 = migrate.import_engine(tmp_path / "dump")
+    assert "targets" in eng2.statistics
+    np.testing.assert_allclose(np.asarray(eng2.statistics["targets"]),
+                               np.asarray(eng.statistics["targets"]),
+                               rtol=1e-6, atol=1e-6)

@@ -333,12 +333,19 @@ def test_sharded_ivfadc_adaptive_fills_k(mesh, rng):
 
     v = rng.normal(size=(2400, 16)).astype(np.float32)
     v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    # k_coarse=256 → ~9 rows/cell, so w=1 CANNOT satisfy k=12 and the
+    # escalation write path genuinely runs (a read-only np.asarray view
+    # here shipped a crash while the old 64-cell setup passed vacuously).
     idx = IVFADCIndex.build(jax.random.PRNGKey(4), jnp.asarray(v), m=4, k=8,
-                            k_coarse=64, train_size=None, iters=5)
+                            k_coarse=256, train_size=None, iters=5)
     bundle = sharding.shard_ivfadc(idx, mesh)
     q = jnp.asarray(v[:8])
+    first_v, first_i = sharding.sharded_ivfadc_probe(mesh, q, bundle,
+                                                     w=1, k=12)
+    assert ((np.asarray(first_i) >= 0).sum(axis=-1) < 12).any(), \
+        "setup must leave queries unresolved after the first probe"
     d2, i2 = sharding.sharded_ivfadc_adaptive(mesh, q, bundle, k=12, w=1,
-                                              max_rounds=4)
+                                              max_rounds=6)
     assert (np.asarray(i2) >= 0).all(), "adaptive widening must fill k"
     d1, i1 = idx.search_adaptive(q, 12, w=1)
     # same recall target: compare against exact top-1 self-hit
