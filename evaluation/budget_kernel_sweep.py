@@ -125,10 +125,12 @@ def main():
         np.asarray(out[..., :1])
         log(f"int8 rows={rows} compile+run {time.perf_counter() - t0:.1f}s")
         got = np.asarray(out)
-        # quantization error bound: m · row_max / 254
-        bound = (m * luts.reshape(B, -1).max(axis=1) / 254 * 1.01)
+        # int8 quantization (max/254) + the bf16 reference's own LUT
+        # rounding (max/512): ref is itself approximate.
+        bound = (m * luts.reshape(B, -1).max(axis=1)
+                 * (1 / 254 + 1 / 512) * 1.01 + 1e-3)
         err = np.abs(np.where(fin, got - ref, 0.0))
-        ok = bool((err <= bound[:, None] + 1e-6).all()
+        ok = bool((err <= bound[:, None]).all()
                   and np.array_equal(np.isfinite(got), fin))
         t = timeit_piped(
             lambda q, rows=rows: pk.budget_adc_grouped_pallas(
@@ -142,9 +144,12 @@ def main():
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
-    print(json.dumps({"best": min(
-        (v, k2) for k2, v in results.items() if k2.endswith("_s"))[1],
-        "per_query_ms": results["per_query_s"] * 1e3}))
+    # "best" only among configs whose outputs matched the reference
+    best = min((v, k2) for k2, v in results.items()
+               if k2.endswith("_s")
+               and results.get(k2[:-2] + "_match", True))[1]
+    print(json.dumps({"best": best,
+                      "per_query_ms": results["per_query_s"] * 1e3}))
 
 
 if __name__ == "__main__":

@@ -163,6 +163,12 @@ class Freddy:
         if self.ivfadc is not None:
             self._shard["ivf_bundle"] = sharding.shard_ivfadc(self.ivfadc,
                                                               mesh)
+        if self.params.pq_lut_dtype == "int8":
+            import warnings
+            warnings.warn(
+                "enable_sharding: pq_lut_dtype='int8' has no effect on "
+                "mesh-sharded PQ paths (sharded programs run bf16).",
+                stacklevel=2)
         self.mesh = mesh
 
     # ------------------------------------------------------------- builders

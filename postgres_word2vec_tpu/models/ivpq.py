@@ -621,6 +621,9 @@ class IVPQIndex:
         ops/pallas_kernels._quantize_luts_int8). Ignored off the budget
         path.
         """
+        if lut_dtype not in ("bf16", "int8"):
+            raise ValueError(f"lut_dtype must be 'bf16' or 'int8', "
+                             f"got {lut_dtype!r}")
         if target_mask is None:
             target_mask = jnp.ones(target_ids.shape, dtype=bool)
         if statistics is None:

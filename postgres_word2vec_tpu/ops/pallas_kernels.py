@@ -794,20 +794,18 @@ def budget_adc_grouped_pallas(luts: Array, codes_t: Array, rowterm: Array,
     out_spec = pl.BlockSpec((rows, block_t), lambda i, t: (i, 0))
     out_shape = jax.ShapeDtypeStruct((groups * rows, block_t), jnp.float32)
     if int8:
-        scalex = jnp.take(scale, qidx.reshape(-1))[:, None]   # (G·r, 1)
         in_specs.append(pl.BlockSpec((rows, 1), lambda i, t: (i, 0)))
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=(groups,), in_specs=in_specs,
-            out_specs=out_spec)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(groups,), in_specs=in_specs,
+        out_specs=out_spec)
+    if int8:
+        scalex = jnp.take(scale, qidx.reshape(-1))[:, None]   # (G·r, 1)
         out = pl.pallas_call(
             functools.partial(_budget_adc_grouped_kernel_i8, m=mp, k=k,
                               g=grp, block_t=block_t, rows=rows),
             grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
         )(tog, codes_in, rt, lutx, scalex)
     else:
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=(groups,), in_specs=in_specs,
-            out_specs=out_spec)
         out = pl.pallas_call(
             functools.partial(_budget_adc_grouped_kernel, m=mp, k=k,
                               g=grp, block_t=block_t, rows=rows),
@@ -899,6 +897,9 @@ def budget_adc_auto(luts: Array, codes_t: Array, rowterm: Array,
     kernels: grouped for probe sets over few tiles (the join regime),
     per-query otherwise (wide tables, sparse probes). ``lut_dtype="int8"``
     applies on the grouped path only (the per-query kernel stays bf16)."""
+    if lut_dtype not in ("bf16", "int8"):
+        raise ValueError(f"lut_dtype must be 'bf16' or 'int8', "
+                         f"got {lut_dtype!r}")
     rows = GROUPED_ROWS_DEFAULT if rows is None else rows
     bp = tiles.shape[0] * tiles.shape[1]
     n_tiles = codes_t.shape[1] // block_t
@@ -909,6 +910,12 @@ def budget_adc_auto(luts: Array, codes_t: Array, rowterm: Array,
                                          block_t=block_t, rows=rows,
                                          lut_dtype=lut_dtype,
                                          interpret=interpret)
+    if lut_dtype == "int8":
+        import warnings
+        warnings.warn(
+            "budget_adc_auto: probe shape selects the per-query kernel, "
+            "which has no int8 variant — running bf16. (Sparse probes or "
+            "an expanded-LUT copy past the memory guard.)", stacklevel=2)
     return budget_adc_pallas(luts, codes_t, rowterm, tiles,
                              block_t=block_t, interpret=interpret)
 

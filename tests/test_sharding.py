@@ -340,7 +340,7 @@ def test_sharded_ivfadc_adaptive_fills_k(mesh, rng):
                             k_coarse=256, train_size=None, iters=5)
     bundle = sharding.shard_ivfadc(idx, mesh)
     q = jnp.asarray(v[:8])
-    first_v, first_i = sharding.sharded_ivfadc_probe(mesh, q, bundle,
+    _, first_i = sharding.sharded_ivfadc_probe(mesh, q, bundle,
                                                      w=1, k=12)
     assert ((np.asarray(first_i) >= 0).sum(axis=-1) < 12).any(), \
         "setup must leave queries unresolved after the first probe"

@@ -315,6 +315,9 @@ def test_budget_adc_grouped_int8_compiled(pk, rng):
             lut_dtype="int8"))
         fin = np.isfinite(ref)
         np.testing.assert_array_equal(np.isfinite(got), fin)
-        bound = m * luts.reshape(B, -1).max(axis=1) / 254 * 1.01 + 1e-2
+        # int8 quantization (max/254) PLUS the bf16 reference's own LUT
+        # rounding (up to max/512 per lookup) — ref is not exact either.
+        bound = (m * luts.reshape(B, -1).max(axis=1)
+                 * (1 / 254 + 1 / 512) * 1.01 + 1e-2)
         err = np.abs(np.where(fin, got - ref, 0.0))
         assert (err <= bound[:, None]).all(), rows
