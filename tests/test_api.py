@@ -284,3 +284,24 @@ def test_set_pq_lut_dtype(engine):
     engine.set_pq_lut_dtype("bf16")
     with pytest.raises(ValueError):
         engine.set_pq_lut_dtype("fp8")
+
+
+def test_warmup_honors_pq_lut_dtype(engine, monkeypatch):
+    """warmup() must precompile the SAME impl serving will use — an int8
+    knob with a bf16 warmup defeats cold-start hygiene (review r3)."""
+    calls = []
+    orig = type(engine.pq).search
+
+    def spy(self, q, k, **kw):
+        calls.append(kw.get("impl"))
+        return orig(self, q, k, **kw)
+
+    monkeypatch.setattr(type(engine.pq), "search", spy)
+    engine.set_pq_lut_dtype("int8")
+    try:
+        engine.warmup(k=2, join_targets=16)
+    finally:
+        engine.set_pq_lut_dtype("bf16")
+    # CPU backend: _pq_impl() resolves to None (no pallas) — the point is
+    # that warmup passes whatever _pq_impl() returns, not a hardcoded None.
+    assert calls and all(c == engine._pq_impl() for c in calls)
