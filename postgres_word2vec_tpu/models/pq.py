@@ -270,13 +270,23 @@ class PQIndex:
     def build(cls, key: Array, vectors: Array, *, m: int = 12, k: int = 256,
               train_size: int | None = 100_000, iters: int = 10,
               restarts: int = 1, init: str = "sample",
-              opq_iters: int = 0) -> "PQIndex":
+              opq_iters: int = 0, aniso_eta: float | None = None,
+              aniso_iters: int = 4) -> "PQIndex":
         """Train + encode (pq_index.py ``main`` parity; defaults from
         pq_config.json: m=12, k=256, train_size=100k).
 
         ``opq_iters > 0`` enables OPQ: a learned orthogonal rotation that
         decorrelates subspaces before quantization (off by default for
-        reference parity)."""
+        reference parity).
+
+        ``aniso_eta`` (e.g. 2–4) enables anisotropic (score-aware)
+        refinement: trained codebooks get ``aniso_iters`` rounds of
+        weighted Lloyd that penalize the ranking-relevant PARALLEL
+        residual η× (ops/kmeans.anisotropic_refine), and the table is
+        encoded under the same metric. Stacks with OPQ. Training-time
+        only — LUTs/search are unchanged; later ``add()`` rows encode
+        plain-L2 (documented drift, same as the reference's incremental
+        codebooks)."""
         if opq_iters > 0:
             n = vectors.shape[0]
             if train_size is not None and train_size < n:
@@ -289,12 +299,33 @@ class PQIndex:
             rot, cb = train_opq_rotation(key, train, m, k,
                                          opq_iters=opq_iters,
                                          kmeans_iters=max(iters // 4, 3))
-            idx = cls(cb, jnp.zeros((0, m), jnp.uint8), rotation=rot)
-            codes = idx.encode(vectors)
+            cents = cb.centroids
+            if aniso_eta is not None:
+                y = jnp.dot(train.astype(jnp.float32), rot,
+                            preferred_element_type=jnp.float32)
+                cents = kmeans.anisotropic_refine(
+                    kmeans.split_subspaces(y, m), cents, aniso_eta,
+                    aniso_iters)
+                cb = PQCodebook(cents, cb.counts)
+            codes = kmeans.encode_subspaces(vectors, cents, rotation=rot,
+                                            aniso_eta=aniso_eta)
             return cls(recount(cb, codes), codes, rotation=rot)
         cb = train_codebook(key, vectors, m, k, train_size=train_size,
                             iters=iters, restarts=restarts, init=init)
-        codes = kmeans.encode_subspaces(vectors, cb.centroids)
+        if aniso_eta is not None:
+            n = vectors.shape[0]
+            if train_size is not None and train_size < n:
+                sel = jax.random.choice(jax.random.fold_in(key, 7), n,
+                                        shape=(train_size,), replace=False)
+                train = jnp.take(vectors, sel, axis=0)
+            else:
+                train = vectors
+            cents = kmeans.anisotropic_refine(
+                kmeans.split_subspaces(train, m), cb.centroids, aniso_eta,
+                aniso_iters)
+            cb = PQCodebook(cents, cb.counts)
+        codes = kmeans.encode_subspaces(vectors, cb.centroids,
+                                        aniso_eta=aniso_eta)
         return cls(recount(cb, codes), codes)
 
     def _rotate(self, x: Array) -> Array:

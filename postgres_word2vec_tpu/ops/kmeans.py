@@ -318,7 +318,8 @@ def encode_residual_subspaces(x: Array, coarse_centroids: Array,
 
 def encode_subspaces(x: Array, codebooks: Array, *,
                      chunk_size: int = 65536,
-                     rotation: Array | None = None) -> Array:
+                     rotation: Array | None = None,
+                     aniso_eta: float | None = None) -> Array:
     """PQ-encode: ``(n, d) × (m, k, dsub) → (n, m)`` small-int codes.
 
     Replaces the faiss per-subspace 1-NN encode loop (pq_index.py:31-63).
@@ -329,6 +330,11 @@ def encode_subspaces(x: Array, codebooks: Array, *,
 
     ``rotation``: optional (d, d) OPQ basis applied per chunk (fused here
     for the same no-full-copy reason).
+
+    ``aniso_eta``: assign by the ANISOTROPIC metric
+    ``‖x−c‖² + (η−1)((x−c)·x̂)²`` instead of plain L2 — pairs with
+    codebooks trained by :func:`anisotropic_refine` (the (x−c)·x̂ term
+    needs no extra matmul: x̂·c = (x·c)/‖x‖).
 
     Code dtype is uint8 when k ≤ 256 (the shipped-config regime), else int16
     — parity note: the reference stores int2 codes either way
@@ -351,11 +357,16 @@ def encode_subspaces(x: Array, codebooks: Array, *,
                          preferred_element_type=jnp.float32)
         outs = []
         for j in range(m):
-            s = jnp.dot(xf[:, j * dsub:(j + 1) * dsub], cb[j].T,
+            xj = xf[:, j * dsub:(j + 1) * dsub]
+            s = jnp.dot(xj, cb[j].T,
                         preferred_element_type=jnp.float32,
                         precision=lax.Precision.HIGHEST)
-            outs.append(jnp.argmin(cc[j][None] - 2.0 * s,
-                                   axis=-1).astype(dtype))
+            d = cc[j][None] - 2.0 * s
+            if aniso_eta is not None and aniso_eta != 1.0:
+                nx = jnp.sqrt(jnp.maximum(jnp.sum(xj * xj, axis=-1),
+                                          1e-24))[:, None]
+                d = d + (aniso_eta - 1.0) * (nx - s / nx) ** 2
+            outs.append(jnp.argmin(d, axis=-1).astype(dtype))
         return jnp.stack(outs, axis=-1)
 
     if n <= chunk_size:
@@ -374,3 +385,63 @@ def encode_subspaces(x: Array, codebooks: Array, *,
 
     out = lax.fori_loop(0, (n + pad) // chunk_size, body, out)
     return out[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _aniso_refine_single(x: Array, c0: Array, eta: float,
+                         iters: int) -> Array:
+    """Anisotropic (score-aware) Lloyd refinement for ONE subspace.
+
+    Minimizes ``Σᵢ ‖xᵢ−c‖² + (η−1)·((xᵢ−c)·ûᵢ)²`` (ûᵢ = xᵢ/‖xᵢ‖): the
+    residual component PARALLEL to the datapoint — the part that perturbs
+    query·point scores and near-neighbor ranking — is weighted η× against
+    the orthogonal remainder (the ScaNN insight, arXiv:1908.10396,
+    restated for L2-on-normalized-vectors retrieval). η=1 is plain Lloyd.
+
+    Assignment uses the same anisotropic metric; the update solves the
+    per-centroid normal equations, which simplify elegantly:
+        [|I_c|·I + (η−1)·Σ ûûᵀ] c = η·Σ x      (since (û·x)û‖x‖ = x)
+    one (dsub, dsub) PD solve per centroid. Empty clusters keep their
+    previous centroid (refinement starts from trained, repaired codebooks).
+    """
+    n, dsub = x.shape
+    k = c0.shape[0]
+    xf = x.astype(jnp.float32)
+    nx = jnp.sqrt(jnp.maximum(jnp.sum(xf * xf, axis=-1), 1e-24))   # (n,)
+    u = xf / nx[:, None]
+    w = jnp.float32(eta - 1.0)
+    xx = nx * nx
+    sum_outer_flat = (u[:, :, None] * u[:, None, :]).reshape(n, dsub * dsub)
+    eye = jnp.eye(dsub, dtype=jnp.float32)
+
+    def body(c, _):
+        cc = jnp.sum(c * c, axis=-1)                              # (k,)
+        s = jnp.dot(xf, c.T, preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST)              # (n, k)
+        d = (xx[:, None] - 2.0 * s + cc[None]
+             + w * (nx[:, None] - s / nx[:, None]) ** 2)
+        a = jnp.argmin(d, axis=-1)
+        cnt = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), a,
+                                  num_segments=k)                 # (k,)
+        sx = jax.ops.segment_sum(xf, a, num_segments=k)           # (k, dsub)
+        mflat = jax.ops.segment_sum(sum_outer_flat, a, num_segments=k)
+        big_a = (cnt[:, None, None] * eye[None]
+                 + w * mflat.reshape(k, dsub, dsub))
+        # empty clusters: solve against I (harmless) and keep old c below.
+        big_a = jnp.where(cnt[:, None, None] > 0, big_a, eye[None])
+        c_new = jax.vmap(jnp.linalg.solve)(big_a, (1.0 + w) * sx)
+        return jnp.where(cnt[:, None] > 0, c_new, c), None
+
+    c, _ = lax.scan(body, c0.astype(jnp.float32), None, length=iters)
+    return c
+
+
+def anisotropic_refine(x_sub: Array, centroids: Array, eta: float,
+                       iters: int = 4) -> Array:
+    """Per-subspace anisotropic refinement: ``(m, n, dsub) codebooks →
+    (m, k, dsub)``. Subspaces loop in Python (one compiled program, m
+    dispatches) so the (n, dsub²) outer-product intermediate never scales
+    with m."""
+    outs = [_aniso_refine_single(x_sub[j], centroids[j], float(eta), iters)
+            for j in range(x_sub.shape[0])]
+    return jnp.stack(outs, axis=0)

@@ -166,3 +166,69 @@ def test_assign_with_dist_matches_assign(rng):
     full = ((x[:, None, :] - c[None]) ** 2).sum(-1)
     np.testing.assert_allclose(np.asarray(d2), full.min(-1), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_aniso_refine_eta1_is_plain_lloyd(rng):
+    """η=1 anisotropic refinement == plain Lloyd continuation (weighted
+    term vanishes; update reduces to the cluster mean)."""
+    from postgres_word2vec_tpu.ops import kmeans as km
+
+    x = rng.normal(size=(500, 8)).astype(np.float32)
+    res = km.kmeans(jax.random.PRNGKey(0), jnp.asarray(x), 8, iters=5)
+    got = np.asarray(km._aniso_refine_single(jnp.asarray(x), res.centroids,
+                                             1.0, 1))
+    # manual plain Lloyd step (no repair) from the same centroids
+    c = np.asarray(res.centroids)
+    a = (((x[:, None, :] - c[None]) ** 2).sum(-1)).argmin(-1)
+    want = c.copy()
+    for j in range(8):
+        if (a == j).any():
+            want[j] = x[a == j].mean(0)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_aniso_refine_reduces_objective(rng):
+    from postgres_word2vec_tpu.ops import kmeans as km
+
+    x = rng.normal(size=(2000, 10)).astype(np.float32)
+    eta = 4.0
+    res = km.kmeans(jax.random.PRNGKey(1), jnp.asarray(x), 16, iters=8)
+
+    def obj(c):
+        cn = np.asarray(c)
+        r = x[:, None, :] - cn[None]
+        u = x / np.linalg.norm(x, axis=-1, keepdims=True)
+        par = (r * u[:, None, :]).sum(-1) ** 2
+        return ((r ** 2).sum(-1) + (eta - 1) * par).min(-1).mean()
+
+    refined = km._aniso_refine_single(jnp.asarray(x), res.centroids, eta, 5)
+    assert obj(refined) < obj(res.centroids) * 0.95
+
+
+def test_encode_subspaces_aniso_eta1_matches_plain(rng):
+    from postgres_word2vec_tpu.ops import kmeans as km
+
+    x = rng.normal(size=(300, 24)).astype(np.float32)
+    cb = rng.normal(size=(4, 8, 6)).astype(np.float32)
+    a = np.asarray(km.encode_subspaces(jnp.asarray(x), jnp.asarray(cb)))
+    b = np.asarray(km.encode_subspaces(jnp.asarray(x), jnp.asarray(cb),
+                                       aniso_eta=1.0))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pqindex_build_aniso(rng):
+    """PQIndex.build(aniso_eta=…) end-to-end: valid codes, sane recall,
+    OPQ + aniso stack without error."""
+    from postgres_word2vec_tpu.models.pq import PQIndex
+
+    v = rng.normal(size=(2000, 24)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    idx = PQIndex.build(jax.random.PRNGKey(0), jnp.asarray(v), m=4, k=16,
+                        train_size=None, iters=8, aniso_eta=2.0)
+    assert idx.codes.shape == (2000, 4)
+    _, ids = idx.search(jnp.asarray(v[:8]), 5, impl="xla")
+    assert (np.asarray(ids)[:, 0] == np.arange(8)).sum() >= 6
+    idx2 = PQIndex.build(jax.random.PRNGKey(0), jnp.asarray(v), m=4, k=16,
+                         train_size=None, iters=8, opq_iters=3,
+                         aniso_eta=2.0)
+    assert idx2.rotation is not None and idx2.codes.shape == (2000, 4)
