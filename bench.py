@@ -50,7 +50,7 @@ BUILD = dict(train_size=100_000, iters=25, init="kmeans++")
 
 
 from postgres_word2vec_tpu.evaluation.benchutil import (
-    log, log_mem, materialize, recall_at_k, timeit, timeit_piped)
+    log, log_mem, recall_at_k, timeit, timeit_piped)
 
 
 def main():

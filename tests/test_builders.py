@@ -5,7 +5,7 @@ import numpy as np
 from postgres_word2vec_tpu.models.builders import (IVFADCIndexCreator,
                                                    PQIndexCreator,
                                                    VectorFeeder)
-from postgres_word2vec_tpu.models.pq import PQIndex
+
 
 
 def _data(rng, n=1200, d=24):

@@ -45,7 +45,7 @@ def test_full_probe_equals_exhaustive_adc(ivf, dataset):
     q = jnp.asarray(dataset[:4])
     d_all, i_all = ivf.search(q, 10, w=ivf.num_cells)
     # brute force: decode residual distances per row via LUTs
-    from postgres_word2vec_tpu.ops import lut, adc
+    from postgres_word2vec_tpu.ops import lut
     coarse = np.asarray(ivf.coarse.centroids)
     assign = np.asarray(ivf.assignments)
     got_ids = np.asarray(i_all)

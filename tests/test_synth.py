@@ -1,7 +1,6 @@
 """Tests for the synthetic data generators (evaluation/synth.py)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from postgres_word2vec_tpu.evaluation import synth
