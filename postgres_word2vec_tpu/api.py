@@ -196,7 +196,8 @@ class Freddy:
               ivpq_coarse_positions: int = 2,
               train_size: int | None = 100_000, iters: int | None = None,
               init: str | None = None, restarts: int = 1,
-              opq_iters: int | None = None, mesh=None,
+              opq_iters: int | None = None,
+              aniso_eta: float | None = None, mesh=None,
               exact_dtype: str = "float32",
               exact_approx: bool = False) -> "Freddy":
         """Train every requested index family on the store's normalized
@@ -206,7 +207,8 @@ class Freddy:
         ``preset`` selects a parameter bundle (:attr:`PRESETS`) — explicit
         keyword arguments always win over the preset. Quality knobs beyond
         the reference: ``init``/``restarts`` (k-means quality),
-        ``opq_iters`` (OPQ rotation for the PQ family),
+        ``opq_iters`` (OPQ rotation for the PQ family), ``aniso_eta``
+        (anisotropic codebook refinement, ops/kmeans.anisotropic_refine),
         ``ivpq_coarse_positions=1`` (flat coarse quantizer — the
         reference's non-USE_MULTI_COARSE variant, far better cell locality
         on TPU). ``mesh``: optional jax Mesh — the engine comes up in
@@ -235,7 +237,8 @@ class Freddy:
         eff_train = None if train_size is None else min(train_size, n)
         pq = PQIndex.build(kp, vecs, m=pq_m, k=pq_k, train_size=eff_train,
                            iters=iters, init=init, restarts=restarts,
-                           opq_iters=opq_iters) if with_pq else None
+                           opq_iters=opq_iters,
+                           aniso_eta=aniso_eta) if with_pq else None
         ivf = IVFADCIndex.build(
             ki, vecs, m=ivfadc_m, k=ivfadc_k,
             k_coarse=min(k_coarse, max(n // 2, 1)), train_size=eff_train,
