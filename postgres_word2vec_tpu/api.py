@@ -1062,6 +1062,73 @@ class Freddy:
                                                  ivpq.num_cells)
         self.params.statistics_table = name
 
+    def autotune(self, *, target_recall: float = 0.9, k: int = 10,
+                 sample: int = 256, seed: int = 0,
+                 apply: bool = True) -> list[dict]:
+        """Measure every built kNN family on a sampled workload and select
+        the fastest configuration meeting ``target_recall`` (recall@k vs
+        this engine's exact ground truth on ``sample`` random store rows).
+
+        Beyond-reference feature (faiss-autotune-style): the reference
+        requires choosing pvf/w and the dispatch function by hand from its
+        published tables. Candidates: exact, PQ scan, PQ+PV (pvf sweep),
+        IVFADC (w sweep), IVFADC+PV. Measurement uses the batched matrix
+        cores, so results transfer directly to knn/knn_batch serving at
+        the same batch shape.
+
+        ``apply=True`` installs the winner (dispatch + params). Returns
+        the per-candidate report sorted fastest-first; entries carry
+        ``name``, ``params``, ``recall``, ``seconds``, ``meets_target``.
+        """
+        import time as _time
+
+        n = self.store.size
+        rng = np.random.default_rng(seed)
+        sel = jnp.asarray(rng.choice(n, size=min(sample, n), replace=False))
+        q = jnp.take(self.store.vectors_norm, sel, axis=0)
+        _, gt = self.exact.search(q, k)
+        gt_sets = [set(map(int, row)) for row in np.asarray(gt)]
+
+        def measure(impl: str, **param_over):
+            saved = {p: getattr(self.params, p) for p in param_over}
+            for p, v in param_over.items():
+                setattr(self.params, p, v)
+            core = getattr(self, self._KNN_CORES[impl])
+            try:
+                core(q, k)                       # compile outside timing
+                t0 = _time.perf_counter()
+                _, ids = core(q, k)
+                ids_h = np.asarray(ids)          # materialize = finish
+                dt = _time.perf_counter() - t0
+            finally:
+                for p, v in saved.items():
+                    setattr(self.params, p, v)
+            rec = float(np.mean([len(set(map(int, r)) & g) / k
+                                 for r, g in zip(ids_h, gt_sets)]))
+            return {"name": impl, "params": dict(param_over),
+                    "recall": rec, "seconds": dt,
+                    "meets_target": rec >= target_recall}
+
+        report = [measure("k_nearest_neighbour")]
+        if self.pq is not None:
+            report.append(measure("k_nearest_neighbour_pq"))
+            for pvf in (10, 20, 50, 100):
+                report.append(measure("k_nearest_neighbour_pq_pv",
+                                      pvf=pvf))
+        if self.ivfadc is not None:
+            for w in (1, 3, 5, 10):
+                report.append(measure("k_nearest_neighbour_ivfadc", w=w))
+            report.append(measure("k_nearest_neighbour_ivfadc_pv",
+                                  w=self.params.w, pvf=self.params.pvf))
+        report.sort(key=lambda r: r["seconds"])
+        if apply:
+            ok = [r for r in report if r["meets_target"]]
+            best = ok[0] if ok else max(report, key=lambda r: r["recall"])
+            self.set_knn_function(best["name"])
+            for p, v in best["params"].items():
+                setattr(self.params, p, v)
+        return report
+
     def warmup(self, *, k: int = 5, join_targets: int = 1024,
                query_chunk: int = 1024) -> None:
         """Precompile the hot query paths (serving cold-start hygiene).

@@ -305,3 +305,27 @@ def test_warmup_honors_pq_lut_dtype(engine, monkeypatch):
     # CPU backend: _pq_impl() resolves to None (no pallas) — the point is
     # that warmup passes whatever _pq_impl() returns, not a hardcoded None.
     assert calls and all(c == engine._pq_impl() for c in calls)
+
+
+def test_autotune_selects_and_applies(engine):
+    """autotune: exact meets any target; report is sorted by time; the
+    winner's dispatch + params are installed; a recall=1.0 target must
+    choose a config with perfect measured recall."""
+    report = engine.autotune(target_recall=1.0, k=5, sample=32)
+    assert report and report == sorted(report, key=lambda r: r["seconds"])
+    families = {r["name"] for r in report}
+    assert {"k_nearest_neighbour", "k_nearest_neighbour_pq",
+            "k_nearest_neighbour_ivfadc"} <= families
+    chosen = engine.dispatch["knn"]
+    winners = [r for r in report if r["meets_target"]]
+    assert winners and chosen == winners[0]["name"]
+    # restore default dispatch for the other module-scoped tests
+    engine.set_knn_function("k_nearest_neighbour")
+
+
+def test_autotune_no_apply_leaves_dispatch(engine):
+    before = dict(engine.dispatch)
+    pvf_before = engine.params.pvf
+    engine.autotune(target_recall=0.1, k=5, sample=16, apply=False)
+    assert engine.dispatch == before
+    assert engine.params.pvf == pvf_before
