@@ -53,6 +53,11 @@ def main() -> None:
     for q, t, sim in rows:
         print(f"  {q:12s} -> {t:12s} {sim:.4f}")
 
+    report = eng.autotune(target_recall=0.9, k=5, sample=32)
+    best = report[0]
+    print(f"\nautotune -> {best['name']} {best['params']} "
+          f"(recall {best['recall']:.2f}, {best['seconds'] * 1e3:.1f} ms)")
+
     print(f"\ncluster 20 tokens into 3: "
           f"{eng.cluster(store.words[:20], 3)[:6]} …")
     eng.insert_batch([f"{store.words[0]} {store.words[1]}"])
