@@ -420,3 +420,30 @@ def test_budget_adc_grouped_int8(rng):
     fin = np.isfinite(want)
     np.testing.assert_array_equal(np.isfinite(got), fin)
     np.testing.assert_allclose(got[fin], want[fin], rtol=1e-6, atol=1e-6)
+
+
+def test_budget_exact_auto_dispatch(rng):
+    """budget_exact_auto: grouped selected in the join regime, per-query
+    for sparse probes; identical finite outputs either way."""
+    q, _, _, _, tiles, block_t = _budget_setup(rng, B=64, P=8, nt=5)
+    na = (5 + 1) * block_t
+    vecs = rng.normal(size=(na, 30)).astype(np.float32)
+    rownorm = (vecs * vecs).sum(axis=1)
+    rownorm[5 * block_t:] = np.inf
+    ref = np.asarray(pk.budget_exact_pallas(
+        q, jnp.asarray(vecs.T), jnp.asarray(rownorm), jnp.asarray(tiles),
+        block_t=block_t, interpret=True))
+    got = np.asarray(pk.budget_exact_auto(
+        q, jnp.asarray(vecs.T), jnp.asarray(rownorm), jnp.asarray(tiles),
+        block_t=block_t, interpret=True))
+    fin = np.isfinite(ref)
+    np.testing.assert_array_equal(np.isfinite(got), fin)
+    np.testing.assert_allclose(got[fin], ref[fin], rtol=1e-5, atol=1e-5)
+    got2 = np.asarray(pk.budget_exact_auto(
+        q[:2], jnp.asarray(vecs.T), jnp.asarray(rownorm),
+        jnp.asarray(tiles[:2, :2]), block_t=block_t, interpret=True))
+    ref2 = np.asarray(pk.budget_exact_pallas(
+        q[:2], jnp.asarray(vecs.T), jnp.asarray(rownorm),
+        jnp.asarray(tiles[:2, :2]), block_t=block_t, interpret=True))
+    fin2 = np.isfinite(ref2)
+    np.testing.assert_allclose(got2[fin2], ref2[fin2], rtol=1e-5)
