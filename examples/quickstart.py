@@ -54,7 +54,7 @@ def main() -> None:
         print(f"  {q:12s} -> {t:12s} {sim:.4f}")
 
     report = eng.autotune(target_recall=0.9, k=5, sample=32)
-    best = report[0]
+    best = next(r for r in report if r.get("chosen"))
     print(f"\nautotune -> {best['name']} {best['params']} "
           f"(recall {best['recall']:.2f}, {best['seconds'] * 1e3:.1f} ms)")
 

@@ -1076,18 +1076,25 @@ class Freddy:
         cores, so results transfer directly to knn/knn_batch serving at
         the same batch shape.
 
-        ``apply=True`` installs the winner (dispatch + params). Returns
-        the per-candidate report sorted fastest-first; entries carry
-        ``name``, ``params``, ``recall``, ``seconds``, ``meets_target``.
+        ``apply=True`` installs the winner: ``dispatch["knn"]`` plus the
+        winner's pvf/w — which are GLOBAL runtime params (reference
+        semantics: ``set_pvf``/``set_w`` are engine-wide), so other
+        families invoked explicitly afterwards also see them. Returns the
+        per-candidate report sorted fastest-first; entries carry ``name``,
+        ``params``, ``recall``, ``seconds``, ``meets_target``, and
+        ``chosen`` on the installed winner.
         """
-        import time as _time
+        from postgres_word2vec_tpu.evaluation.benchutil import (recall_at_k,
+                                                                timeit)
 
         n = self.store.size
         rng = np.random.default_rng(seed)
         sel = jnp.asarray(rng.choice(n, size=min(sample, n), replace=False))
         q = jnp.take(self.store.vectors_norm, sel, axis=0)
-        _, gt = self.exact.search(q, k)
-        gt_sets = [set(map(int, row)) for row in np.asarray(gt)]
+        # approx=False: the engine's exact index may itself be configured
+        # approximate (exact_approx=True) — ground truth must not be.
+        _, gt = self.exact.search(q, k, approx=False)
+        gt_h = np.asarray(gt)
 
         def measure(impl: str, **param_over):
             saved = {p: getattr(self.params, p) for p in param_over}
@@ -1095,16 +1102,14 @@ class Freddy:
                 setattr(self.params, p, v)
             core = getattr(self, self._KNN_CORES[impl])
             try:
-                core(q, k)                       # compile outside timing
-                t0 = _time.perf_counter()
-                _, ids = core(q, k)
-                ids_h = np.asarray(ids)          # materialize = finish
-                dt = _time.perf_counter() - t0
+                # benchutil.timeit: warm-up call MATERIALIZED before the
+                # timed window (async dispatch otherwise leaks the warm
+                # execution into it), median of 5 reps.
+                dt, (_, ids) = timeit(lambda qq: core(qq, k), q)
             finally:
                 for p, v in saved.items():
                     setattr(self.params, p, v)
-            rec = float(np.mean([len(set(map(int, r)) & g) / k
-                                 for r, g in zip(ids_h, gt_sets)]))
+            rec = float(recall_at_k(np.asarray(ids), gt_h))
             return {"name": impl, "params": dict(param_over),
                     "recall": rec, "seconds": dt,
                     "meets_target": rec >= target_recall}
@@ -1124,6 +1129,7 @@ class Freddy:
         if apply:
             ok = [r for r in report if r["meets_target"]]
             best = ok[0] if ok else max(report, key=lambda r: r["recall"])
+            best["chosen"] = True
             self.set_knn_function(best["name"])
             for p, v in best["params"].items():
                 setattr(self.params, p, v)

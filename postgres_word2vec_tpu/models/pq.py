@@ -301,7 +301,18 @@ class PQIndex:
                                          kmeans_iters=max(iters // 4, 3))
             cents = cb.centroids
             if aniso_eta is not None:
-                y = jnp.dot(train.astype(jnp.float32), rot,
+                # cap the refinement sample: the (n, dsub²) outer-product
+                # table inside anisotropic_refine must never scale with the
+                # full table (HBM rule, CLAUDE.md) — 100k rows bound it at
+                # ~250 MB transient even with train_size=None.
+                ref_tr = train
+                if ref_tr.shape[0] > 100_000:
+                    rsel = jax.random.choice(jax.random.fold_in(key, 11),
+                                             ref_tr.shape[0],
+                                             shape=(100_000,),
+                                             replace=False)
+                    ref_tr = jnp.take(ref_tr, rsel, axis=0)
+                y = jnp.dot(ref_tr.astype(jnp.float32), rot,
                             preferred_element_type=jnp.float32)
                 cents = kmeans.anisotropic_refine(
                     kmeans.split_subspaces(y, m), cents, aniso_eta,
@@ -314,9 +325,11 @@ class PQIndex:
                             iters=iters, restarts=restarts, init=init)
         if aniso_eta is not None:
             n = vectors.shape[0]
-            if train_size is not None and train_size < n:
+            # same HBM cap as the OPQ branch: bound the refinement sample.
+            cap = min(train_size or 100_000, 100_000)
+            if cap < n:
                 sel = jax.random.choice(jax.random.fold_in(key, 7), n,
-                                        shape=(train_size,), replace=False)
+                                        shape=(cap,), replace=False)
                 train = jnp.take(vectors, sel, axis=0)
             else:
                 train = vectors

@@ -311,6 +311,9 @@ def test_autotune_selects_and_applies(engine):
     """autotune: exact meets any target; report is sorted by time; the
     winner's dispatch + params are installed; a recall=1.0 target must
     choose a config with perfect measured recall."""
+    import dataclasses as _dc
+
+    saved_params = _dc.asdict(engine.params)
     report = engine.autotune(target_recall=1.0, k=5, sample=32)
     assert report and report == sorted(report, key=lambda r: r["seconds"])
     families = {r["name"] for r in report}
@@ -319,8 +322,11 @@ def test_autotune_selects_and_applies(engine):
     chosen = engine.dispatch["knn"]
     winners = [r for r in report if r["meets_target"]]
     assert winners and chosen == winners[0]["name"]
-    # restore default dispatch for the other module-scoped tests
+    assert winners[0].get("chosen") is True
+    # restore dispatch AND params for the other module-scoped tests
     engine.set_knn_function("k_nearest_neighbour")
+    for kk, vv in saved_params.items():
+        setattr(engine.params, kk, vv)
 
 
 def test_autotune_no_apply_leaves_dispatch(engine):
