@@ -87,6 +87,23 @@ def main():
     except Exception as e:  # pragma: no cover
         log(f"exact timing failed: {e!r}")
 
+    # fused Pallas exact scan (matmul + in-VMEM binned reduction, one HBM
+    # pass): the block sweep measured 49 GB/s effective vs the XLA path's
+    # 24 (reports/exact_block_sweep.json) — timed here with recall against
+    # the same GT so the 2x can be claimed (or not) with quality attached.
+    fused_tiled = None
+    try:
+        from postgres_word2vec_tpu.ops import pallas_kernels as pk
+        if pk.supports_pallas():
+            fused_tiled = pk.tile_table(V)
+            tiled, tnorms, valid = fused_tiled
+            t, _ = timeit(lambda q: pk.fused_exact_top_k(
+                q, tiled, tnorms, K, valid_n=valid), V[:1024])
+            exact_rows["exact_fused"] = (t, 1024)
+    except Exception as e:  # pragma: no cover
+        log(f"exact fused timing failed: {e!r}")
+        fused_tiled = None
+
     # float32 exact ground truth at k=10 and k=5
     t0 = time.perf_counter()
     _, gt10 = exact_top_k(queries_eval, V, 10, chunk_size=524288)
@@ -120,9 +137,21 @@ def main():
         _, ids5 = ex8.search(queries_eval, 5, approx=True)
         add("exact_int8", ids5, ids, per_query_ms=t / B * 1e3, batch=B,
             note="int8 exact mode (6x less HBM, exact f32 norms)")
+
+        if fused_tiled is not None and "exact_fused" in exact_rows:
+            tiled, tnorms, valid = fused_tiled
+            from postgres_word2vec_tpu.ops import pallas_kernels as pk
+            t, B = exact_rows["exact_fused"]
+            _, ids = pk.fused_exact_top_k(queries_eval, tiled, tnorms, K,
+                                          valid_n=valid)
+            _, ids5 = pk.fused_exact_top_k(queries_eval, tiled, tnorms, 5,
+                                           valid_n=valid)
+            add("exact_fused", ids5, ids, per_query_ms=t / B * 1e3, batch=B,
+                note="fused Pallas exact scan (one HBM pass, bn=8192)")
     except Exception as e:  # pragma: no cover
         log(f"exact bench failed: {e!r}")
     finally:
+        fused_tiled = None
         # free the bf16/int8 copies before the quantized phases (HBM is the
         # binding constraint at 3M with all index families resident).
         try:
@@ -451,6 +480,14 @@ def main():
         qv_host = np.asarray(qv)
         _, i = exact_top_k_in(qv_host[:512], V, tgt, mask, 5)
         np.asarray(i[..., :1])
+        # warm the TAIL chunk shape too (nq % 512): a fresh-shape XLA
+        # compile inside the timed loop costs ~5 s on the tunnel and once
+        # masqueraded as a 6.8x regression when a code change invalidated
+        # the persistent compile cache (scratch/exact_in_probe.json:
+        # steady-state 24 ms/chunk vs 5.2 s compile+run).
+        if nq % 512:
+            _, i = exact_top_k_in(qv_host[:nq % 512], V, tgt, mask, 5)
+            np.asarray(i[..., :1])
         t0 = time.perf_counter()
         for s in range(0, nq, 512):
             _, i = exact_top_k_in(qv_host[s:s + 512], V, tgt, mask, 5)
@@ -513,6 +550,12 @@ def main():
             if m0 > 1.3 * m2:
                 log(f"WARNING method-0 join regression: {m0:.3f}s vs "
                     f"method-2 {m2:.3f}s (ratio {m0 / m2:.2f})")
+                # PW2V_BENCH_STRICT=1 turns the advisory warning into a
+                # hard failure for gated runs (ADVICE r3).
+                if os.environ.get("PW2V_BENCH_STRICT"):
+                    raise SystemExit(
+                        f"method-0 join regression (strict mode): "
+                        f"{m0:.3f}s vs {m2:.3f}s")
     except Exception as e:  # pragma: no cover
         log(f"ivpq bench failed: {e!r}")
 

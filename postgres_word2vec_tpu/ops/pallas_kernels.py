@@ -873,9 +873,13 @@ def budget_exact_grouped_pallas(queries: Array, vecs_t: Array,
     return jnp.take(out, row, axis=0).reshape(B, P * block_t)
 
 
-#: queries per grouped-kernel program (sweepable via
-#: evaluation/budget_kernel_sweep.py; the auto bound below derives from it)
-GROUPED_ROWS_DEFAULT = 8
+#: queries per grouped-kernel program. Set from the on-chip sweep
+#: (evaluation/budget_kernel_sweep.py → reports/budget_kernel_sweep.json,
+#: join shape B=1024 P=16 over 400 tiles, m=30 k=32): rows=32 runs the
+#: probe in 6.27 ms vs 8.83 per-query (1.41×) and 7.93 at the old rows=8
+#: (1.11×); rows=64 is within noise of 32, rows=16 loses to its own
+#: layout padding. int8 gathered-LUT ties bf16 here (6.35 ms).
+GROUPED_ROWS_DEFAULT = 32
 
 
 def _grouped_wins(bp: int, n_tiles: int, rows: int,
@@ -948,11 +952,11 @@ def supports_pallas() -> bool:
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "valid_n", "block_n", "approx",
-                                    "lut_dtype"))
+                                    "lut_dtype", "interpret"))
 def adc_top_k_pallas(luts: Array, codes_t: Array, k: int, *,
                      valid_n: int | None = None, block_n: int = 2048,
-                     approx: bool = True, lut_dtype: str = "bf16"
-                     ) -> tuple[Array, Array]:
+                     approx: bool = True, lut_dtype: str = "bf16",
+                     interpret: bool = False) -> tuple[Array, Array]:
     """Exhaustive ADC top-k via the matmul-scan kernel → (dists, ids).
 
     ``valid_n`` masks padding columns appended to reach a block multiple.
@@ -961,16 +965,16 @@ def adc_top_k_pallas(luts: Array, codes_t: Array, k: int, *,
 
     n = codes_t.shape[1]
     dists = adc_scan_pallas(luts, codes_t, block_n=block_n,
-                            lut_dtype=lut_dtype)
+                            lut_dtype=lut_dtype, interpret=interpret)
     if valid_n is not None and valid_n < n:
         col = jnp.arange(n)
         dists = jnp.where(col[None, :] < valid_n, dists, jnp.inf)
     if approx:
         return lax.approx_min_k(dists, k=k)
-    # blockwise exact top-k: a direct lax.top_k over a 3M-wide row is a
-    # bitonic sort whose cost dominated the round-2 PV shortlist
-    # (k·pvf=200 wide-row sorts); select-within-blocks + merge is exact
-    # and far cheaper (ops/topk.py).
+    # exact top-k: per-backend — native wide-row lax.top_k on TPU, the
+    # blockwise reduction on CPU (the round-3 blockwise-everywhere switch
+    # was the PQ scan family's 2-4x regression; measured numbers in
+    # reports/R4_REGRESSION_NOTE.md).
     return topk_ops.top_k_smallest(dists, k)
 
 

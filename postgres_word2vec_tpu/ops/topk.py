@@ -29,14 +29,20 @@ Array = jax.Array
 
 #: Rows wider than this take the exact two-stage (blockwise) reduction on
 #: CPU, where XLA lowers wide-row top_k to a slow sort (measured 825 ms vs
-#: 625 ms blockwise at 16×3M). On TPU the opposite holds — hard: XLA's
-#: native top_k lowering over a 3M row costs ~0.3 ms/query while the
-#: blockwise form pays a (B, nb, block) per-block top-k that Mosaic/XLA
-#: tiles terribly (measured 76 ms vs 474 ms at 256×3M, k=10 AND k=200;
-#: scratch/kernel_bisect → reports/ROOFLINE.md). The blockwise switch was
-#: round 3's PQ scan-family 2–4× regression (VERDICT r3 weak #1).
+#: 625 ms blockwise at 16×3M). On TPU it depends on (k, width) — on-chip
+#: grid at B=256-512 over n∈{100k, 410k, 1M, 3M} × k∈{5..1000}
+#: (scratch/topk_grid.json + reports/R4_REGRESSION_NOTE.md): at k≤50
+#: native wins everywhere, 2-8× (the round-3 blockwise-everywhere switch
+#: was the PQ scan family's 2-4× regression, VERDICT r3 weak #1); at
+#: k=200 native wins ≤1M and blockwise wins at 3M (574 vs 519 ms); at
+#: k=1000 blockwise wins 1.5-1.6× below 1M and at 3M (1007 vs 699 ms),
+#: with 1M itself a wash. Rule fit: blockwise iff k ≥ 192 and
+#: (width ≥ 2M or k ≥ 512); mispredictions cost ≤3% (all at the 1M wash).
 _BLOCKWISE_THRESHOLD = 65536
 _BLOCK = 8192
+_TPU_BLOCKWISE_MIN_K = 192
+_TPU_BLOCKWISE_MIN_N = 2_000_000
+_TPU_BLOCKWISE_ALWAYS_K = 512
 
 _TPU_PLATFORMS = ("tpu", "axon")
 _IS_TPU: bool | None = None
@@ -86,9 +92,13 @@ def top_k_smallest(dists: Array, k: int, *, approx: bool = False,
     """
     if approx:
         return lax.approx_min_k(dists, k=k, recall_target=recall_target)
-    if (dists.shape[-1] >= _BLOCKWISE_THRESHOLD and k <= _BLOCK
-            and not _default_backend_is_tpu()):
-        return _blockwise_top_k_smallest(dists, k)
+    n = dists.shape[-1]
+    if n >= _BLOCKWISE_THRESHOLD and k <= _BLOCK:
+        if (not _default_backend_is_tpu()
+                or (k >= _TPU_BLOCKWISE_MIN_K
+                    and (n >= _TPU_BLOCKWISE_MIN_N
+                         or k >= _TPU_BLOCKWISE_ALWAYS_K))):
+            return _blockwise_top_k_smallest(dists, k)
     neg, idx = lax.top_k(-dists, k)
     return -neg, idx
 
