@@ -110,24 +110,57 @@ def sharded_exact_top_k(mesh: Mesh, queries: Array, vectors: Array, k: int,
     return run(queries, vectors)
 
 
+def _use_pallas_default(use_pallas: bool | None) -> bool:
+    if use_pallas is not None:
+        return use_pallas
+    from postgres_word2vec_tpu.ops import pallas_kernels as pk
+    return pk.supports_pallas()
+
+
+def _shard_adc_top_k_local(l: Array, c_shard: Array, k_eff: int,
+                           use_pallas: bool, interpret: bool,
+                           block_n: int = 2048) -> tuple[Array, Array]:
+    """Per-shard exhaustive ADC top-k: the one-hot matmul-scan kernel on
+    TPU (the gather formulation measured ~6× slower on-chip — ROOFLINE),
+    the XLA gather twin elsewhere. Runs INSIDE shard_map: the (S, m) →
+    (m, S) transpose + block pad is per-call but ≪ the scan itself
+    (~1/(4·block_b) of the distance-matrix traffic)."""
+    if not use_pallas:
+        return adc_mod.adc_top_k(l, c_shard, k_eff)
+    from postgres_word2vec_tpu.ops import pallas_kernels as pk
+    s = c_shard.shape[0]
+    pad = (-s) % block_n
+    ct = jnp.pad(c_shard, ((0, pad), (0, 0))).T
+    return pk.adc_top_k_pallas(l, ct, k_eff, valid_n=s, block_n=block_n,
+                               approx=False, interpret=interpret)
+
+
 def sharded_adc_top_k(mesh: Mesh, luts: Array, codes: Array, k: int, *,
-                      valid_rows: int | None = None) -> tuple[Array, Array]:
+                      valid_rows: int | None = None,
+                      use_pallas: bool | None = None,
+                      interpret: bool = False) -> tuple[Array, Array]:
     """Exhaustive PQ ADC top-k over a rows-sharded ``(N, m)`` code table
     (the multi-chip ``pq_search``). LUTs are per-query and replicated over
-    rows; the 36 MB/3M code shard stays put, only k ids/device move."""
+    rows; the 36 MB/3M code shard stays put, only k ids/device move.
+
+    ``use_pallas`` (None = auto by backend) selects the one-hot matmul-scan
+    kernel per shard; ``interpret`` runs that kernel in interpret mode so
+    the mesh+kernel composition is CPU-testable."""
     n = codes.shape[0]
     n_valid = n if valid_rows is None else valid_rows
     n_rows_shards = mesh.shape[ROWS_AXIS]
     if n % n_rows_shards != 0:
         raise ValueError(f"N={n} not divisible by rows={n_rows_shards}")
     shard_size = n // n_rows_shards
+    use_pl = _use_pallas_default(use_pallas)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(Q_AXIS), P(ROWS_AXIS)),
         out_specs=(P(Q_AXIS), P(Q_AXIS)), check_vma=False)
     def run(l, c_shard):
-        d, i = adc_mod.adc_top_k(l, c_shard, min(k, shard_size))
+        d, i = _shard_adc_top_k_local(l, c_shard, min(k, shard_size),
+                                      use_pl, interpret)
         offset = lax.axis_index(ROWS_AXIS) * shard_size
         d = jnp.where(i + offset < n_valid, d, jnp.inf)
         return _merge_global(d, i, k, shard_size)
@@ -205,13 +238,33 @@ def sharded_exact_in(mesh: Mesh, queries: Array, vectors: Array,
 
 
 def sharded_adc_in(mesh: Mesh, luts: Array, codes: Array,
-                   target_ids: Array, target_mask: Array, k: int
-                   ) -> tuple[Array, Array]:
+                   target_ids: Array, target_mask: Array, k: int, *,
+                   use_pallas: bool | None = None,
+                   interpret: bool = False) -> tuple[Array, Array]:
     """PQ ADC in-set top-k over a rows-sharded code table (multi-chip
     ``pq_search_in`` / ``pq_search_in_batch``): same owner-partitioned
-    layout as :func:`sharded_exact_in`, ADC distances instead of exact."""
+    layout as :func:`sharded_exact_in`; the gathered target codes are
+    scored with the one-hot matmul-scan kernel on TPU (``use_pallas``
+    auto) and the XLA gather twin elsewhere."""
+    use_pl = _use_pallas_default(use_pallas)
+
+    def dist(l, rows):
+        if not use_pl:
+            return adc_mod.adc_distances(l, rows)
+        from postgres_word2vec_tpu.ops import pallas_kernels as pk
+        t = rows.shape[0]
+        bn = min(2048, _round_up_int(t, 512))
+        pad = (-t) % bn
+        ct = jnp.pad(rows, ((0, pad), (0, 0))).T
+        return pk.adc_scan_pallas(l, ct, block_n=bn,
+                                  interpret=interpret)[:, :t]
+
     return _sharded_in_topk(mesh, luts, codes, target_ids, target_mask, k,
-                            adc_mod.adc_distances)
+                            dist)
+
+
+def _round_up_int(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
 def sharded_post_verify(mesh: Mesh, queries: Array, cand_dists: Array,

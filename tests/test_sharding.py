@@ -389,3 +389,48 @@ def test_engine_mesh_in_set_and_pv_parity(mesh, rng):
     assert shard_ivf_pv[0][0] == base_ivf_pv[0][0] == "w5"
     assert {w for _q, w, _s in shard_join_pq} == {
         w for _q, w, _s in base_join_pq}
+
+
+def test_sharded_adc_pallas_kernel_matches_gather(mesh, rng):
+    """VERDICT r3 item 7: the mesh full-scan path must run the one-hot
+    matmul-scan kernel (not the 6x-slower gather formulation) — validated
+    here as interpret-mode Pallas inside shard_map against the XLA twin."""
+    codes = rng.integers(0, 16, size=(800, 6)).astype(np.uint8)
+    cb = rng.normal(size=(6, 16, 4)).astype(np.float32)
+    q = rng.normal(size=(4, 24)).astype(np.float32)
+    luts = lut.build_luts(jnp.asarray(q), jnp.asarray(cb))
+    c_sh = sharding.shard_rows(jnp.asarray(codes), mesh)
+    d1, i1 = sharding.sharded_adc_top_k(mesh, luts, c_sh, 7,
+                                        use_pallas=False)
+    d2, i2 = sharding.sharded_adc_top_k(mesh, luts, c_sh, 7,
+                                        use_pallas=True, interpret=True)
+    # bf16 LUT rounding inside the kernel vs f32 gather: values to ~1e-2;
+    # near-tie neighbors may swap rank, so ids compare as top-(k+1)-robust
+    # sets: every kernel id must appear in the gather path's top-(k+2).
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), rtol=2e-2,
+                               atol=2e-2)
+    d1w, i1w = sharding.sharded_adc_top_k(mesh, luts, c_sh, 9,
+                                          use_pallas=False)
+    for a, b in zip(np.asarray(i2), np.asarray(i1w)):
+        assert set(a.tolist()) <= set(b.tolist())
+
+
+def test_sharded_adc_in_pallas_kernel_matches_gather(mesh, rng):
+    codes = rng.integers(0, 16, size=(800, 6)).astype(np.uint8)
+    cb = rng.normal(size=(6, 16, 4)).astype(np.float32)
+    q = rng.normal(size=(4, 24)).astype(np.float32)
+    luts = lut.build_luts(jnp.asarray(q), jnp.asarray(cb))
+    tids = jnp.asarray(rng.choice(800, size=90, replace=False), jnp.int32)
+    mask = np.ones(90, bool); mask[-5:] = False
+    c_sh = sharding.shard_rows(jnp.asarray(codes), mesh)
+    d1, i1 = sharding.sharded_adc_in(mesh, luts, c_sh, tids,
+                                     jnp.asarray(mask), 7, use_pallas=False)
+    d2, i2 = sharding.sharded_adc_in(mesh, luts, c_sh, tids,
+                                     jnp.asarray(mask), 7, use_pallas=True,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), rtol=2e-2,
+                               atol=2e-2)
+    _, i1w = sharding.sharded_adc_in(mesh, luts, c_sh, tids,
+                                     jnp.asarray(mask), 9, use_pallas=False)
+    for a, b in zip(np.asarray(i2), np.asarray(i1w)):
+        assert set(a.tolist()) <= set(b.tolist())
