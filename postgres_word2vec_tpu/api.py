@@ -53,6 +53,14 @@ def _jitted_luts(queries: Array, centroids: Array) -> Array:
 
 
 @jax.jit
+def _jitted_gather_codes(codes: Array, target_ids: Array) -> Array:
+    """Target-code gather as ONE jitted program — instrumentation twin of
+    the fetch the fused in-set kernels perform (the reference's SPI
+    ``WHERE id IN`` stage, freddy.c:527-651)."""
+    return jnp.take(codes, jnp.maximum(target_ids, 0), axis=0)
+
+
+@jax.jit
 def _jitted_rotate_luts(queries: Array, rotation: Array,
                         centroids: Array) -> Array:
     """OPQ rotate + LUT build fused into one jitted dispatch. The mesh
@@ -320,6 +328,22 @@ class Freddy:
         luts = _jitted_luts(queries, centroids)
         np.asarray(luts[0, 0, 0])
         self.tracker.track("precomputation_time",
+                           _time.perf_counter() - t0)
+
+    def _track_data_retrieval(self, codes: Array, tids: Array) -> None:
+        """Instrumentation-only target-code gather timing (TRACK
+        ``data_retrieval_time``): the reference measures the SPI fetch of
+        target codes as its own stage (freddy.c:527-651); the TPU analog —
+        the (T, m) gather the fused in-set kernel performs — is re-run
+        separately jitted and materialized so the stage breakdown in
+        step_wise_time_measurement reproduces faithfully. Only called when
+        ``track_stages`` is on."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        rows = _jitted_gather_codes(codes, tids)
+        np.asarray(rows[0, 0])
+        self.tracker.track("data_retrieval_time",
                            _time.perf_counter() - t0)
 
     # -------------------------------------------------- dispatch setters
@@ -712,10 +736,11 @@ class Freddy:
         """PQ kNN-join baseline (sql:846-901 → pq_search_in_batch).
 
         TRACK stages (freddy.c:519-651): query construction = query/target
-        resolution; precomputation = per-query LUT build (instrumented,
-        ``track_stages``); computation = the gather + ADC scan. The
-        reference's data_retrieval (SPI fetch of target codes) is fused
-        into the computation kernel here — reported 0.
+        resolution; precomputation = per-query LUT build; data retrieval =
+        the target-code gather (the reference's SPI ``WHERE id IN`` fetch,
+        freddy.c:527-651) — both instrumented separately under
+        ``track_stages`` (the production kernel fuses them into the scan);
+        computation = the fused gather + ADC scan + top-k.
         """
         pq = self._require(self.pq, "PQ")
         with self.tracker.stage("total_time"):
@@ -725,7 +750,9 @@ class Freddy:
             if self.track_stages:
                 self._track_precompute(pq._rotate(q),
                                        pq.codebook.centroids)
-            self.tracker.track("data_retrieval_time", 0.0)
+                self._track_data_retrieval(pq.codes, tids)
+            else:
+                self.tracker.track("data_retrieval_time", 0.0)
             with self.tracker.stage("computation_time"):
                 d, i = self._chunked_q(
                     q, lambda qc: self._pq_in_core(qc, k, tids, tmask),
@@ -1131,6 +1158,93 @@ class Freddy:
             best = ok[0] if ok else max(report, key=lambda r: r["recall"])
             best["chosen"] = True
             self.set_knn_function(best["name"])
+            for p, v in best["params"].items():
+                setattr(self.params, p, v)
+        return report
+
+    def autotune_join(self, *, target_recall: float = 0.9, k: int = 5,
+                      sample: int = 256, targets=None,
+                      target_sample: int = 10_000, seed: int = 0,
+                      alphas: Sequence[int] = (50, 100, 200, 400),
+                      pvfs: Sequence[int] = (10, 20),
+                      apply: bool = True) -> list[dict]:
+        """Autotune the kNN-join surface: sweep the IVPQ join's
+        alpha/pvf/method grid (the exact knobs the reference's users
+        hand-tune from its time-precision figure,
+        evaluation/time_precision_eval.py:49) against in-set exact ground
+        truth, and install the fastest configuration meeting
+        ``target_recall``.
+
+        ``targets``: the target set to tune on (words or ids) — pass the
+        set you will actually join against (tile layouts are cached per
+        target set, so the measurement reflects serving steady state).
+        None samples ``target_sample`` random store rows.
+
+        Candidates: IVPQ method 0 (ADC) and method 2 (ADC + post-verify,
+        × ``pvfs``) over ``alphas``, IVPQ method 1 (exact distances) at
+        the largest alpha, and the exact masked-matmul baseline
+        (``knn_search_in_batch``). ``apply=True`` sets
+        alpha/pvf/method via the reference's global runtime params and
+        points ``dispatch["knn_join"]`` at the winner's family.
+        """
+        from postgres_word2vec_tpu.evaluation.benchutil import (recall_at_k,
+                                                                timeit)
+
+        n = self.store.size
+        rng = np.random.default_rng(seed)
+        sel = jnp.asarray(rng.choice(n, size=min(sample, n), replace=False))
+        q = jnp.take(self.store.vectors_norm, sel, axis=0)
+        if targets is None:
+            tids = jnp.asarray(
+                np.sort(rng.choice(n, size=min(target_sample, n),
+                                   replace=False)).astype(np.int32))
+            tmask = jnp.ones(tids.shape, bool)
+        else:
+            tids, tmask = self._target_ids(targets)
+        _, gt = self._exact_in_core(q, k, tids, tmask)
+        gt_h = np.asarray(gt)
+
+        report = []
+
+        def measure(name, fn, **params):
+            dt, (_, ids) = timeit(fn, q)
+            rec = float(recall_at_k(np.asarray(ids), gt_h))
+            report.append({"name": name, "params": params, "recall": rec,
+                           "seconds": dt,
+                           "meets_target": rec >= target_recall})
+
+        measure("knn_search_in_batch",
+                lambda qq: self._exact_in_core(qq, k, tids, tmask))
+        if self.ivpq is not None:
+            stats = self._active_statistics()
+            v = self.store.vectors_norm
+
+            def join(qq, **kw):
+                return self.ivpq.search_join(
+                    qq, k, tids, target_mask=tmask, statistics=stats,
+                    confidence=self.params.confidence,
+                    long_codes_threshold=self.params.long_codes_threshold,
+                    lut_dtype=self.params.pq_lut_dtype, **kw)
+
+            for alpha in alphas:
+                measure("knn_in_ivpq_batch",
+                        lambda qq, a=alpha: join(qq, alpha=a, method=0),
+                        alpha=alpha, method=0)
+                for pvf in pvfs:
+                    measure("knn_in_ivpq_batch",
+                            lambda qq, a=alpha, p=pvf: join(
+                                qq, alpha=a, method=2, pvf=p, vectors=v),
+                            alpha=alpha, method=2, pvf=pvf)
+            measure("knn_in_ivpq_batch",
+                    lambda qq, a=max(alphas): join(qq, alpha=a, method=1,
+                                                   vectors=v),
+                    alpha=max(alphas), method=1)
+        report.sort(key=lambda r: r["seconds"])
+        if apply:
+            ok = [r for r in report if r["meets_target"]]
+            best = ok[0] if ok else max(report, key=lambda r: r["recall"])
+            best["chosen"] = True
+            self.set_knn_join_function(best["name"])
             for p, v in best["params"].items():
                 setattr(self.params, p, v)
         return report

@@ -335,3 +335,50 @@ def test_autotune_no_apply_leaves_dispatch(engine):
     engine.autotune(target_recall=0.1, k=5, sample=16, apply=False)
     assert engine.dispatch == before
     assert engine.params.pvf == pvf_before
+
+
+def test_autotune_join_selects_and_applies(engine):
+    """autotune_join (VERDICT r3 item 9): sweeps the IVPQ join's
+    alpha/pvf/method grid vs in-set exact ground truth, reports sorted
+    fastest-first, and installs the winner's dispatch + global params."""
+    import dataclasses as _dc
+
+    saved_params = _dc.asdict(engine.params)
+    saved_dispatch = dict(engine.dispatch)
+    try:
+        report = engine.autotune_join(target_recall=1.0, k=3, sample=16,
+                                      target_sample=200,
+                                      alphas=(20, 50), pvfs=(10,))
+        assert report == sorted(report, key=lambda r: r["seconds"])
+        names = {r["name"] for r in report}
+        assert "knn_search_in_batch" in names
+        assert "knn_in_ivpq_batch" in names
+        methods = {r["params"].get("method") for r in report
+                   if r["name"] == "knn_in_ivpq_batch"}
+        assert methods == {0, 1, 2}
+        winners = [r for r in report if r["meets_target"]]
+        assert winners, "exact baseline always meets recall 1.0"
+        best = winners[0]
+        assert best.get("chosen") is True
+        assert engine.dispatch["knn_join"] == best["name"]
+        for p, v in best["params"].items():
+            assert getattr(engine.params, p) == v
+        # the installed configuration must actually serve joins
+        # (vocab: ids 0-3 are man/woman/king/queen, then w4, w5, ...)
+        rows = engine.knn_join(["w4", "w5"], 3,
+                               [f"w{i}" for i in range(4, 54)])
+        assert len(rows) == 6
+    finally:
+        engine.dispatch.update(saved_dispatch)
+        for kk, vv in saved_params.items():
+            setattr(engine.params, kk, vv)
+
+
+def test_autotune_join_no_apply(engine):
+    before = dict(engine.dispatch)
+    alpha_before = engine.params.alpha
+    engine.autotune_join(target_recall=0.0, k=3, sample=8,
+                         target_sample=100, alphas=(20,), pvfs=(10,),
+                         apply=False)
+    assert engine.dispatch == before
+    assert engine.params.alpha == alpha_before
