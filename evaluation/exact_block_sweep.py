@@ -68,9 +68,18 @@ def main():
         jax.block_until_ready(tiled)
         log(f"bn={bn}: tiled in {time.perf_counter() - t0:.1f}s "
             f"({tiled.shape})")
-        dists, ids = pk.fused_exact_top_k(q, tiled, norms, 10,
-                                          valid_n=valid)
-        np.asarray(ids[..., :1])
+        try:
+            dists, ids = pk.fused_exact_top_k(q, tiled, norms, 10,
+                                              valid_n=valid)
+            np.asarray(ids[..., :1])
+        except Exception as e:
+            # a block size can exceed the scoped-VMEM budget at large B
+            # (e.g. bn=16384 at B=1024: (B, bins) minima tile > 16 MB);
+            # record the no-go instead of killing the sweep.
+            log(f"bn={bn}: FAILED ({type(e).__name__}); skipping")
+            results[f"bn{bn}"] = dict(failed=True, error=str(e)[:300])
+            del tiled, norms
+            continue
         t = timeit_piped(
             lambda qq, tiled=tiled, norms=norms, valid=valid:
             pk.fused_exact_top_k(qq, tiled, norms, 10, valid_n=valid), q)
@@ -91,7 +100,7 @@ def main():
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     best = min((v["scan_s"], k) for k, v in results.items()
-               if isinstance(v, dict))[1]
+               if isinstance(v, dict) and "scan_s" in v)[1]
     print(json.dumps({"best": best,
                       "per_query_ms": results[best]["per_query_ms"]}))
 

@@ -79,24 +79,40 @@ def main():
     results = {"n": N, "d": D}
 
     # ---------------------------------------------- chunked generation
+    # Table assembly is a DONATED dynamic_update_slice per chunk, not a
+    # jnp.concatenate of all chunks: concatenate holds every chunk AND the
+    # result simultaneously (11.4 GiB transient at 10M bf16), and the
+    # fragmentation it leaves behind made even a (1024, 300) device_put
+    # RESOURCE_EXHAUST later in the quality regime (OPQ x 4-bit, 586 MiB
+    # codes; /tmp/bl7_scale10m.log r4). Donation caps the peak at
+    # table + one chunk.
+    import functools as _functools
+    from jax import lax as _lax
+
+    @_functools.partial(jax.jit, donate_argnums=(0,))
+    def _write_chunk(tbl, chunk, start):
+        return _lax.dynamic_update_slice(tbl, chunk, (start, 0))
+
     t0 = time.perf_counter()
     n_chunks = -(-N // args.chunk)
-    parts, norm_parts, host_parts = [], [], []
+    table = jnp.zeros((N, D), jnp.bfloat16)
+    norm_parts, host_parts = [], []
     for i in range(n_chunks):
         rows = min(args.chunk, N - i * args.chunk)
         vf = synth.generate_wordlike(jax.random.PRNGKey(1000 + i), rows, D)
         norm_parts.append(jnp.sum(vf.astype(jnp.float32) ** 2, axis=-1))
-        parts.append(vf.astype(jnp.bfloat16))
+        vb = vf.astype(jnp.bfloat16)
         # one host pull per chunk: the ground-truth pass runs on HOST
         # numpy (below) — after the PQ build the tunneled chip's
         # allocator cannot satisfy even small fresh allocations next to
         # the 6.3 GiB resident set (observed RESOURCE_EXHAUSTED on a
         # (64, 300) slice), so GT must not touch the device at all.
-        host_parts.append(np.asarray(parts[-1]))
-        del vf
-    table = jnp.concatenate(parts)
+        host_parts.append(np.asarray(vb))
+        table = _write_chunk(table, vb,
+                             jnp.int32(i * args.chunk))
+        del vf, vb
     norms = jnp.concatenate(norm_parts)
-    del parts, norm_parts
+    del norm_parts
     jax.block_until_ready((table, norms))
     log(f"table built in {time.perf_counter() - t0:.1f}s "
         f"({table.nbytes / 2**30:.2f} GiB bf16)")
@@ -104,6 +120,11 @@ def main():
 
     queries_eval = jnp.asarray(
         host_parts[0][:args.eval_q].astype(np.float32))
+    # device timing batches transfer NOW, while the allocator is clean —
+    # a post-GT device_put of even this size has OOMed (see note above).
+    qb_1024 = jnp.asarray(host_parts[0][:1024].astype(np.float32))
+    qb_64 = qb_1024[:64]
+    jax.block_until_ready(qb_64)
 
     # PQ builds BEFORE the ground-truth pass: the long GT scan leaves the
     # tunneled chip's allocator unable to satisfy large fresh allocations
@@ -133,10 +154,6 @@ def main():
     q_host = host_parts[0][:args.eval_q].astype(np.float32)
     _, gt10 = host_exact_topk(q_host, host_parts, 10)
     gt5 = gt10[:, :5]
-    # Host copies of the timing batches: the later phases must never
-    # eager-slice `table` on device (a fresh compile + transfer per
-    # slice over the tunnel, and the crash point when the tunnel blips).
-    q_time_host = host_parts[0][:1024].astype(np.float32)
     del host_parts
     log(f"ground truth (host) in {time.perf_counter() - t0:.1f}s")
 
@@ -159,7 +176,7 @@ def main():
 
     # --------------------------------------------------- exact batch scan
     B = 1024
-    qb = jnp.asarray(q_time_host[:B])
+    qb = qb_1024
     t, _ = timeit(lambda q: exact_top_k_precast(q, table, norms, 10,
                                                 approx=True), qb)
     _, ids = exact_top_k_precast(queries_eval, table, norms, 10, approx=True)
@@ -173,7 +190,7 @@ def main():
     log_mem("exact")
 
     B = 64
-    qb64 = jnp.asarray(q_time_host[:B])
+    qb64 = qb_64
     t, _ = timeit(lambda q: pq.search(q, 10, impl=args.impl), qb64)
     _, ids = pq.search(queries_eval, 10, impl=args.impl)
     _, ids5 = pq.search(queries_eval, 5, impl=args.impl)

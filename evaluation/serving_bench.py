@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """End-to-end serving throughput: concurrent /knn clients against the HTTP
-runtime at 3M scale on the real chip.
+runtime at 3M scale on the real chip, swept over the knn dispatch families.
 
 The reference's serving layer is Postgres itself (concurrent backends, one
 process per connection, SPI per query). This measures the standalone
@@ -9,8 +9,22 @@ clients whose requests the server coalesces into one device batch per
 ~window (micro-batching), which is how a k-NN service actually gets TPU
 batch throughput without clients changing their request shape.
 
+Each family in ``--families`` (exact, pq, pq_pv, ivfadc, ivfadc_pv) is a
+separate measured window with ``dispatch['knn']`` pointed at that family's
+implementation — the serving twin of the reference's ``set_knn_function``
+(sql:78-92) — so the accelerated index paths are exercised under live
+concurrent traffic, not just the exact baseline.
+
+MEASUREMENT CAVEAT (recorded in the report): this host exposes ONE CPU
+core (`host_cpus`). The 128 client processes, the threaded HTTP server,
+and jax's dispatch path all share it, so the bench's ceiling is host CPU
+scheduling, not the device — run-to-run spread of 2-3x has been observed
+on identical code (398 vs 129 QPS, round 2 vs round 3). ``--repeats``
+runs each family several times; compare medians, not single runs.
+
 Usage: python evaluation/serving_bench.py [--n 3072000] [--clients 64]
-       [--seconds 20] [--out reports/serving_3M.json]
+       [--seconds 20] [--families exact,pq_pv,ivfadc_pv] [--repeats 2]
+       [--out reports/serving_3M.json]
 """
 
 from __future__ import annotations
@@ -41,6 +55,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from postgres_word2vec_tpu.evaluation.benchutil import log  # noqa: E402
 
+#: dispatch['knn'] implementation per sweep family name
+FAMILY_IMPL = {
+    "exact": "k_nearest_neighbour",
+    "pq": "k_nearest_neighbour_pq",
+    "pq_pv": "k_nearest_neighbour_pq_pv",
+    "ivfadc": "k_nearest_neighbour_ivfadc",
+    "ivfadc_pv": "k_nearest_neighbour_ivfadc_pv",
+}
+
 
 def post(port, path, payload, timeout=60):
     req = urllib.request.Request(
@@ -49,6 +72,69 @@ def post(port, path, payload, timeout=60):
         headers={"Content-Type": "application/json"})
     with urllib.request.urlopen(req, timeout=timeout) as r:
         return json.loads(r.read())
+
+
+def client_proc(cid, port, n, k, seconds, q):
+    """Single-query closed-loop client on a persistent keep-alive
+    connection (separate PROCESS: in-process threads would share the
+    server's GIL, and a fresh TCP connection per request measures socket
+    churn, not the engine — observed 13 QPS from harness overhead)."""
+    r = np.random.default_rng(cid)
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    my_lat = []
+    err = 0
+    stop_t = time.time() + seconds
+    while time.time() < stop_t:
+        w = f"w{int(r.integers(0, n))}"
+        body = json.dumps({"query": w, "k": k})
+        t0 = time.perf_counter()
+        try:
+            conn.request("POST", "/knn", body,
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            resp.read()
+            if resp.status == 200:
+                my_lat.append(time.perf_counter() - t0)
+            else:
+                err += 1
+        except Exception:
+            err += 1
+            conn.close()
+            conn = http.client.HTTPConnection("127.0.0.1", port,
+                                              timeout=60)
+    q.put((my_lat, err))
+
+
+def run_window(port, n, k, clients, seconds):
+    ctx = mp.get_context("fork")
+    outq = ctx.Queue()
+    procs = [ctx.Process(target=client_proc,
+                         args=(i, port, n, k, seconds, outq))
+             for i in range(clients)]
+    t0 = time.perf_counter()
+    for p in procs:
+        p.start()
+    lat: list[float] = []
+    errors = 0
+    for _ in procs:
+        try:
+            my_lat, err = outq.get(timeout=seconds + 180)
+        except Exception:
+            errors += 1   # a client died without reporting
+            continue
+        lat.extend(my_lat)
+        errors += err
+    for p in procs:
+        p.join()
+    wall = time.perf_counter() - t0
+    lat_ms = np.asarray(sorted(lat)) * 1e3
+
+    def pct(p):
+        return float(np.percentile(lat_ms, p)) if lat_ms.size else None
+
+    return {"completed": int(lat_ms.size), "errors": errors,
+            "wall_s": wall, "qps": lat_ms.size / wall,
+            "latency_ms": {"p50": pct(50), "p95": pct(95), "p99": pct(99)}}
 
 
 def main():
@@ -60,119 +146,83 @@ def main():
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--max-batch", type=int, default=128)
     ap.add_argument("--window-ms", type=float, default=2.0)
+    ap.add_argument("--families", default="exact,pq_pv,ivfadc_pv",
+                    help="comma list of " + ",".join(FAMILY_IMPL))
+    ap.add_argument("--repeats", type=int, default=1)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "reports",
         "serving_3M.json"))
     args = ap.parse_args()
+    families = [f.strip() for f in args.families.split(",") if f.strip()]
+    unknown = [f for f in families if f not in FAMILY_IMPL]
+    if unknown:
+        raise SystemExit(f"unknown families {unknown}; "
+                         f"one of {sorted(FAMILY_IMPL)}")
 
     from postgres_word2vec_tpu import Freddy, VectorStore
     from postgres_word2vec_tpu.evaluation import synth
     from postgres_word2vec_tpu.server import QueryServer
 
+    need_pq = any(f.startswith("pq") for f in families)
+    need_ivf = any(f.startswith("ivfadc") for f in families)
     log(f"serving_bench: N={args.n} clients={args.clients} "
-        f"devices={jax.devices()}")
+        f"families={families} devices={jax.devices()} cpus={os.cpu_count()}")
     t0 = time.perf_counter()
     V = synth.generate_wordlike(jax.random.PRNGKey(0), args.n, args.d)
     words = [f"w{i}" for i in range(args.n)]
     store = VectorStore.from_arrays(words, V)
-    # exact-only engine: /knn's default dispatch is k_nearest_neighbour.
-    eng = Freddy.build(store, with_pq=False, with_ivfadc=False,
+    eng = Freddy.build(store, with_pq=need_pq, with_ivfadc=need_ivf,
                        with_ivpq=False, exact_dtype="bfloat16",
                        exact_approx=True)
-    log(f"engine up in {time.perf_counter() - t0:.1f}s")
+    log(f"engine up in {time.perf_counter() - t0:.1f}s "
+        f"(pq={need_pq} ivfadc={need_ivf})")
 
     srv = QueryServer(eng, port=0, max_batch=args.max_batch,
                       batch_window_ms=args.window_ms)
     srv.start()
     log(f"server on :{srv.port}")
 
-    # warm every batch shape the micro-batcher can produce (it pads
-    # coalesced batches to powers of two, so this is log2(max_batch)+1
-    # programs); cold compiles at 3M take tens of seconds each on the
-    # tunneled chip and would otherwise poison the measured window.
-    t0 = time.perf_counter()
-    srv.warmup(k=args.k)
-    post(srv.port, "/knn", {"query": "w0", "k": args.k}, timeout=300)
-    log(f"warm in {time.perf_counter() - t0:.1f}s")
-
-    # Clients are separate PROCESSES with persistent keep-alive
-    # connections: in-process client threads share the server's GIL and a
-    # fresh TCP connection per request measures socket churn, not the
-    # engine (observed: 13 QPS from harness overhead alone).
-    def client_proc(cid, port, n, k, seconds, q):
-        r = np.random.default_rng(cid)
-        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
-        my_lat = []
-        err = 0
-        stop_t = time.time() + seconds
-        while time.time() < stop_t:
-            w = f"w{int(r.integers(0, n))}"
-            body = json.dumps({"query": w, "k": k})
-            t0 = time.perf_counter()
-            try:
-                conn.request("POST", "/knn", body,
-                             {"Content-Type": "application/json"})
-                resp = conn.getresponse()
-                resp.read()
-                if resp.status == 200:
-                    my_lat.append(time.perf_counter() - t0)
-                else:
-                    err += 1
-            except Exception:
-                err += 1
-                conn.close()
-                conn = http.client.HTTPConnection("127.0.0.1", port,
-                                                  timeout=60)
-        q.put((my_lat, err))
-
-    ctx = mp.get_context("fork")
-    outq = ctx.Queue()
-    procs = [ctx.Process(target=client_proc,
-                         args=(i, srv.port, args.n, args.k, args.seconds,
-                               outq))
-             for i in range(args.clients)]
-    t0 = time.perf_counter()
-    for p in procs:
-        p.start()
-    lat: list[float] = []
-    errors = [0]
-    for _ in procs:
-        try:
-            my_lat, err = outq.get(timeout=args.seconds + 180)
-        except Exception:
-            errors[0] += 1   # a client died without reporting
-            continue
-        lat.extend(my_lat)
-        errors[0] += err
-    for p in procs:
-        p.join()
-    wall = time.perf_counter() - t0
-
-    lat_ms = np.asarray(sorted(lat)) * 1e3
-    health = json.loads(urllib.request.urlopen(
-        f"http://127.0.0.1:{srv.port}/health", timeout=10).read())
-    srv.stop()
-
     results = {
         "n": args.n, "clients": args.clients, "seconds": args.seconds,
         "k": args.k, "max_batch": args.max_batch,
-        "window_ms": args.window_ms,
-        "completed": int(lat_ms.size), "errors": errors[0],
-        "qps": lat_ms.size / wall,
-        "latency_ms": {
-            "p50": float(np.percentile(lat_ms, 50)) if lat_ms.size else None,
-            "p95": float(np.percentile(lat_ms, 95)) if lat_ms.size else None,
-            "p99": float(np.percentile(lat_ms, 99)) if lat_ms.size else None,
-        },
-        "health": health,
+        "window_ms": args.window_ms, "host_cpus": os.cpu_count(),
+        "families": {},
         "note": "concurrent single-query /knn clients; server coalesces "
-                "into device batches (micro-batching). Tunneled chip: "
-                "~30 ms RTT floors single-call latency.",
+                "into device batches (micro-batching); one window per knn "
+                "dispatch family. Tunneled chip: ~30 ms RTT floors "
+                "single-call latency. host_cpus=1: client fleet + server "
+                "share one core, so QPS is host-CPU-bound and varies 2-3x "
+                "run to run — compare medians across repeats.",
     }
-    p50, p95 = (results["latency_ms"][x] for x in ("p50", "p95"))
-    log(f"qps={results['qps']:.0f} "
-        f"p50={p50 if p50 is None else round(p50, 1)}ms "
-        f"p95={p95 if p95 is None else round(p95, 1)}ms errors={errors[0]}")
+
+    for fam in families:
+        eng.dispatch["knn"] = FAMILY_IMPL[fam]
+        # warm every pow2 batch shape this family's core can see; cold
+        # compiles at 3M take tens of seconds each on the tunneled chip
+        # and would otherwise poison the measured window.
+        t0 = time.perf_counter()
+        srv.warmup(k=args.k)
+        post(srv.port, "/knn", {"query": "w0", "k": args.k}, timeout=600)
+        log(f"[{fam}] warm in {time.perf_counter() - t0:.1f}s")
+        trials = []
+        for rep in range(args.repeats):
+            w = run_window(srv.port, args.n, args.k, args.clients,
+                           args.seconds)
+            trials.append(w)
+            log(f"[{fam}] trial {rep}: qps={w['qps']:.0f} "
+                f"p50={w['latency_ms']['p50']:.1f}ms "
+                f"p95={w['latency_ms']['p95']:.1f}ms "
+                f"errors={w['errors']}")
+        results["families"][fam] = {
+            "impl": FAMILY_IMPL[fam], "trials": trials,
+            "qps_median": float(np.median([t["qps"] for t in trials])),
+        }
+
+    health = json.loads(urllib.request.urlopen(
+        f"http://127.0.0.1:{srv.port}/health", timeout=10).read())
+    results["health"] = health
+    srv.stop()
+
     out = os.path.abspath(args.out)
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
