@@ -74,16 +74,25 @@ def main():
     # phase ~2× on the tunneled chip).
     exact_rows = {}
     try:
+        from postgres_word2vec_tpu.evaluation import benchutil as _bu0
         ex = ExactIndex(V, "bfloat16")
         t, _ = timeit(lambda q: ex.search(q, K, approx=False), V[:1])
         tp = timeit_piped(lambda q: ex.search(q, K, approx=False), V[:1])
         exact_rows["exact_single"] = (t, tp)
         B = 1024
         t, _ = timeit(lambda q: ex.search(q, K, approx=True), V[:B])
-        exact_rows["exact_batch"] = (t, B)
+        # spread captured HERE (these rows time before the GT pass but
+        # report after it, so add()'s last-timing hook would misattribute).
+        # Pipelined twin: blocking timeit pays the ~30 ms tunnel RTT once
+        # per call (0.03 ms/q at B=1024 — comparable to the scan itself),
+        # so scan-throughput comparisons need the enqueue-N-block-once
+        # number too.
+        tp = timeit_piped(lambda q: ex.search(q, K, approx=True), V[:B])
+        exact_rows["exact_batch"] = (t, B, _bu0.last_timing(), tp)
         ex8 = ExactIndex(V, "int8")
         t, _ = timeit(lambda q: ex8.search(q, K, approx=True), V[:B])
-        exact_rows["exact_int8"] = (t, B)
+        tp = timeit_piped(lambda q: ex8.search(q, K, approx=True), V[:B])
+        exact_rows["exact_int8"] = (t, B, _bu0.last_timing(), tp)
     except Exception as e:  # pragma: no cover
         log(f"exact timing failed: {e!r}")
 
@@ -99,7 +108,10 @@ def main():
             tiled, tnorms, valid = fused_tiled
             t, _ = timeit(lambda q: pk.fused_exact_top_k(
                 q, tiled, tnorms, K, valid_n=valid), V[:1024])
-            exact_rows["exact_fused"] = (t, 1024)
+            from postgres_word2vec_tpu.evaluation import benchutil as _bu1
+            tp = timeit_piped(lambda q: pk.fused_exact_top_k(
+                q, tiled, tnorms, K, valid_n=valid), V[:1024])
+            exact_rows["exact_fused"] = (t, 1024, _bu1.last_timing(), tp)
     except Exception as e:  # pragma: no cover
         log(f"exact fused timing failed: {e!r}")
         fused_tiled = None
@@ -111,9 +123,22 @@ def main():
     gt5 = gt10[:, :5]  # exact_top_k is sorted ascending
     log(f"ground truth in {time.perf_counter() - t0:.1f}s")
 
+    from postgres_word2vec_tpu.evaluation import benchutil as _bu
+    _seen_timing = [0]
+
     def add(name, ids5, ids10, **kw):
         results[name] = dict(recall=recall_at_k(ids10, gt10),
                              recall5=recall_at_k(ids5, gt5), **kw)
+        # attach the min..max spread of the timeit() samples behind this
+        # config's median (if one ran since the last add) — cross-round
+        # comparisons need to separate chip-state variance (±2x on small
+        # kernels, R4_REGRESSION_NOTE.md §4) from real regressions.
+        info = _bu.last_timing()
+        if (info and info["seq"] != _seen_timing[0]
+                and "timing_spread_s" not in results[name]):
+            _seen_timing[0] = info["seq"]
+            results[name]["timing_spread_s"] = [info["min_s"],
+                                                info["max_s"]]
         r = results[name]
         log(f"[{name}] {r.get('per_query_ms', r.get('total_s', 0)):.4g} "
             f"recall@10={r['recall']:.3f} recall@5={r['recall5']:.3f}")
@@ -126,27 +151,33 @@ def main():
             "recall": 1.0, "recall5": 1.0,
             "ref_s": 8.79, "note": "exact bf16 full scan, B=1"}
 
-        t, B = exact_rows["exact_batch"]
+        t, B, sp, tp = exact_rows["exact_batch"]
         _, ids = ex.search(queries_eval, K, approx=True)
         _, ids5 = ex.search(queries_eval, 5, approx=True)
         add("exact_batch", ids5, ids, per_query_ms=t / B * 1e3, batch=B,
+            per_query_ms_pipelined=tp / B * 1e3,
+            timing_spread_s=[sp["min_s"], sp["max_s"]],
             note="exact bf16 + approx_max_k")
 
-        t, B = exact_rows["exact_int8"]
+        t, B, sp, tp = exact_rows["exact_int8"]
         _, ids = ex8.search(queries_eval, K, approx=True)
         _, ids5 = ex8.search(queries_eval, 5, approx=True)
         add("exact_int8", ids5, ids, per_query_ms=t / B * 1e3, batch=B,
+            per_query_ms_pipelined=tp / B * 1e3,
+            timing_spread_s=[sp["min_s"], sp["max_s"]],
             note="int8 exact mode (6x less HBM, exact f32 norms)")
 
         if fused_tiled is not None and "exact_fused" in exact_rows:
             tiled, tnorms, valid = fused_tiled
             from postgres_word2vec_tpu.ops import pallas_kernels as pk
-            t, B = exact_rows["exact_fused"]
+            t, B, sp, tp = exact_rows["exact_fused"]
             _, ids = pk.fused_exact_top_k(queries_eval, tiled, tnorms, K,
                                           valid_n=valid)
             _, ids5 = pk.fused_exact_top_k(queries_eval, tiled, tnorms, 5,
                                            valid_n=valid)
             add("exact_fused", ids5, ids, per_query_ms=t / B * 1e3, batch=B,
+                per_query_ms_pipelined=tp / B * 1e3,
+                timing_spread_s=[sp["min_s"], sp["max_s"]],
                 note="fused Pallas exact scan (one HBM pass, bn=8192)")
     except Exception as e:  # pragma: no cover
         log(f"exact bench failed: {e!r}")

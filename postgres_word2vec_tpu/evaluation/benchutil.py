@@ -36,6 +36,12 @@ def materialize(out) -> None:
         np.asarray(leaf[..., :1])
 
 
+#: most recent timeit() call's samples — bench.py attaches them as a
+#: spread next to each median so cross-round comparisons can separate
+#: chip-state variance from real regressions (VERDICT r3 item 4).
+_LAST_TIMING = {"seq": 0, "samples": ()}
+
+
 def timeit(fn, *args, iters: int = 5):
     """Median wall time of ``fn(*args)`` → (seconds, last output)."""
     out = fn(*args)
@@ -46,7 +52,18 @@ def timeit(fn, *args, iters: int = 5):
         out = fn(*args)
         materialize(out)
         ts.append(time.perf_counter() - t0)
+    _LAST_TIMING["seq"] += 1
+    _LAST_TIMING["samples"] = tuple(ts)
     return float(np.median(ts)), out
+
+
+def last_timing() -> dict:
+    """(seq, min_s, max_s, n) of the most recent :func:`timeit` call."""
+    s = _LAST_TIMING["samples"]
+    if not s:
+        return {}
+    return {"seq": _LAST_TIMING["seq"], "min_s": float(min(s)),
+            "max_s": float(max(s)), "n": len(s)}
 
 
 def timeit_piped(fn, *args, iters: int = 8) -> float:
