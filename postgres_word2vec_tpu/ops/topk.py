@@ -92,15 +92,22 @@ def top_k_smallest(dists: Array, k: int, *, approx: bool = False,
     """
     if approx:
         return lax.approx_min_k(dists, k=k, recall_target=recall_target)
-    n = dists.shape[-1]
-    if n >= _BLOCKWISE_THRESHOLD and k <= _BLOCK:
-        if (not _default_backend_is_tpu()
-                or (k >= _TPU_BLOCKWISE_MIN_K
-                    and (n >= _TPU_BLOCKWISE_MIN_N
-                         or k >= _TPU_BLOCKWISE_ALWAYS_K))):
-            return _blockwise_top_k_smallest(dists, k)
+    if _use_blockwise(dists.shape[-1], k, _default_backend_is_tpu()):
+        return _blockwise_top_k_smallest(dists, k)
     neg, idx = lax.top_k(-dists, k)
     return -neg, idx
+
+
+def _use_blockwise(n: int, k: int, is_tpu: bool) -> bool:
+    """Routing rule for the exact path (see the measured-grid comment at
+    the module constants): CPU takes blockwise for any wide row; TPU only
+    where the grid showed it winning."""
+    if n < _BLOCKWISE_THRESHOLD or k > _BLOCK:
+        return False
+    if not is_tpu:
+        return True
+    return k >= _TPU_BLOCKWISE_MIN_K and (n >= _TPU_BLOCKWISE_MIN_N
+                                          or k >= _TPU_BLOCKWISE_ALWAYS_K)
 
 
 def top_k_largest(scores: Array, k: int, *, approx: bool = False,

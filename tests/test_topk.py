@@ -68,3 +68,26 @@ def test_top_k_smallest_wide_rows_use_blockwise(rng):
     vals, idx = topk.top_k_smallest(jnp.asarray(d), 9)
     order = np.argsort(d, -1)[:, :9]
     np.testing.assert_array_equal(np.asarray(idx), order)
+
+
+def test_use_blockwise_routing_rule():
+    """The exact-path routing rule fit to the on-chip grid
+    (scratch/topk_grid.json; reports/R4_REGRESSION_NOTE.md): CPU takes
+    blockwise for any row >= 64k; TPU only at k>=192 when the row is >=2M
+    or k>=512 — native lax.top_k won 2-8x at k<=50 everywhere, and the
+    blockwise-everywhere switch was round 3's PQ scan-family regression."""
+    from postgres_word2vec_tpu.ops.topk import _use_blockwise
+
+    # narrow rows and huge k never take blockwise
+    assert not _use_blockwise(4096, 10, is_tpu=False)
+    assert not _use_blockwise(3_072_000, 10_000, is_tpu=True)
+    # CPU: any wide row
+    assert _use_blockwise(65_536, 5, is_tpu=False)
+    assert _use_blockwise(3_072_000, 200, is_tpu=False)
+    # TPU: the measured win regions only
+    assert not _use_blockwise(3_072_000, 10, is_tpu=True)    # r3 regression
+    assert not _use_blockwise(102_400, 200, is_tpu=True)     # native 67 vs 70
+    assert not _use_blockwise(1_048_576, 200, is_tpu=True)   # native 213 vs 219
+    assert _use_blockwise(3_072_000, 200, is_tpu=True)       # block 519 vs 574
+    assert _use_blockwise(102_400, 1000, is_tpu=True)        # block 80 vs 119
+    assert _use_blockwise(3_072_000, 1000, is_tpu=True)      # block 699 vs 1007
