@@ -551,6 +551,12 @@ def main():
                 "qps": nq / dt, "recall": r, "recall5": r, "k": 5,
                 "scanned_rows_mean": float(
                     np.asarray(info["retrieved"]).mean()),
+                # escalation rounds + final alpha: each extra round is a
+                # full re-dispatch, so round-count shifts (e.g. from a
+                # dataset recalibration) explain QPS deltas at equal
+                # scanned rows.
+                "rounds": int(np.asarray(info["rounds"]).max()),
+                "final_alpha": int(np.asarray(info["final_alpha"]).max()),
                 **{kk: vv for kk, vv in kw.items() if kk != "vectors"}}
             log(f"[{name}] {dt:.3f}s qps={nq / dt:.0f} recall@5={r:.3f} "
                 f"scanned~{results[name]['scanned_rows_mean']:.0f}")
