@@ -659,7 +659,14 @@ def main():
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_LOCAL_latest.json")
     with open(detail_path, "w") as f:
+        from postgres_word2vec_tpu.evaluation import synth as _synth
         json.dump({"n_vectors": N,
+                   # the synth calibration behind every recall number: a
+                   # cross-round recall comparison is only valid at equal
+                   # dataset params (the r2->r3 "recall regression" was a
+                   # v2->v3 recalibration, reports/R4_REGRESSION_NOTE.md).
+                   "dataset": dict(_synth.V3_PARAMS, generator="wordlike",
+                                   version="v3"),
                    "reference_bars": {"pq@5": 0.38, "pq_pv@5": 0.87,
                                       "ivfadc@5": 0.35, "ivfadc_pv@5": 0.65},
                    "configs": results}, f, indent=1)

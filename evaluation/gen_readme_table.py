@@ -85,6 +85,10 @@ def main():
     print(row(c["ivfadc_pv"], "IVFADC + post-verify (pvf=20)",
               "0.26 s @ 0.65", speedup("ivfadc_pv", 0.26),
               extra=f"4-bit: **{c['ivfadc4bit_pv']['recall5']:.2f}**"))
+    iv1 = c["ivfadc_single"]
+    print(f"| IVFADC single query | {iv1['device_ms']:.1f} ms device "
+          f"({iv1['per_query_ms']:.0f} ms wall incl. dev-tunnel RTT) "
+          f"| 30 ms | ~{30 / iv1['device_ms']:.0f}× |")
     j = c["ivpq_join_pv_a200"]
     j4 = c.get("ivpq_join_pv_a400", {})
     print(f"| IVPQ kNN-join 5k×100k (method 2, α=200) | **{j['total_s']:.2f}"
