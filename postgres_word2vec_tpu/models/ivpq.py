@@ -617,7 +617,8 @@ class IVPQIndex:
         ``use_targetlists=False`` forces the dense path.
 
         ``lut_dtype``: "bf16" (default) or "int8" — the ADC LUT arithmetic
-        of the budget path's grouped kernel (double-rate int8 MXU; see
+        of the budget path's grouped kernel (int8 MXU, measured ~1.2x bf16
+        ceiling on this chip; see
         ops/pallas_kernels._quantize_luts_int8). Ignored off the budget
         path.
         """

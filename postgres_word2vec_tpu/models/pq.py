@@ -371,7 +371,8 @@ class PQIndex:
             impl = "pallas" if pk.supports_pallas() else "xla"
         if not impl.startswith("pallas"):
             return "xla", self.codes, self.size
-        # "_int8" suffix selects the double-rate int8-LUT MXU path
+        # "_int8" suffix selects the int8-LUT MXU path (measured ~1.16x
+        # at B=256 + half LUT bytes, reports/ROOFLINE.md)
         # (per-query quantized LUTs; ordering error far below PQ error).
         sfx = "_i8" if impl.endswith("_int8") else ""
         base = impl[:-5] if sfx else impl

@@ -71,7 +71,8 @@ def _quantize_luts_int8(luts: Array) -> tuple[Array, Array]:
     The scale is GLOBAL per query (max over all m·k entries / 127): every
     subspace's int32 partial sums then share one scale, so the kernel can
     accumulate the whole ADC sum in int32 across subspace matmuls on the
-    MXU's double-rate int8 path and apply ONE f32 fixup at the end.
+    MXU's int8 path (measured 1.22x the bf16 ceiling on this chip,
+    reports/ROOFLINE.md) and apply ONE f32 fixup at the end.
     In-row ordering is exactly preserved up to the quantization step
     (≤ max/254 per lookup, ~0.3% of a typical distance at m=12) — far
     below PQ quantization error (recall parity asserted in tests).
@@ -108,7 +109,7 @@ def _adc_kernel(codes_ref, luts_ref, out_ref, *, m: int, k: int, g: int,
 def _adc_kernel_i8(codes_ref, luts_ref, scale_ref, out_ref, *, m: int,
                    k: int, g: int, block_n: int):
     """int8 twin of :func:`_adc_kernel`: int8 one-hot × int8 LUT on the
-    MXU's double-rate int8 path, int32 accumulation across all subspace
+    MXU's int8 path, int32 accumulation across all subspace
     groups (exact — max sum is m·127, far below int32), ONE f32 scale
     fixup at the end.
 
@@ -169,7 +170,7 @@ def adc_scan_pallas(luts: Array, codes_t: Array, *, block_n: int = 2048,
     bounded at any B (the accumulator is block_b × block_n f32).
 
     ``lut_dtype``: "bf16" (default) or "int8" — the int8 path quantizes
-    LUTs per query and runs the matmuls on the MXU's double-rate int8 path
+    LUTs per query and runs the matmuls on the MXU's int8 path
     (ordering error ≤ max/254 per lookup; see _quantize_luts_int8).
     """
     B, m, k = luts.shape
@@ -298,7 +299,7 @@ def adc_scan_binned_pallas(luts: Array, codes_t: Array, *,
     One candidate survives per strided bin of ``block_n/bins`` rows — the
     same partial-reduce shape as ``approx_min_k`` but fused into the ADC
     kernel, so the full (B, N) distance matrix never touches HBM.
-    ``lut_dtype="int8"`` selects the double-rate int8 MXU path (per-query
+    ``lut_dtype="int8"`` selects the int8 MXU path (per-query
     quantized LUTs, int32 sums, f32 scale applied to the tiny binned
     output).
     """
@@ -722,7 +723,7 @@ def _budget_adc_grouped_kernel_i8(tog_ref, codes_ref, rt_ref, lutx_ref,
                                   g: int, block_t: int, rows: int):
     """int8 twin of :func:`_budget_adc_grouped_kernel`: int8 gathered LUTs
     (half the expanded-LUT HBM traffic — the grouped path's largest
-    stream) × int8 one-hot on the double-rate MXU path, exact int32
+    stream) × int8 one-hot on the MXU's int8 path, exact int32
     accumulation, per-slot f32 scale fixup before the rowterm add.
 
     lutx_ref:   (rows, m//g, g·k) int8
