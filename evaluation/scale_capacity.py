@@ -175,12 +175,18 @@ def main():
         f"({collisions / gt10.size:.4f})")
 
     # --------------------------------------------------- exact batch scan
+    # Chunk the scan at 256k rows, not the 1M default: the (1024, 1M) f32
+    # score buffer is ~4 GiB, which next to the 6.3 GiB resident table +
+    # 0.6 GiB quality-regime codes RESOURCE_EXHAUSTs the tunneled chip
+    # (observed /tmp/bl7 + tpu_batch_r4 r4 runs). 256k keeps the transient
+    # at ~1 GiB for <2% extra top-k merge cost.
     B = 1024
     qb = qb_1024
+    exact_kw = dict(chunk_size=262_144, approx=True)
     t, _ = timeit(lambda q: exact_top_k_precast(q, table, norms, 10,
-                                                approx=True), qb)
-    _, ids = exact_top_k_precast(queries_eval, table, norms, 10, approx=True)
-    _, ids5 = exact_top_k_precast(queries_eval, table, norms, 5, approx=True)
+                                                **exact_kw), qb)
+    _, ids = exact_top_k_precast(queries_eval, table, norms, 10, **exact_kw)
+    _, ids5 = exact_top_k_precast(queries_eval, table, norms, 5, **exact_kw)
     results["exact_batch"] = dict(
         per_query_ms=t / B * 1e3, batch=B,
         recall=recall_at_k(ids, gt10), recall5=recall_at_k(ids5, gt5),
