@@ -203,17 +203,39 @@ def _pq_search_program(queries: Array, rotation: Array, centroids: Array,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "pvf", "valid_n",
-                                             "block_n", "mode", "rotate"))
+                                             "block_n", "mode", "rotate",
+                                             "approx"))
 def _pq_search_pv_program(queries: Array, rotation: Array, centroids: Array,
                           codes_t: Array, vectors: Array, *, k: int,
                           pvf: int, valid_n: int, block_n: int, mode: str,
-                          rotate: bool) -> tuple[Array, Array]:
-    """Fused ADC shortlist (k·pvf, exact top-k) + exact re-rank in one
-    compiled program (one dispatch for the whole PV path)."""
+                          rotate: bool, approx: bool) -> tuple[Array, Array]:
+    """Fused ADC shortlist (k·pvf) + exact re-rank in one compiled program
+    (one dispatch for the whole PV path). ``approx`` selects the
+    partial-reduce shortlist (see :meth:`PQIndex.search_pv`)."""
     cd, ci = _pq_search_program(queries, rotation, centroids, codes_t,
                                 k=k * pvf, valid_n=valid_n, block_n=block_n,
-                                mode=mode, rotate=rotate, approx=False)
+                                mode=mode, rotate=rotate, approx=approx)
     return adc.post_verify(queries, ci, cd, vectors, k)
+
+
+#: Below this shortlist width the exact wide-row top-k is cheap (native
+#: ``lax.top_k`` wins at k ≤ 50 on the measured grid, scratch/topk_grid.json)
+#: and the analogy path's tiny pvf+3 shortlists must stay exact.
+_APPROX_SHORTLIST_MIN = 100
+
+
+def _resolve_shortlist(shortlist: str, k: int, pvf: int) -> str:
+    """Resolve the PV shortlist policy: "auto" → "approx" on TPU for wide
+    shortlists (k·pvf ≥ 100), "exact" otherwise."""
+    if shortlist not in ("auto", "exact", "approx"):
+        raise ValueError(f"shortlist must be auto|exact|approx, "
+                         f"got {shortlist!r}")
+    if shortlist != "auto":
+        return shortlist
+    from postgres_word2vec_tpu.ops import pallas_kernels as pk
+    if pk.supports_pallas() and k * pvf >= _APPROX_SHORTLIST_MIN:
+        return "approx"
+    return "exact"
 
 
 @dataclasses.dataclass
@@ -432,17 +454,37 @@ class PQIndex:
                                   rotate=rotate, approx=approx)
 
     def search_pv(self, queries: Array, k: int, pvf: int,
-                  vectors: Array, *, impl: str | None = None
-                  ) -> tuple[Array, Array]:
+                  vectors: Array, *, impl: str | None = None,
+                  shortlist: str = "auto") -> tuple[Array, Array]:
         """ADC shortlist of k·pvf then exact re-rank, fused into one
-        program (``k_nearest_neighbour_pq_pv`` parity, sql:625-662)."""
+        program (``k_nearest_neighbour_pq_pv`` parity, sql:625-662).
+
+        ``shortlist``: how the k·pvf ADC shortlist is selected before the
+        exact re-rank —
+
+        - ``"exact"``: exact wide-row top-k over the scan. At the bench
+          shape (256 × 3M, k·pvf=200) the exact top-k alone costs ~540 ms,
+          ~6× the scan itself (reports/R4_REGRESSION_NOTE.md).
+        - ``"approx"``: the TPU partial-reduce shortlist (binned-scan
+          survivors + ``approx_min_k``, ~31 ms at the same shape). The
+          final re-rank is still exact L2 over raw vectors, so the only
+          effect is a ~0.2% chance per true neighbor of missing the
+          shortlist (measured fidelity ≥ 0.997 random, 1.0 strided —
+          scratch/approx_topk_probe.json). On CPU ``approx_min_k``
+          falls back to exact.
+        - ``"auto"`` (default): "approx" on TPU when k·pvf ≥ 100,
+          "exact" otherwise (tiny shortlists — e.g. the analogy path's
+          pvf+3 — stay exact, where native top-k is already cheap).
+        """
+        approx_sl = _resolve_shortlist(shortlist, k, pvf) == "approx"
         mode, codes_arg, valid_n = self._search_plan(queries.shape[0],
-                                                     False, impl)
+                                                     approx_sl, impl)
         rot, rotate = self._rot_args()
         return _pq_search_pv_program(queries, rot, self.codebook.centroids,
                                      codes_arg, vectors, k=k, pvf=pvf,
                                      valid_n=valid_n, block_n=self._BLOCK_N,
-                                     mode=mode, rotate=rotate)
+                                     mode=mode, rotate=rotate,
+                                     approx=approx_sl)
 
     def search_in(self, queries: Array, k: int, target_ids: Array,
                   target_mask: Array | None = None) -> tuple[Array, Array]:

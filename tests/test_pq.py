@@ -61,6 +61,34 @@ def test_pq_pv_improves_recall(pq, dataset):
     assert r_pv > 0.8, f"PQ+PV recall@10 too low: {r_pv}"
 
 
+def test_pq_pv_approx_shortlist_matches_exact_on_cpu(pq, dataset):
+    # On CPU approx_min_k falls back to exact, so the approx-shortlist
+    # plumbing must reproduce the exact-shortlist results bit-for-bit.
+    q = jnp.asarray(dataset[:16])
+    v = jnp.asarray(dataset)
+    d_e, i_e = pq.search_pv(q, 10, pvf=10, vectors=v, shortlist="exact")
+    d_a, i_a = pq.search_pv(q, 10, pvf=10, vectors=v, shortlist="approx")
+    np.testing.assert_array_equal(np.asarray(i_e), np.asarray(i_a))
+    np.testing.assert_allclose(np.asarray(d_e), np.asarray(d_a), rtol=1e-6)
+
+
+def test_pv_shortlist_auto_resolution(monkeypatch):
+    from postgres_word2vec_tpu.models import pq as pq_mod
+    from postgres_word2vec_tpu.ops import pallas_kernels as pk
+    # off-TPU: auto is always exact
+    monkeypatch.setattr(pk, "supports_pallas", lambda: False)
+    assert pq_mod._resolve_shortlist("auto", 10, 20) == "exact"
+    # on TPU: approx only for wide shortlists (k*pvf >= 100)
+    monkeypatch.setattr(pk, "supports_pallas", lambda: True)
+    assert pq_mod._resolve_shortlist("auto", 10, 20) == "approx"
+    assert pq_mod._resolve_shortlist("auto", 23, 1) == "exact"
+    # explicit values pass through; junk raises
+    assert pq_mod._resolve_shortlist("exact", 10, 20) == "exact"
+    assert pq_mod._resolve_shortlist("approx", 2, 2) == "approx"
+    with pytest.raises(ValueError):
+        pq_mod._resolve_shortlist("fast", 10, 20)
+
+
 def test_pq_search_in_matches_exhaustive_on_subset(pq, dataset):
     q = dataset[:3]
     targets = np.arange(0, 2000, 7, dtype=np.int32)

@@ -321,3 +321,24 @@ def test_budget_adc_grouped_int8_compiled(pk, rng):
                  * (1 / 254 + 1 / 512) * 1.01 + 1e-2)
         err = np.abs(np.where(fin, got - ref, 0.0))
         assert (err <= bound[:, None]).all(), rows
+
+
+def test_pv_approx_shortlist_compiled_recall(pk, rng):
+    """On-chip PV with the approx partial-reduce shortlist must match the
+    exact-shortlist PV results almost everywhere (shortlist fidelity
+    ≥ 0.997 measured at the bench shape, scratch/approx_topk_probe.json);
+    both re-rank exactly, so any disagreement is a shortlist miss."""
+    from postgres_word2vec_tpu.models.pq import PQIndex
+
+    n, d, B, k = 40_960, 96, 32, 10
+    v = rng.normal(size=(n, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    vj = jnp.asarray(v)
+    pq = PQIndex.build(jax.random.PRNGKey(0), vj, m=12, k=64,
+                       train_size=8192, iters=5)
+    q = vj[:B]
+    _, i_e = pq.search_pv(q, k, pvf=20, vectors=vj, shortlist="exact")
+    _, i_a = pq.search_pv(q, k, pvf=20, vectors=vj, shortlist="approx")
+    i_e, i_a = np.asarray(i_e), np.asarray(i_a)
+    agree = np.mean([len(set(a) & set(e)) / k for a, e in zip(i_a, i_e)])
+    assert agree >= 0.95, f"approx-shortlist PV agreement {agree:.3f}"
