@@ -94,7 +94,8 @@ class RuntimeParams:
     confidence: float = 0.8
     long_codes_threshold: float = 1e7
     statistics_table: str | None = None
-    pq_lut_dtype: str = "bf16"          # "bf16" | "int8" (double-rate MXU)
+    pq_lut_dtype: str = "bf16"          # "bf16" | "int8" (~1.2x at B>=256)
+    pv_shortlist: str = "auto"          # "auto" | "exact" | "approx"
 
 
 #: Default dispatch registry (sql:188-202).
@@ -289,8 +290,9 @@ class Freddy:
 
     def set_pq_lut_dtype(self, dtype: str) -> None:
         """Select the PQ scan's LUT arithmetic: "bf16" (default) or "int8"
-        (per-query quantized LUTs on the MXU's double-rate int8 path —
-        beyond-reference perf knob; no reference counterpart).
+        (per-query quantized LUTs on the MXU int8 path — measured ~1.16×
+        at B=256 plus half the LUT bytes, reports/ROOFLINE.md;
+        beyond-reference perf knob, no reference counterpart).
 
         Applies to the single-device TPU scan paths; the XLA gather
         backend has no quantized variant and the mesh-sharded programs run
@@ -305,6 +307,18 @@ class Freddy:
                 "paths (sharded programs run bf16); it applies when "
                 "sharding is disabled.", stacklevel=2)
         self.params.pq_lut_dtype = dtype
+
+    def set_pv_shortlist(self, policy: str) -> None:
+        """Select the post-verification shortlist policy for the PQ PV
+        path: "auto" (default — approx partial-reduce shortlist on TPU
+        when k·pvf ≥ 100, exact otherwise), "exact", or "approx". The
+        final re-rank is exact either way; see
+        :meth:`models.pq.PQIndex.search_pv` (beyond-reference perf knob,
+        no reference counterpart)."""
+        if policy not in ("auto", "exact", "approx"):
+            raise ValueError(f"pv_shortlist must be auto|exact|approx, "
+                             f"got {policy!r}")
+        self.params.pv_shortlist = policy
 
     def set_statistics_table(self, name: str | None) -> None:
         if name is not None and name not in self.statistics:
@@ -506,7 +520,8 @@ class Freddy:
                 self.mesh, qp, cd, ci, self._shard["vectors"], k)
             return d[:b], i[:b]
         return pq.search_pv(q, k, self.params.pvf, self.store.vectors_norm,
-                            impl=self._pq_impl())
+                            impl=self._pq_impl(),
+                            shortlist=self.params.pv_shortlist)
 
     def _ivfadc_knn_core(self, q: Array, k: int) -> tuple[Array, Array]:
         ivf = self._require(self.ivfadc, "IVFADC")
@@ -1268,7 +1283,8 @@ class Freddy:
             # never touch.
             self.pq.search(q, k, impl=self._pq_impl())
             self.pq.search_pv(q, k, self.params.pvf, self.store.vectors_norm,
-                              impl=self._pq_impl())
+                              impl=self._pq_impl(),
+                              shortlist=self.params.pv_shortlist)
             self.pq.search_in(q, k, tids)
         if self.ivfadc is not None:
             self.ivfadc.search(q, k, w=self.params.w)

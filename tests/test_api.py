@@ -286,6 +286,21 @@ def test_set_pq_lut_dtype(engine):
         engine.set_pq_lut_dtype("fp8")
 
 
+def test_set_pv_shortlist(engine):
+    """PV shortlist knob: validated values, plumbed through the PV knn
+    core, and CPU results stay identical (approx_min_k is exact on CPU)."""
+    import pytest
+
+    engine.set_knn_function("k_nearest_neighbour_pq_pv")
+    base = engine.knn("w100", 5)
+    for policy in ("approx", "exact", "auto"):
+        engine.set_pv_shortlist(policy)
+        assert engine.knn("w100", 5) == base, policy
+    with pytest.raises(ValueError):
+        engine.set_pv_shortlist("fast")
+    engine.set_knn_function("k_nearest_neighbour")
+
+
 def test_warmup_honors_pq_lut_dtype(engine, monkeypatch):
     """warmup() must precompile the SAME impl serving will use — an int8
     knob with a bf16 warmup defeats cold-start hygiene (review r3)."""
