@@ -62,6 +62,10 @@ def main():
     ap.add_argument("--impl", default="pallas_binned",
                     help="PQ scan impl (pallas_binned on TPU; xla for a "
                          "small-N CPU smoke run)")
+    ap.add_argument("--skip-exact", action="store_true",
+                    help="skip the exact batch scan (regime-independent; "
+                         "required for --pq quality, whose 586 MiB codes "
+                         "leave no HBM headroom for the scan transient)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "reports",
         "scale_10M.json"))
@@ -180,20 +184,35 @@ def main():
     # 0.6 GiB quality-regime codes RESOURCE_EXHAUSTs the tunneled chip
     # (observed /tmp/bl7 + tpu_batch_r4 r4 runs). 256k keeps the transient
     # at ~1 GiB for <2% extra top-k merge cost.
-    B = 1024
-    qb = qb_1024
-    exact_kw = dict(chunk_size=262_144, approx=True)
-    t, _ = timeit(lambda q: exact_top_k_precast(q, table, norms, 10,
-                                                **exact_kw), qb)
-    _, ids = exact_top_k_precast(queries_eval, table, norms, 10, **exact_kw)
-    _, ids5 = exact_top_k_precast(queries_eval, table, norms, 5, **exact_kw)
-    results["exact_batch"] = dict(
-        per_query_ms=t / B * 1e3, batch=B,
-        recall=recall_at_k(ids, gt10), recall5=recall_at_k(ids5, gt5),
-        note="bf16 table + approx_max_k, one chip, 10M rows")
-    log(f"[exact_batch] {results['exact_batch']['per_query_ms']:.4g} ms/q "
-        f"recall@10={results['exact_batch']['recall']:.3f}")
-    log_mem("exact")
+    #
+    # The quality regime (60×16 codes, 586 MiB vs 120 MiB) still OOMs
+    # here even at 256k chunks — and the exact scan does not depend on
+    # the PQ regime at all, so the quality run skips it and defers to
+    # the reference-regime record (reports/scale_10M_reference.json).
+    if args.skip_exact:
+        log("[exact_batch] skipped (--skip-exact; regime-independent, "
+            "see scale_10M_reference.json)")
+        results["exact_batch"] = dict(
+            skipped=True, note="regime-independent; measured in the "
+            "reference-regime run (scale_10M_reference.json)")
+    else:
+        B = 1024
+        qb = qb_1024
+        exact_kw = dict(chunk_size=262_144, approx=True)
+        t, _ = timeit(lambda q: exact_top_k_precast(q, table, norms, 10,
+                                                    **exact_kw), qb)
+        _, ids = exact_top_k_precast(queries_eval, table, norms, 10,
+                                     **exact_kw)
+        _, ids5 = exact_top_k_precast(queries_eval, table, norms, 5,
+                                      **exact_kw)
+        results["exact_batch"] = dict(
+            per_query_ms=t / B * 1e3, batch=B,
+            recall=recall_at_k(ids, gt10), recall5=recall_at_k(ids5, gt5),
+            note="bf16 table + approx_max_k, one chip, 10M rows")
+        log(f"[exact_batch] "
+            f"{results['exact_batch']['per_query_ms']:.4g} ms/q "
+            f"recall@10={results['exact_batch']['recall']:.3f}")
+        log_mem("exact")
 
     B = 64
     qb64 = qb_64
