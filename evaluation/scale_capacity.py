@@ -140,10 +140,13 @@ def main():
     results["pq_regime"] = args.pq
     pq = PQIndex.build(jax.random.PRNGKey(7), table, train_size=100_000,
                        iters=25, init="kmeans++", **pq_kw)
-    # NOTE: pq.transposed_codes() is deliberately NOT forced here — the
-    # subspace-major copy (~0.6 GiB at 10M x 60) would sit resident through
-    # the GT pass and tip the quality regime over HBM (observed OOM). It
-    # builds lazily at the first pq.search after GT instead.
+    # Force the subspace-major copy NOW, while the allocator is clean —
+    # the GT pass below is host-only since the r4 rewrite, and deferring
+    # the transpose to the first pq.search OOMed the quality regime (the
+    # on-device transpose wants source + destination simultaneously;
+    # transposed_codes falls back to a host detour on RESOURCE_EXHAUSTED
+    # but a clean-allocator build avoids even that).
+    pq.transposed_codes()
     log(f"PQ built in {time.perf_counter() - t0:.1f}s "
         f"(codes {pq.codes.nbytes / 2**20:.0f} MiB {pq.codes.dtype})")
     log_mem("pq")

@@ -534,6 +534,33 @@ def _ivpq_round_budget(queries: Array, coarse_centroids: Array,
     return vals, ids, found, exhausted, predicted
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _round_status(retrieved: Array, exhausted: Array, k: int
+                  ) -> tuple[Array, Array]:
+    """(resolved mask, all-done scalar) for one join round — jitted so the
+    per-chunk status check is ONE dispatch instead of three eager ops
+    (each eager op pays its own ~30 ms tunnel round trip, CLAUDE.md)."""
+    resolved = retrieved >= k
+    return resolved, jnp.all(resolved | exhausted)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _merge_round(best_vals, best_ids, best_retrieved, best_predicted,
+                 vals, ids, retrieved, predicted, resolved, exhausted,
+                 k: int):
+    """Fold an escalation round into the running best (queries already
+    resolved keep their earlier results — ivpq_search_in.c:639-684
+    retirement semantics), returning the updated resolved mask and the
+    loop-termination scalar in the same dispatch."""
+    upd = ~resolved
+    bv = jnp.where(upd[:, None], vals, best_vals)
+    bi = jnp.where(upd[:, None], ids, best_ids)
+    br = jnp.where(upd, retrieved, best_retrieved)
+    bp = jnp.where(upd, predicted, best_predicted)
+    new_resolved = resolved | (retrieved >= k)
+    return bv, bi, br, bp, new_resolved, jnp.all(new_resolved | exhausted)
+
+
 @dataclasses.dataclass
 class IVPQIndex:
     """Multi-index PQ join index, all HBM-resident."""
@@ -698,7 +725,14 @@ class IVPQIndex:
         # and masqueraded as a method=0 pathology in round 2's bench
         # (VERDICT weak #2; evaluation/join_method_diag.py pinned it).
         q_host = np.asarray(queries) if B > query_chunk else queries
-        out_vals, out_ids, infos = [], [], []
+        shared = (target_codes, target_cells, target_ids, target_mask,
+                  target_vecs, statistics)
+        # Phase 1: dispatch round 1 for EVERY chunk before any host sync —
+        # the escalation decision needs a blocking bool() per chunk, and
+        # taking it inside the chunk loop serialized the chunks behind
+        # each other's tunnel round trips (5 chunks × ~4 RTT apiece at
+        # the bench shape). Dispatched back-to-back, the waits overlap.
+        chunks = []
         for start in range(0, B, query_chunk):
             qc = q_host[start:start + query_chunk]
             pad_q = 0
@@ -708,9 +742,17 @@ class IVPQIndex:
                 # XLA compile and defeats warmup (round-1 weak spot #9).
                 pad_q = query_chunk - qc.shape[0]
                 qc = np.pad(qc, ((0, pad_q), (0, 0)))
-            vals, ids, info = self._join_chunk(
-                qc, target_codes, target_cells, target_ids, target_mask,
-                target_vecs, statistics, k, alpha, pvf, method, confidence,
+            state = self._join_round1(
+                qc, *shared, k, alpha, pvf, method, confidence,
+                long_codes_threshold, jt=jt, budget_tiles=budget_tiles,
+                lut_dtype=lut_dtype)
+            chunks.append((pad_q, qc, state))
+        # Phase 2: resolve each chunk (escalation rounds are rare; the
+        # common path is one bool() on an already-computed scalar).
+        out_vals, out_ids, infos = [], [], []
+        for pad_q, qc, state in chunks:
+            vals, ids, info = self._join_escalate(
+                qc, state, *shared, k, alpha, pvf, method, confidence,
                 long_codes_threshold, max_rounds, jt=jt,
                 budget_tiles=budget_tiles, lut_dtype=lut_dtype)
             out_vals.append(vals)
@@ -768,28 +810,43 @@ class IVPQIndex:
         return (h.hexdigest(), block_t, with_vecs,
                 id(vectors) if with_vecs else None)
 
-    def _join_chunk(self, queries, target_codes, target_cells, target_ids,
-                    target_mask, target_vecs, statistics, k, alpha, pvf,
-                    method, confidence, long_codes_threshold, max_rounds,
-                    jt=None, budget_tiles=None, lut_dtype="bf16"):
-        """Alpha-escalation loop over fixed-shape rounds
-        (ivpq_search_in.c:639-684)."""
+    def _join_round1(self, queries, target_codes, target_cells, target_ids,
+                     target_mask, target_vecs, statistics, k, alpha, pvf,
+                     method, confidence, long_codes_threshold,
+                     jt=None, budget_tiles=None, lut_dtype="bf16"):
+        """First probe round of the alpha-escalation loop — dispatch only,
+        NO host sync, so callers can pipeline many chunks' round 1 before
+        paying the first blocking status read."""
         conf_arr = jnp.float32(confidence)
-        cur_alpha = int(alpha)
         # Fused-pair LUT trigger: alpha·k > threshold where k is the
         # requested neighbor count (parity: ivpq_search_in.c:262
         # "alpha * k > double_threshold").
-        use_double = cur_alpha * k > long_codes_threshold
+        use_double = alpha * k > long_codes_threshold
         vals, ids, retrieved, exhausted, predicted = self._run_round(
             queries, target_codes, target_cells, target_ids, target_mask,
-            target_vecs, statistics, k, cur_alpha, pvf, method, conf_arr,
+            target_vecs, statistics, k, int(alpha), pvf, method, conf_arr,
             use_double, jt, budget_tiles, lut_dtype)
-        best_vals, best_ids = vals, ids
-        best_retrieved, best_predicted = retrieved, predicted
-        resolved = retrieved >= k
+        resolved, done = _round_status(retrieved, exhausted, k=k)
+        return dict(vals=vals, ids=ids, retrieved=retrieved,
+                    exhausted=exhausted, predicted=predicted,
+                    resolved=resolved, done=done)
+
+    def _join_escalate(self, queries, state, target_codes, target_cells,
+                       target_ids, target_mask, target_vecs, statistics, k,
+                       alpha, pvf, method, confidence, long_codes_threshold,
+                       max_rounds, jt=None, budget_tiles=None,
+                       lut_dtype="bf16"):
+        """Alpha-escalation loop over fixed-shape rounds
+        (ivpq_search_in.c:639-684), continuing from a ``_join_round1``
+        state."""
+        conf_arr = jnp.float32(confidence)
+        cur_alpha = int(alpha)
+        best_vals, best_ids = state["vals"], state["ids"]
+        best_retrieved, best_predicted = state["retrieved"], state["predicted"]
+        resolved, done = state["resolved"], state["done"]
         rounds = 1
         for _ in range(max_rounds - 1):
-            if bool(jnp.all(resolved | exhausted)):
+            if bool(done):
                 break
             cur_alpha += cur_alpha  # alpha += alpha (ivpq_search_in.c:682)
             use_double = cur_alpha * k > long_codes_threshold
@@ -797,12 +854,10 @@ class IVPQIndex:
                 queries, target_codes, target_cells, target_ids, target_mask,
                 target_vecs, statistics, k, cur_alpha, pvf, method, conf_arr,
                 use_double, jt, budget_tiles, lut_dtype)
-            upd = ~resolved
-            best_vals = jnp.where(upd[:, None], vals, best_vals)
-            best_ids = jnp.where(upd[:, None], ids, best_ids)
-            best_retrieved = jnp.where(upd, retrieved, best_retrieved)
-            best_predicted = jnp.where(upd, predicted, best_predicted)
-            resolved = resolved | (retrieved >= k)
+            (best_vals, best_ids, best_retrieved, best_predicted, resolved,
+             done) = _merge_round(best_vals, best_ids, best_retrieved,
+                                  best_predicted, vals, ids, retrieved,
+                                  predicted, resolved, exhausted, k=k)
             rounds += 1
         info = {"retrieved": best_retrieved, "target_count": best_predicted,
                 "rounds": rounds, "final_alpha": cur_alpha}

@@ -271,7 +271,26 @@ class PQIndex:
             # pad+transpose: two sequential EAGER ops each materialize a
             # full copy (~0.6 GiB apiece at 10M×60), which tipped the
             # capacity regime over HBM.
-            ct = _pad_transpose(self.codes, pad)
+            try:
+                ct = _pad_transpose(self.codes, pad)
+            except Exception as e:  # jaxlib RESOURCE_EXHAUSTED
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                # Capacity regimes: the on-device transpose needs source +
+                # destination simultaneously (2 x 586 MiB at 10M x 60) and
+                # a fragmented allocator can refuse it with the table
+                # resident (observed in the 10M quality run,
+                # reports/scale_10M_quality.json). Detour through the
+                # host: one contiguous device_put of the destination only.
+                import warnings
+                warnings.warn(
+                    "transposed_codes: on-device transpose hit "
+                    "RESOURCE_EXHAUSTED; building via host copy "
+                    "(slower, halves the device transient).",
+                    stacklevel=2)
+                ch = np.asarray(self.codes)
+                ct = jnp.asarray(np.ascontiguousarray(
+                    np.pad(ch, ((0, pad), (0, 0))).T))
             object.__setattr__(self, "_codes_t", ct)
         return self._codes_t
 

@@ -487,7 +487,7 @@ def sharded_ivpq_join(mesh: Mesh, index, queries: Array, k: int,
                       impl: str = "dense") -> tuple[Array, Array]:
     """Multi-chip multi-round IVPQ kNN-join: targets sharded over "rows",
     alpha-doubling escalation across rounds (the single-device
-    ``IVPQIndex._join_chunk`` loop, ivpq_search_in.c:639-684, over
+    ``IVPQIndex._join_escalate`` loop, ivpq_search_in.c:639-684, over
     :func:`sharded_ivpq_join_round`).
 
     ``impl="budget"`` probes with the selectivity-proportional tiled layout

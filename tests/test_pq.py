@@ -89,6 +89,30 @@ def test_pv_shortlist_auto_resolution(monkeypatch):
         pq_mod._resolve_shortlist("fast", 10, 20)
 
 
+def test_transposed_codes_host_fallback(pq, monkeypatch):
+    """RESOURCE_EXHAUSTED on the on-device pad+transpose detours through
+    the host and produces the identical layout."""
+    from postgres_word2vec_tpu.models import pq as pq_mod
+
+    fresh = pq_mod.PQIndex(pq.codebook, pq.codes)
+    want = np.asarray(pq.transposed_codes())
+
+    def boom(codes, pad):
+        raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+
+    monkeypatch.setattr(pq_mod, "_pad_transpose", boom)
+    with pytest.warns(UserWarning, match="host copy"):
+        got = np.asarray(fresh.transposed_codes())
+    np.testing.assert_array_equal(got, want)
+    # non-OOM errors must still propagate
+    fresh2 = pq_mod.PQIndex(pq.codebook, pq.codes)
+    monkeypatch.setattr(
+        pq_mod, "_pad_transpose",
+        lambda c, p: (_ for _ in ()).throw(RuntimeError("other")))
+    with pytest.raises(RuntimeError, match="other"):
+        fresh2.transposed_codes()
+
+
 def test_pq_search_in_matches_exhaustive_on_subset(pq, dataset):
     q = dataset[:3]
     targets = np.arange(0, 2000, 7, dtype=np.int32)
