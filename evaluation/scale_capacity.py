@@ -140,13 +140,18 @@ def main():
     results["pq_regime"] = args.pq
     pq = PQIndex.build(jax.random.PRNGKey(7), table, train_size=100_000,
                        iters=25, init="kmeans++", **pq_kw)
-    # Force the subspace-major copy NOW, while the allocator is clean —
-    # the GT pass below is host-only since the r4 rewrite, and deferring
-    # the transpose to the first pq.search OOMed the quality regime (the
-    # on-device transpose wants source + destination simultaneously;
-    # transposed_codes falls back to a host detour on RESOURCE_EXHAUSTED
-    # but a clean-allocator build avoids even that).
-    pq.transposed_codes()
+    # Build the subspace-major scan copy VIA THE HOST and demote the
+    # row-major codes off the device first: at m=60 the codes are 586 MiB
+    # and this chip cannot hold table + both code layouts (3 failed runs —
+    # on-device transpose, whole-array device_get, and lazy post-GT
+    # transpose all RESOURCE_EXHAUSTED). The scan/PV phases only read the
+    # transposed copy; device peak here is table + ONE code copy.
+    host_codes = pq._codes_to_host()
+    object.__setattr__(pq, "codes", host_codes)    # device row-major freed
+    pad = (-host_codes.shape[0]) % pq._BLOCK_N
+    object.__setattr__(pq, "_codes_t", jnp.asarray(np.ascontiguousarray(
+        np.pad(host_codes, ((0, pad), (0, 0))).T)))
+    del host_codes
     log(f"PQ built in {time.perf_counter() - t0:.1f}s "
         f"(codes {pq.codes.nbytes / 2**20:.0f} MiB {pq.codes.dtype})")
     log_mem("pq")

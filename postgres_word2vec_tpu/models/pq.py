@@ -288,11 +288,26 @@ class PQIndex:
                     "RESOURCE_EXHAUSTED; building via host copy "
                     "(slower, halves the device transient).",
                     stacklevel=2)
-                ch = np.asarray(self.codes)
                 ct = jnp.asarray(np.ascontiguousarray(
-                    np.pad(ch, ((0, pad), (0, 0))).T))
+                    np.pad(self._codes_to_host(), ((0, pad), (0, 0))).T))
             object.__setattr__(self, "_codes_t", ct)
         return self._codes_t
+
+    def _codes_to_host(self) -> np.ndarray:
+        """Pull the code table to host in 1M-row slices: a whole-array
+        device_get can itself RESOURCE_EXHAUST a nearly-full chip (the
+        transfer stages through a device buffer), observed in the 10M
+        quality regime; 1M × m uint8 slices (~60 MB) always fit."""
+        if isinstance(self.codes, np.ndarray):
+            return self.codes
+        n, m = self.codes.shape
+        out = np.empty((n, m), dtype=np.dtype(self.codes.dtype))
+        step = 1_048_576
+        for s in range(0, n, step):
+            e = min(s + step, n)
+            out[s:e] = np.asarray(
+                jax.lax.slice(self.codes, (s, 0), (e, m)))
+        return out
 
     @property
     def size(self) -> int:
