@@ -46,6 +46,45 @@ from postgres_word2vec_tpu.evaluation.benchutil import (
     host_exact_topk, log, log_mem, recall_at_k, timeit)
 
 
+def _build_quality_from_host(host_parts, n, chunk, m=60, kk=16):
+    """OPQ × 4-bit quality build with NO resident table: train on a host
+    subset, encode 320k-row device transients, codes stay host-side, and
+    only the subspace-major scan copy (586 MiB) lands on the device.
+    Numerically identical to ``PQIndex.build(m=60, k=16, opq_iters=10,
+    iters=25, init='kmeans++', train_size=100_000)`` modulo the training
+    sample (first 100k rows instead of a uniform draw — the synthetic
+    chunks are i.i.d. by construction, PRNGKey per chunk)."""
+    import jax
+    import jax.numpy as jnp
+
+    from postgres_word2vec_tpu.models.pq import (PQCodebook, PQIndex,
+                                                 train_opq_rotation)
+    from postgres_word2vec_tpu.ops import kmeans
+
+    train = jnp.asarray(host_parts[0][:100_000].astype(np.float32))
+    rot, cb = train_opq_rotation(jax.random.PRNGKey(7), train, m, kk,
+                                 opq_iters=10, kmeans_iters=6)
+    del train
+    codes_host = np.empty((n, m), np.uint8)
+    pos = 0
+    sub = 320_000
+    for hp in host_parts:
+        for s in range(0, hp.shape[0], sub):
+            piece = jnp.asarray(hp[s:s + sub].astype(np.float32))
+            c = kmeans.encode_subspaces(piece, cb.centroids, rotation=rot)
+            codes_host[pos:pos + piece.shape[0]] = np.asarray(c)
+            pos += int(piece.shape[0])
+            del piece, c
+    counts = np.stack([np.bincount(codes_host[:, j], minlength=kk)
+                       for j in range(m)]).astype(np.int32)
+    pq = PQIndex(PQCodebook(cb.centroids, jnp.asarray(counts)), codes_host,
+                 rotation=rot)
+    pad = (-n) % PQIndex._BLOCK_N
+    object.__setattr__(pq, "_codes_t", jnp.asarray(np.ascontiguousarray(
+        np.pad(codes_host, ((0, pad), (0, 0))).T)))
+    return pq
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=10_240_000)
@@ -97,14 +136,26 @@ def main():
     def _write_chunk(tbl, chunk, start):
         return _lax.dynamic_update_slice(tbl, chunk, (start, 0))
 
+    # The QUALITY regime (60×16, 586 MiB codes vs the reference regime's
+    # 117 MiB) does not fit this chip with the table allocated first:
+    # four runs RESOURCE_EXHAUSTED at whichever allocation followed
+    # table+codes residency — the exact-scan transient, the on-device
+    # transpose, a whole-array device_get, even a 60 MB slice
+    # (/tmp/scale10M_quality.log history). So the quality path inverts
+    # the order: generate to HOST, train+encode chunkwise with no table
+    # resident, keep row-major codes host-side (the scan/PV phases read
+    # only the subspace-major copy), and assemble the 5.72 GiB table
+    # LAST as one block into a near-empty allocator.
+    assemble_now = args.pq == "reference"
     t0 = time.perf_counter()
     n_chunks = -(-N // args.chunk)
-    table = jnp.zeros((N, D), jnp.bfloat16)
+    table = jnp.zeros((N, D), jnp.bfloat16) if assemble_now else None
     norm_parts, host_parts = [], []
     for i in range(n_chunks):
         rows = min(args.chunk, N - i * args.chunk)
         vf = synth.generate_wordlike(jax.random.PRNGKey(1000 + i), rows, D)
-        norm_parts.append(jnp.sum(vf.astype(jnp.float32) ** 2, axis=-1))
+        norm_parts.append(
+            np.asarray(jnp.sum(vf.astype(jnp.float32) ** 2, axis=-1)))
         vb = vf.astype(jnp.bfloat16)
         # one host pull per chunk: the ground-truth pass runs on HOST
         # numpy (below) — after the PQ build the tunneled chip's
@@ -112,14 +163,15 @@ def main():
         # the 6.3 GiB resident set (observed RESOURCE_EXHAUSTED on a
         # (64, 300) slice), so GT must not touch the device at all.
         host_parts.append(np.asarray(vb))
-        table = _write_chunk(table, vb,
-                             jnp.int32(i * args.chunk))
+        if assemble_now:
+            table = _write_chunk(table, vb,
+                                 jnp.int32(i * args.chunk))
         del vf, vb
-    norms = jnp.concatenate(norm_parts)
+    norms = jnp.asarray(np.concatenate(norm_parts))
     del norm_parts
-    jax.block_until_ready((table, norms))
-    log(f"table built in {time.perf_counter() - t0:.1f}s "
-        f"({table.nbytes / 2**30:.2f} GiB bf16)")
+    jax.block_until_ready(norms)
+    log(f"generated in {time.perf_counter() - t0:.1f}s "
+        f"(table {'assembled' if assemble_now else 'deferred'})")
     log_mem("table")
 
     queries_eval = jnp.asarray(
@@ -135,26 +187,27 @@ def main():
     # (observed: the 655 MiB transposed-code buffer OOMs after GT with
     # ~9 GiB nominally free; bench.py documents the same phase ordering).
     t0 = time.perf_counter()
-    pq_kw = (dict(m=12, k=256) if args.pq == "reference"
-             else dict(m=60, k=16, opq_iters=10))
     results["pq_regime"] = args.pq
-    pq = PQIndex.build(jax.random.PRNGKey(7), table, train_size=100_000,
-                       iters=25, init="kmeans++", **pq_kw)
-    # Build the subspace-major scan copy VIA THE HOST and demote the
-    # row-major codes off the device first: at m=60 the codes are 586 MiB
-    # and this chip cannot hold table + both code layouts (3 failed runs —
-    # on-device transpose, whole-array device_get, and lazy post-GT
-    # transpose all RESOURCE_EXHAUSTED). The scan/PV phases only read the
-    # transposed copy; device peak here is table + ONE code copy.
-    host_codes = pq._codes_to_host()
-    object.__setattr__(pq, "codes", host_codes)    # device row-major freed
-    pad = (-host_codes.shape[0]) % pq._BLOCK_N
-    object.__setattr__(pq, "_codes_t", jnp.asarray(np.ascontiguousarray(
-        np.pad(host_codes, ((0, pad), (0, 0))).T)))
-    del host_codes
+    if args.pq == "reference":
+        pq = PQIndex.build(jax.random.PRNGKey(7), table,
+                           train_size=100_000, iters=25, init="kmeans++",
+                           m=12, k=256)
+    else:
+        pq = _build_quality_from_host(host_parts, N, args.chunk)
     log(f"PQ built in {time.perf_counter() - t0:.1f}s "
         f"(codes {pq.codes.nbytes / 2**20:.0f} MiB {pq.codes.dtype})")
     log_mem("pq")
+
+    if table is None:
+        t0 = time.perf_counter()
+        table = jnp.zeros((N, D), jnp.bfloat16)
+        for i, hp in enumerate(host_parts):
+            table = _write_chunk(table, jnp.asarray(hp),
+                                 jnp.int32(i * args.chunk))
+        jax.block_until_ready(table)
+        log(f"table assembled in {time.perf_counter() - t0:.1f}s "
+            f"({table.nbytes / 2**30:.2f} GiB bf16)")
+        log_mem("table_late")
 
     # -------------------------------------- exact ground truth, ON HOST
     # numpy f32 gemm over the bf16-rounded chunks (identical rounding to
