@@ -568,6 +568,10 @@ def main():
                  pvf=20, vectors=V)
         join_cfg("ivpq_join_pv_a400", alpha=400, method=2, confidence=0.8,
                  pvf=20, vectors=V)
+        # high-recall operating point: where the v3-data recall curve
+        # crosses the old v2-era 0.92 bar (scratch/join_alpha_probe.json)
+        join_cfg("ivpq_join_pv_a800", alpha=800, method=2, confidence=0.8,
+                 pvf=20, vectors=V)
         # int8 gathered-LUT grouped kernel on the join's budget path
         try:
             join_cfg("ivpq_join_pv_a200_i8", alpha=200, method=2,
