@@ -569,8 +569,9 @@ def main():
         join_cfg("ivpq_join_pv_a400", alpha=400, method=2, confidence=0.8,
                  pvf=20, vectors=V)
         # high-recall operating point: where the v3-data recall curve
-        # crosses the old v2-era 0.92 bar (scratch/join_alpha_probe.json)
-        join_cfg("ivpq_join_pv_a800", alpha=800, method=2, confidence=0.8,
+        # crosses the old v2-era 0.92 bar (scratch/join_alpha_probe.json:
+        # a600 recall@5 0.932 @ 10.3k QPS, a800 0.939, a1200 0.948)
+        join_cfg("ivpq_join_pv_a600", alpha=600, method=2, confidence=0.8,
                  pvf=20, vectors=V)
         # int8 gathered-LUT grouped kernel on the join's budget path
         try:
