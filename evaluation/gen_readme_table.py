@@ -90,11 +90,18 @@ def main():
           f"({iv1['per_query_ms']:.0f} ms wall incl. dev-tunnel RTT) "
           f"| 30 ms | ~{30 / iv1['device_ms']:.0f}× |")
     j = c["ivpq_join_pv_a200"]
-    j4 = c.get("ivpq_join_pv_a400", {})
+    # the high-recall operating point: α=600 crosses the 0.92 bar on v3
+    # data (scratch/join_alpha_probe.json); fall back to α=400 on older
+    # bench JSONs that predate the a600 row.
+    j6 = c.get("ivpq_join_pv_a600", {})
+    tail = (f" (α=600: **{j6['recall5']:.2f} @ {j6['qps']:,.0f} QPS**)"
+            if j6 else "")
+    if not j6:
+        j4 = c.get("ivpq_join_pv_a400", {})
+        tail = f" (α=400: {j4.get('recall5', 0):.2f})" if j4 else ""
     print(f"| IVPQ kNN-join 5k×100k (method 2, α=200) | **{j['total_s']:.2f}"
           f" s total ({j['qps']:,.0f} QPS), recall@5 {j['recall5']:.2f}**"
-          + (f" (α=400: {j4.get('recall5', 0):.2f})" if j4 else "")
-          + " | figure only | — |")
+          + tail + " | figure only | — |")
     print()
     print(f"(generated from {os.path.basename(path)}, dataset "
           f"{data.get('dataset', {})})")
