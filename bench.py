@@ -536,18 +536,25 @@ def main():
             dd, ii = ivpq.search_join(qv[:512], 5, tgt, statistics=stats,
                                       query_chunk=512, **kw)
             np.asarray(ii[..., :1])
-            t0 = time.perf_counter()
-            dd, ii = ivpq.search_join(qv, 5, tgt, statistics=stats,
-                                      query_chunk=512, **kw)
-            np.asarray(ii[..., :1])
-            dt = time.perf_counter() - t0
+            # median of 3 full-shape passes: single draws carry first-
+            # config warm-in drift of up to ~1.4x (interleaved A/B in
+            # scratch/join_order_probe.json measures the steady state)
+            trials = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                dd, ii = ivpq.search_join(qv, 5, tgt, statistics=stats,
+                                          query_chunk=512, **kw)
+                np.asarray(ii[..., :1])
+                trials.append(time.perf_counter() - t0)
+            dt = float(np.median(trials))
             _, i2, info = ivpq.search_join(qv[:EVAL_Q], 5, tgt,
                                            statistics=stats,
                                            query_chunk=512,
                                            return_info=True, **kw)
             r = recall_at_k(i2, gt_join)
             results[name] = {
-                "total_s": dt, "queries": nq, "targets": nt,
+                "total_s": dt, "trials_s": [round(t, 4) for t in trials],
+                "queries": nq, "targets": nt,
                 "qps": nq / dt, "recall": r, "recall5": r, "k": 5,
                 "scanned_rows_mean": float(
                     np.asarray(info["retrieved"]).mean()),
