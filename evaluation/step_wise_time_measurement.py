@@ -29,19 +29,29 @@ def main(config_path: str) -> None:
     k = cfg.get_value_or("k", 5)
     targets = sample_words(eng, cfg.get_value_or("target_sample", 5000),
                            cfg.get_value_or("seed", 0) + 1)
+    # both in-set batch families the reference breaks down: the IVPQ
+    # probe (ivpq_search_in.c TRACK sites) and the PQ in-set batch whose
+    # data_retrieval_time is the target-code gather (freddy.c:527-651)
+    methods = {"ivpq": eng.knn_in_ivpq_batch, "pq": eng.knn_in_pq_batch}
     out = []
     for n_q in cfg.get_value_or("query_steps", [10, 50, 100]):
         queries = sample_words(eng, n_q, cfg.get_value_or("seed", 0))
-        eng.tracker.clear_track()
-        t0 = time.perf_counter()
-        eng.knn_in_ivpq_batch(queries, k, targets)
-        wall = time.perf_counter() - t0
-        stages = eng.tracker.get_results()
-        inner = sum(stages.get("total_time", [0.0]))
-        out.append({"queries": n_q, "targets": len(targets),
-                    "wall_s": wall, "inner_s": inner,
-                    "interface_overhead_s": wall - inner,
-                    "stages": stages})
+        for mname, fn in methods.items():
+            eng.tracker.clear_track()
+            t0 = time.perf_counter()
+            fn(queries, k, targets)
+            wall = time.perf_counter() - t0
+            stages = eng.tracker.get_results()
+            inner = sum(stages.get("total_time", [0.0]))
+            out.append({"method": mname, "queries": n_q,
+                        "targets": len(targets),
+                        "wall_s": wall, "inner_s": inner,
+                        "interface_overhead_s": wall - inner,
+                        "stages": stages})
+    out_path = cfg.get_value_or("out", "")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=1)
     print(json.dumps(out, indent=2))
 
 
