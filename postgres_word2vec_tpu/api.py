@@ -318,6 +318,13 @@ class Freddy:
         if policy not in ("auto", "exact", "approx"):
             raise ValueError(f"pv_shortlist must be auto|exact|approx, "
                              f"got {policy!r}")
+        if policy != "auto" and self.mesh is not None:
+            import warnings
+            warnings.warn(
+                "pv_shortlist has no effect on mesh-sharded PQ paths "
+                "(the sharded PV program always uses the per-shard exact "
+                "shortlist); it applies when sharding is disabled.",
+                stacklevel=2)
         self.params.pv_shortlist = policy
 
     def set_statistics_table(self, name: str | None) -> None:
@@ -909,8 +916,12 @@ class Freddy:
         (sql:1317-1346)."""
         pq = self._require(self.pq, "PQ")
         q = vo.vec_normalize(self._analogy_vec(w1, w2, w3))[None, :]
+        # shortlist="exact": the analogy pick takes ONE candidate from a
+        # pvf+3-wide shortlist; set_pvf(97+) would otherwise cross the
+        # auto-approx width threshold and silently flip this documented
+        # exact path to the approximate shortlist.
         d, i = pq.search_pv(q, self.params.pvf + 3, 1,
-                            self.store.vectors_norm)
+                            self.store.vectors_norm, shortlist="exact")
         return self._pick_not_banned(i[0], (w1, w2, w3))
 
     def analogy_3cosadd_ivfadc(self, w1: str, w2: str, w3: str) -> str:

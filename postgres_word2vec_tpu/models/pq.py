@@ -224,16 +224,24 @@ def _pq_search_pv_program(queries: Array, rotation: Array, centroids: Array,
 _APPROX_SHORTLIST_MIN = 100
 
 
-def _resolve_shortlist(shortlist: str, k: int, pvf: int) -> str:
+def _resolve_shortlist(shortlist: str, k: int, pvf: int,
+                       impl: str | None = None) -> str:
     """Resolve the PV shortlist policy: "auto" → "approx" on TPU for wide
-    shortlists (k·pvf ≥ 100), "exact" otherwise."""
+    shortlists (k·pvf ≥ 100), "exact" otherwise.
+
+    ``impl`` is the caller's kernel request: an explicit non-pallas impl
+    (e.g. ``"xla"`` — the documented exact reference backend) keeps the
+    exact shortlist even on a TPU backend; auto-approx only applies when
+    the pallas path is actually selected."""
     if shortlist not in ("auto", "exact", "approx"):
         raise ValueError(f"shortlist must be auto|exact|approx, "
                          f"got {shortlist!r}")
     if shortlist != "auto":
         return shortlist
     from postgres_word2vec_tpu.ops import pallas_kernels as pk
-    if pk.supports_pallas() and k * pvf >= _APPROX_SHORTLIST_MIN:
+    pallas_path = (impl.startswith("pallas") if impl is not None
+                   else pk.supports_pallas())
+    if pallas_path and k * pvf >= _APPROX_SHORTLIST_MIN:
         return "approx"
     return "exact"
 
@@ -273,7 +281,10 @@ class PQIndex:
             # capacity regime over HBM.
             try:
                 ct = _pad_transpose(self.codes, pad)
-            except Exception as e:  # jaxlib RESOURCE_EXHAUSTED
+            except jax.errors.JaxRuntimeError as e:
+                # narrow: only the runtime's own OOM signal takes the slow
+                # host detour; anything else (even if its message mentions
+                # RESOURCE_EXHAUSTED) surfaces.
                 if "RESOURCE_EXHAUSTED" not in str(e):
                     raise
                 # Capacity regimes: the on-device transpose needs source +
@@ -510,7 +521,7 @@ class PQIndex:
           "exact" otherwise (tiny shortlists — e.g. the analogy path's
           pvf+3 — stay exact, where native top-k is already cheap).
         """
-        approx_sl = _resolve_shortlist(shortlist, k, pvf) == "approx"
+        approx_sl = _resolve_shortlist(shortlist, k, pvf, impl) == "approx"
         mode, codes_arg, valid_n = self._search_plan(queries.shape[0],
                                                      approx_sl, impl)
         rot, rotate = self._rot_args()

@@ -82,6 +82,10 @@ def test_pv_shortlist_auto_resolution(monkeypatch):
     monkeypatch.setattr(pk, "supports_pallas", lambda: True)
     assert pq_mod._resolve_shortlist("auto", 10, 20) == "approx"
     assert pq_mod._resolve_shortlist("auto", 23, 1) == "exact"
+    # an explicit non-pallas impl keeps the exact shortlist even on TPU
+    assert pq_mod._resolve_shortlist("auto", 10, 20, impl="xla") == "exact"
+    assert pq_mod._resolve_shortlist("auto", 10, 20,
+                                     impl="pallas") == "approx"
     # explicit values pass through; junk raises
     assert pq_mod._resolve_shortlist("exact", 10, 20) == "exact"
     assert pq_mod._resolve_shortlist("approx", 2, 2) == "approx"
@@ -97,8 +101,10 @@ def test_transposed_codes_host_fallback(pq, monkeypatch):
     fresh = pq_mod.PQIndex(pq.codebook, pq.codes)
     want = np.asarray(pq.transposed_codes())
 
+    import jax
+
     def boom(codes, pad):
-        raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+        raise jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: TPU error")
 
     monkeypatch.setattr(pq_mod, "_pad_transpose", boom)
     with pytest.warns(UserWarning, match="host copy"):
@@ -111,6 +117,15 @@ def test_transposed_codes_host_fallback(pq, monkeypatch):
         lambda c, p: (_ for _ in ()).throw(RuntimeError("other")))
     with pytest.raises(RuntimeError, match="other"):
         fresh2.transposed_codes()
+    # a NON-runtime error that merely mentions the OOM string propagates
+    # too (the fallback is keyed on the jax runtime error type).
+    fresh3 = pq_mod.PQIndex(pq.codebook, pq.codes)
+    monkeypatch.setattr(
+        pq_mod, "_pad_transpose",
+        lambda c, p: (_ for _ in ()).throw(
+            ValueError("wrapped RESOURCE_EXHAUSTED mention")))
+    with pytest.raises(ValueError, match="wrapped"):
+        fresh3.transposed_codes()
 
 
 def test_pq_search_in_matches_exhaustive_on_subset(pq, dataset):
