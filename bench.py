@@ -532,9 +532,31 @@ def main():
             "note": "exact masked matmul (knn_in_exact baseline)"}
         log(f"[join_exact_in] {ex_s:.3f}s")
 
-        def join_cfg(name, **kw):
-            dd, ii = ivpq.search_join(qv[:512], 5, tgt, statistics=stats,
-                                      query_chunk=512, **kw)
+        # PREPARED handle: pays the target gathers + cell tiling once (the
+        # serving steady state on a repeated target set — the reference's
+        # statistics-table workload); every search_join below then issues
+        # ONE fused device program per query chunk.
+        t0 = time.perf_counter()
+        ph = ivpq.prepare_join(tgt, vectors=V[:nt], vecs_pregathered=True)
+        prep_s = time.perf_counter() - t0
+        log(f"prepare_join({nt}) in {prep_s:.3f}s")
+        results["ivpq_join_prepare"] = {"build_s": prep_s, "targets": nt}
+
+        def join_cfg(name, prepared=ph, tgt_=None, gt_=None, stats_=None,
+                     nt_=None, **kw):
+            tgt_ = tgt if tgt_ is None else tgt_
+            gt_ = gt_join if gt_ is None else gt_
+            stats_ = stats if stats_ is None else stats_
+            nt_ = nt if nt_ is None else nt_
+            jkw = dict(statistics=stats_, **kw)
+            if prepared is not None:
+                jkw["prepared"] = prepared
+                jkw.pop("vectors", None)
+            else:
+                jkw["target_ids"] = tgt_
+            dd, ii = ivpq.search_join(qv[:512], 5, query_chunk=512, **jkw)
+            np.asarray(ii[..., :1])
+            dd, ii = ivpq.search_join(qv, 5, **jkw)   # warm the full shape
             np.asarray(ii[..., :1])
             # median of 3 full-shape passes: single draws carry first-
             # config warm-in drift of up to ~1.4x (interleaved A/B in
@@ -542,20 +564,18 @@ def main():
             trials = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                dd, ii = ivpq.search_join(qv, 5, tgt, statistics=stats,
-                                          query_chunk=512, **kw)
+                dd, ii = ivpq.search_join(qv, 5, **jkw)
                 np.asarray(ii[..., :1])
                 trials.append(time.perf_counter() - t0)
             dt = float(np.median(trials))
-            _, i2, info = ivpq.search_join(qv[:EVAL_Q], 5, tgt,
-                                           statistics=stats,
-                                           query_chunk=512,
-                                           return_info=True, **kw)
-            r = recall_at_k(i2, gt_join)
+            _, i2, info = ivpq.search_join(qv[:EVAL_Q], 5, query_chunk=512,
+                                           return_info=True, **jkw)
+            r = recall_at_k(i2, gt_)
             results[name] = {
                 "total_s": dt, "trials_s": [round(t, 4) for t in trials],
-                "queries": nq, "targets": nt,
+                "queries": nq, "targets": nt_,
                 "qps": nq / dt, "recall": r, "recall5": r, "k": 5,
+                "prepared": prepared is not None,
                 "scanned_rows_mean": float(
                     np.asarray(info["retrieved"]).mean()),
                 # escalation rounds + final alpha: each extra round is a
@@ -570,66 +590,97 @@ def main():
 
         join_cfg("ivpq_join_adc_a200", alpha=200, method=0, confidence=0.8)
         join_cfg("ivpq_join_pv_a100", alpha=100, method=2, confidence=0.8,
-                 pvf=20, vectors=V)
+                 pvf=20)
         join_cfg("ivpq_join_pv_a200", alpha=200, method=2, confidence=0.8,
-                 pvf=20, vectors=V)
+                 pvf=20)
+        # ad-hoc control: same config WITHOUT the prepared handle — pays
+        # the per-call target gathers + (cached) tile lookup, the round-4
+        # default path. The gap vs ivpq_join_pv_a200 is the prepared-path
+        # win.
+        join_cfg("ivpq_join_pv_a200_adhoc", prepared=None, alpha=200,
+                 method=2, confidence=0.8, pvf=20, vectors=V)
         join_cfg("ivpq_join_pv_a400", alpha=400, method=2, confidence=0.8,
-                 pvf=20, vectors=V)
+                 pvf=20)
         # high-recall operating point: where the v3-data recall curve
         # crosses the old v2-era 0.92 bar (scratch/join_alpha_probe.json:
         # a600 recall@5 0.932 @ 10.3k QPS, a800 0.939, a1200 0.948)
         join_cfg("ivpq_join_pv_a600", alpha=600, method=2, confidence=0.8,
-                 pvf=20, vectors=V)
+                 pvf=20)
         # int8 gathered-LUT grouped kernel on the join's budget path
         try:
             join_cfg("ivpq_join_pv_a200_i8", alpha=200, method=2,
-                     confidence=0.8, pvf=20, vectors=V, lut_dtype="int8")
+                     confidence=0.8, pvf=20, lut_dtype="int8")
         except Exception as e:  # pragma: no cover
             log(f"ivpq int8 join bench failed: {e!r}")
 
-        # 1M-target join: the selectivity crossover. At 100k targets the
-        # MXU masked matmul wins outright (its cost is B×T; the probe's is
-        # B×scanned≈1.2k rows) — the brute-force baseline here is ~50×
-        # faster than the reference's whole figure assumes. At 1M targets
-        # the matmul pays 10× more while the probe's scanned set barely
-        # grows, which is where the IVPQ join's selectivity-proportional
-        # design earns its keep (ivpq_search_in.c's raison d'être).
+        # Large-target joins: the selectivity crossover. At 100k targets
+        # the MXU masked matmul wins outright (its cost is B×T; the
+        # probe's is B×scanned≈1.2k rows) — the brute-force baseline here
+        # is ~50× faster than the reference's whole figure assumes. As |T|
+        # grows the matmul pays linearly while the probe's scanned set
+        # barely moves, which is where the IVPQ join's selectivity-
+        # proportional design earns its keep (ivpq_search_in.c's raison
+        # d'être). With the prepared-tile handle the probe's fixed costs
+        # are one fused dispatch per chunk, so the crossover lands between
+        # 100k and 1M targets; at 3M (the whole store) it is decisive.
+        def exact_join_row(name, tgtN, maskN, gtN, ntN):
+            if ntN >= N:
+                # target set == whole store: the honest exact baseline is
+                # the chunked full scan (no (B, T) buffer, no table-sized
+                # gather — exact_top_k_in at 512×3M would need ~10 GB of
+                # transients next to the resident table).
+                def run(qb):
+                    return exact_top_k(qb, V, 5, chunk_size=524288)
+            else:
+                def run(qb):
+                    return exact_top_k_in(qb, V, tgtN, maskN, 5)
+            _, i = run(qv_host[:512])
+            np.asarray(i[..., :1])
+            if nq % 512:
+                _, i = run(qv_host[:nq % 512])
+                np.asarray(i[..., :1])
+            t0 = time.perf_counter()
+            for s in range(0, nq, 512):
+                _, i = run(qv_host[s:s + 512])
+            np.asarray(i[..., :1])
+            ex1 = time.perf_counter() - t0
+            _, ie1 = run(qv[:EVAL_Q])
+            results[name] = {
+                "total_s": ex1, "queries": nq, "targets": ntN,
+                "qps": nq / ex1, "recall": recall_at_k(ie1, gtN),
+                "recall5": recall_at_k(ie1, gtN), "k": 5,
+                "note": f"exact f32 in-set baseline at {ntN} targets"}
+            log(f"[{name}] {ex1:.3f}s")
+
         if not SMALL:
             try:
-                nt1 = 1_000_000
-                tgt1 = jnp.arange(nt1, dtype=jnp.int32)
-                stats1 = build_statistics(ivpq.cell_of, tgt1,
-                                          ivpq.num_cells)
-                _, gt_join1 = exact_top_k(qv[:EVAL_Q], V[:nt1], 5,
-                                          chunk_size=524288)
-                gt_join1 = np.asarray(gt_join1)
-                mask1 = jnp.ones((nt1,), bool)
-                _, i = exact_top_k_in(qv_host[:512], V, tgt1, mask1, 5)
-                np.asarray(i[..., :1])
-                if nq % 512:
-                    _, i = exact_top_k_in(qv_host[:nq % 512], V, tgt1,
-                                          mask1, 5)
-                    np.asarray(i[..., :1])
-                t0 = time.perf_counter()
-                for s in range(0, nq, 512):
-                    _, i = exact_top_k_in(qv_host[s:s + 512], V, tgt1,
-                                          mask1, 5)
-                np.asarray(i[..., :1])
-                ex1 = time.perf_counter() - t0
-                _, ie1 = exact_top_k_in(qv[:EVAL_Q], V, tgt1, mask1, 5)
-                results["join_exact_in_1M"] = {
-                    "total_s": ex1, "queries": nq, "targets": nt1,
-                    "qps": nq / ex1, "recall": recall_at_k(ie1, gt_join1),
-                    "recall5": recall_at_k(ie1, gt_join1), "k": 5,
-                    "note": "exact masked matmul at 1M targets"}
-                log(f"[join_exact_in_1M] {ex1:.3f}s")
-
-                gt_join, tgt, stats = gt_join1, tgt1, stats1
-                nt = nt1
-                join_cfg("ivpq_join_pv_a200_1M", alpha=200, method=2,
-                         confidence=0.8, pvf=20, vectors=V)
+                for ntN, tag in ((1_000_000, "1M"), (N, "3M")):
+                    tgtN = jnp.arange(ntN, dtype=jnp.int32)
+                    statsN = build_statistics(ivpq.cell_of, tgtN,
+                                              ivpq.num_cells)
+                    _, gtN = exact_top_k(qv[:EVAL_Q], V[:ntN], 5,
+                                         chunk_size=524288)
+                    gtN = np.asarray(gtN)
+                    exact_join_row(f"join_exact_in_{tag}", tgtN,
+                                   jnp.ones((ntN,), bool), gtN, ntN)
+                    t0 = time.perf_counter()
+                    phN = ivpq.prepare_join(
+                        tgtN, vectors=V if ntN >= N else V[:ntN],
+                        vecs_pregathered=True)
+                    prepN = time.perf_counter() - t0
+                    log(f"prepare_join({ntN}) in {prepN:.3f}s")
+                    results[f"ivpq_join_prepare_{tag}"] = {
+                        "build_s": prepN, "targets": ntN}
+                    alphas = ((200, 600) if tag == "1M"
+                              else (200, 600, 1200))
+                    for a in alphas:
+                        join_cfg(f"ivpq_join_pv_a{a}_{tag}", prepared=phN,
+                                 gt_=gtN, stats_=statsN, nt_=ntN,
+                                 alpha=a, method=2, confidence=0.8,
+                                 pvf=20)
+                    del phN
             except Exception as e:  # pragma: no cover
-                log(f"1M-target join bench failed: {e!r}")
+                log(f"large-target join bench failed: {e!r}")
         del ivpq
         # Regression guard for VERDICT r2 weak #2: method 0 (ADC only) does
         # strictly less work than method 2 (ADC + post-verify) at equal

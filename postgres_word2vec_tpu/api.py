@@ -33,6 +33,7 @@ import numpy as np
 from postgres_word2vec_tpu.models.exact import ExactIndex
 from postgres_word2vec_tpu.models.ivfadc import IVFADCIndex
 from postgres_word2vec_tpu.models.ivpq import (IVPQIndex, PQ_CALC,
+                                               PreparedJoin,
                                                build_statistics)
 from postgres_word2vec_tpu.models.pq import PQIndex
 from postgres_word2vec_tpu.ops import vector_ops as vo
@@ -132,6 +133,8 @@ class Freddy:
         self.params = params or RuntimeParams()
         self.dispatch = dict(DEFAULT_DISPATCH)
         self.statistics: dict[str, Array] = {}
+        #: named PreparedJoin handles (see :meth:`prepare_targets`)
+        self.prepared_targets: dict[str, PreparedJoin] = {}
         self.tracker = GLOBAL_TRACKER
         # track_stages: emit the full 5-stage TRACK breakdown
         # (precomputation / query_construction / data_retrieval /
@@ -172,12 +175,6 @@ class Freddy:
         if self.ivfadc is not None:
             self._shard["ivf_bundle"] = sharding.shard_ivfadc(self.ivfadc,
                                                               mesh)
-        if self.params.pq_lut_dtype == "int8":
-            import warnings
-            warnings.warn(
-                "enable_sharding: pq_lut_dtype='int8' has no effect on "
-                "mesh-sharded PQ paths (sharded programs run bf16).",
-                stacklevel=2)
         self.mesh = mesh
 
     # ------------------------------------------------------------- builders
@@ -294,18 +291,12 @@ class Freddy:
         at B=256 plus half the LUT bytes, reports/ROOFLINE.md;
         beyond-reference perf knob, no reference counterpart).
 
-        Applies to the single-device TPU scan paths; the XLA gather
-        backend has no quantized variant and the mesh-sharded programs run
-        bf16 regardless (warned below)."""
+        Applies on the TPU backend to both the single-device scan paths
+        and the mesh-sharded ADC programs (per-shard kernels); the XLA
+        gather backend has no quantized variant and ignores it."""
         if dtype not in ("bf16", "int8"):
             raise ValueError(f"pq_lut_dtype must be 'bf16' or 'int8', "
                              f"got {dtype!r}")
-        if dtype == "int8" and self.mesh is not None:
-            import warnings
-            warnings.warn(
-                "pq_lut_dtype='int8' has no effect on mesh-sharded PQ "
-                "paths (sharded programs run bf16); it applies when "
-                "sharding is disabled.", stacklevel=2)
         self.params.pq_lut_dtype = dtype
 
     def set_pv_shortlist(self, policy: str) -> None:
@@ -502,6 +493,16 @@ class Freddy:
                 return "pallas_int8"
         return None
 
+    def _mesh_lut_dtype(self) -> str:
+        """LUT arithmetic for the mesh-sharded ADC programs: the int8 knob
+        applies per shard when the Pallas kernels run (TPU); the XLA twin
+        has no quantized variant and ignores it."""
+        if self.params.pq_lut_dtype == "int8":
+            from postgres_word2vec_tpu.ops import pallas_kernels as pk
+            if pk.supports_pallas():
+                return "int8"
+        return "bf16"
+
     def _pq_knn_core(self, q: Array, k: int) -> tuple[Array, Array]:
         pq = self._require(self.pq, "PQ")
         if self.mesh is not None:
@@ -510,7 +511,7 @@ class Freddy:
             luts = self._mesh_luts(pq, qp)
             d, i = sharding.sharded_adc_top_k(
                 self.mesh, luts, self._shard["pq_codes"], k,
-                valid_rows=pq.size)
+                valid_rows=pq.size, lut_dtype=self._mesh_lut_dtype())
             return d[:b], i[:b]
         return pq.search(q, k, impl=self._pq_impl())
 
@@ -522,7 +523,8 @@ class Freddy:
             luts = self._mesh_luts(pq, qp)
             cd, ci = sharding.sharded_adc_top_k(
                 self.mesh, luts, self._shard["pq_codes"],
-                k * self.params.pvf, valid_rows=pq.size)
+                k * self.params.pvf, valid_rows=pq.size,
+                lut_dtype=self._mesh_lut_dtype())
             d, i = sharding.sharded_post_verify(
                 self.mesh, qp, cd, ci, self._shard["vectors"], k)
             return d[:b], i[:b]
@@ -659,7 +661,8 @@ class Freddy:
             luts = self._mesh_luts(pq, qp)
             d, i = sharding.sharded_adc_in(self.mesh, luts,
                                            self._shard["pq_codes"],
-                                           tids, tmask, k)
+                                           tids, tmask, k,
+                                           lut_dtype=self._mesh_lut_dtype())
             return d[:b], i[:b]
         return pq.search_in(q, k, tids, tmask)
 
@@ -747,7 +750,11 @@ class Freddy:
         """Exact kNN-join (sql:456-501) — one batched masked matmul instead
         of a plpgsql loop over knn_in_exact."""
         q = self._query_matrix(list(queries))
-        tids, tmask = self._target_ids(targets)
+        ph = self._resolve_prepared(targets)
+        if ph is not None:   # id reuse only — exact has no tile layout
+            tids, tmask = ph.target_ids, ph.target_mask
+        else:
+            tids, tmask = self._target_ids(targets)
         with self.tracker.stage("total_time"):
             d, i = self._chunked_q(
                 q, lambda qc: self._exact_in_core(qc, k, tids, tmask))
@@ -768,7 +775,11 @@ class Freddy:
         with self.tracker.stage("total_time"):
             with self.tracker.stage("query_construction_time"):
                 q = self._query_matrix(list(queries))
-                tids, tmask = self._target_ids(targets)
+                ph = self._resolve_prepared(targets)
+                if ph is not None:   # id reuse (PQ path has no tiling)
+                    tids, tmask = ph.target_ids, ph.target_mask
+                else:
+                    tids, tmask = self._target_ids(targets)
             if self.track_stages:
                 self._track_precompute(pq._rotate(q),
                                        pq.codebook.centroids)
@@ -781,9 +792,43 @@ class Freddy:
                     chunk=512)
         return self._format_join(list(queries), d, i)
 
+    def prepare_targets(self, targets, *, name: str | None = None
+                        ) -> PreparedJoin:
+        """Build a reusable join-target handle (words or ids) — the
+        repeated-target-set fast path of :meth:`knn_in_ivpq_batch`.
+
+        The reference's serving pattern joins against the same restricted
+        domain over and over (the statistics-table workload,
+        freddy--0.0.1.sql:150-171); this hoists the per-call target
+        gathers + cell tiling into one upfront build (see
+        :meth:`models.ivpq.IVPQIndex.prepare_join`). Pass the returned
+        handle — or, if ``name`` was given, the name — as the ``targets``
+        argument of ``knn_in_ivpq_batch`` / ``knn_join``.
+        """
+        ivpq = self._require(self.ivpq, "IVPQ")
+        tids, tmask = self._target_ids(targets)
+        ph = ivpq.prepare_join(tids, target_mask=tmask,
+                               vectors=self.store.vectors_norm)
+        if name is not None:
+            self.prepared_targets[name] = ph
+        return ph
+
+    def _resolve_prepared(self, targets) -> PreparedJoin | None:
+        if isinstance(targets, PreparedJoin):
+            return targets
+        if isinstance(targets, str):
+            if targets not in self.prepared_targets:
+                raise KeyError(f"no prepared target set {targets!r}; call "
+                               "prepare_targets(..., name=...) first")
+            return self.prepared_targets[targets]
+        return None
+
     def knn_in_ivpq_batch(self, queries, k: int, targets) -> list[tuple]:
         """IVPQ kNN-join (sql:797-828 → ivpq_search_in) — the flagship batch
-        path, honoring alpha/pvf/method/confidence/targetlist params."""
+        path, honoring alpha/pvf/method/confidence/targetlist params.
+
+        ``targets``: words/ids, a :class:`PreparedJoin` handle, or the
+        name of a registered one (:meth:`prepare_targets`)."""
         ivpq = self._require(self.ivpq, "IVPQ")
         if isinstance(queries, (list, tuple)) and queries and isinstance(
                 queries[0], str):
@@ -799,9 +844,13 @@ class Freddy:
             # target tiling build (moving target rows into scan layout —
             # the SPI-fetch analog), reported by search_join; it is ~0 on
             # a JoinTiles cache hit, exactly when no data moved.
+            ph = self._resolve_prepared(targets)
             with self.tracker.stage("query_construction_time"):
                 q = self._query_matrix(queries)
-                tids, tmask = self._target_ids(targets)
+                if ph is not None:
+                    tids, tmask = ph.target_ids, ph.target_mask
+                else:
+                    tids, tmask = self._target_ids(targets)
             if self.track_stages:
                 self._track_precompute(q, ivpq.codebook.centroids)
             import time as _time
@@ -819,8 +868,10 @@ class Freddy:
                 info = None
             else:
                 d, i, info = ivpq.search_join(
-                    q, k, tids, target_mask=tmask,
-                    vectors=self.store.vectors_norm,
+                    q, k, None if ph is not None else tids, prepared=ph,
+                    target_mask=None if ph is not None else tmask,
+                    vectors=(None if ph is not None
+                             else self.store.vectors_norm),
                     statistics=self._active_statistics(),
                     alpha=p.alpha, pvf=p.pvf, method=p.method,
                     confidence=p.confidence,
@@ -1202,8 +1253,9 @@ class Freddy:
         ``target_recall``.
 
         ``targets``: the target set to tune on (words or ids) — pass the
-        set you will actually join against (tile layouts are cached per
-        target set, so the measurement reflects serving steady state).
+        set you will actually join against. The sweep runs against a
+        :meth:`prepare_targets`-style persistent-tile handle, so its QPS
+        numbers match production steady state on a repeated target set.
         None samples ``target_sample`` random store rows.
 
         Candidates: IVPQ method 0 (ADC) and method 2 (ADC + post-verify,
@@ -1244,10 +1296,16 @@ class Freddy:
         if self.ivpq is not None:
             stats = self._active_statistics()
             v = self.store.vectors_norm
+            # sweep against the persistent-tile path (prepare_join): tile
+            # layouts are reused across production calls on a fixed target
+            # set, so measuring the ad-hoc path would overstate per-call
+            # cost and mistune the winner.
+            ph = self.ivpq.prepare_join(tids, target_mask=tmask, vectors=v)
 
             def join(qq, **kw):
+                kw.pop("vectors", None)   # the handle carries the rows
                 return self.ivpq.search_join(
-                    qq, k, tids, target_mask=tmask, statistics=stats,
+                    qq, k, prepared=ph, statistics=stats,
                     confidence=self.params.confidence,
                     long_codes_threshold=self.params.long_codes_threshold,
                     lut_dtype=self.params.pq_lut_dtype, **kw)
@@ -1387,10 +1445,22 @@ class Freddy:
         if not new_words:
             return 0
         norm_new = jnp.asarray(np.stack(norm_rows))
-        self.store = self.store.extend(new_words, np.stack(raw_rows))
-        self.exact = ExactIndex(self.store.vectors_norm,
-                                self.exact.compute_dtype,
-                                approx=self.exact.approx)
+        # extend_inplace: O(batch) host append + one fused device concat —
+        # extend()'s copy semantics duplicate the 3M-entry vocab dict per
+        # insert on a 1-core host.
+        self.store = self.store.extend_inplace(new_words,
+                                               np.stack(raw_rows))
+        # O(batch) device work: append-quantize only the new rows into the
+        # exact index's capacity buffers (freddy.c:1631-1655 — the
+        # reference's insert appends, never rebuilds). Fused-scan engines
+        # keep the rebuild (tiled layouts don't extend incrementally).
+        if self.exact.fused:
+            self.exact = ExactIndex(self.store.vectors_norm,
+                                    self.exact.compute_dtype,
+                                    approx=self.exact.approx, fused=True)
+        else:
+            self.exact = self.exact.extended(self.store.vectors_norm,
+                                             norm_new)
         if self.pq is not None:
             self.pq = self.pq.add(norm_new)
         if self.ivfadc is not None:

@@ -198,6 +198,38 @@ def exact_top_k_int8(queries: Array, table_i8: Array, scales: Array,
         approx=approx)
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=())
+def _write_rows(table: Array, norms: Array, rows: Array, rnorms: Array,
+                start: Array) -> tuple[Array, Array]:
+    """In-place (donated) row append into capacity buffers — O(batch)
+    device writes, the insert path's hot op."""
+    table = lax.dynamic_update_slice(table, rows, (start, 0))
+    norms = lax.dynamic_update_slice(norms, rnorms, (start,))
+    return table, norms
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_scales(scales: Array, rscales: Array, start: Array) -> Array:
+    return lax.dynamic_update_slice(scales, rscales, (start,))
+
+
+@functools.partial(jax.jit, static_argnames=("new_cap",))
+def _grow_buffers(table: Array, norms: Array, new_cap: int
+                  ) -> tuple[Array, Array]:
+    """Amortized capacity doubling: one bandwidth copy into bigger
+    buffers. Padding rows are zeros with +inf norms, so every search path
+    (dense, chunked, int8, approx) excludes them for free — their distance
+    is ``qq − 0 + inf``."""
+    pad = new_cap - table.shape[0]
+    return (jnp.pad(table, ((0, pad), (0, 0))),
+            jnp.pad(norms, (0, pad), constant_values=jnp.inf))
+
+
+@functools.partial(jax.jit, static_argnames=("new_cap",))
+def _grow_scales(scales: Array, new_cap: int) -> Array:
+    return jnp.pad(scales, (0, new_cap - scales.shape[0]))
+
+
 @dataclasses.dataclass
 class ExactIndex:
     """Brute-force index over an HBM-resident ``(N, d)`` table.
@@ -207,17 +239,32 @@ class ExactIndex:
     pre-cast once; float32 accumulation + float32 row norms keep ranking
     error negligible at 300-d). ``approx`` switches search() to the TPU
     hardware-assisted approximate top-k (recall ≥ ~0.95 per lane bucket).
+
+    Online insertion goes through :meth:`extended` — O(batch) device work
+    per call (amortized), never a whole-table re-quantize.
     """
 
     vectors: Array
     compute_dtype: str = "float32"
     approx: bool = False
     fused: bool = False
+    #: internal: pre-built device state handed over by :meth:`extended`
+    #: (skips the from-scratch __post_init__ build).
+    _prebuilt: tuple | None = dataclasses.field(
+        default=None, repr=False, compare=False)
 
     def __post_init__(self) -> None:
+        if self._prebuilt is not None:
+            (self._table, self._norms, self._scales, self._tiled,
+             self._size) = self._prebuilt
+            self._prebuilt = None
+            if self.fused:   # capacity buffers don't carry tiled layouts
+                raise ValueError("extended() does not support fused mode")
+            return
         v = self.vectors.astype(jnp.float32)
         self._norms = jnp.sum(v * v, axis=-1)
         self._scales = None
+        self._size = int(self.vectors.shape[0])
         if self.compute_dtype == "int8":
             self._table, self._scales = quantize_rows_int8(self.vectors)
         elif self.compute_dtype == "float32":
@@ -231,6 +278,70 @@ class ExactIndex:
             from postgres_word2vec_tpu.ops import pallas_kernels as pk
             self._tiled, self._tiled_norms, self._valid_n = pk.tile_table(
                 self.vectors, dtype=jnp.dtype(self.compute_dtype))
+
+    # ------------------------------------------------------------ mutation
+    _GROW_QUANTUM = 4096   # capacity rounds up to this (bounds recompiles)
+
+    def extended(self, full_vectors: Array, new_rows: Array
+                 ) -> "ExactIndex":
+        """O(batch) successor index after an insert (parity:
+        ``insert_batch`` appends rows, freddy.c:1631-1655 /
+        index_utils.c:959-1074 — the reference never rebuilds on insert).
+
+        Quantizes/casts ONLY ``new_rows`` and writes them into capacity
+        buffers with donated in-place updates; the buffers double
+        (one bandwidth copy, amortized O(1) per row) when full. Padding
+        rows carry +inf norms so every search path excludes them with no
+        masks. ``full_vectors`` is the already-extended store table (used
+        by :meth:`search_in` gathers) — aliased, not copied.
+
+        The RECEIVER is consumed: its table/norms buffers are donated to
+        the successor index (that is what makes the write in-place), so
+        only the returned index may be searched afterwards.
+
+        Not supported in ``fused`` mode (tiled layouts are rebuilt by
+        constructing a fresh index; fused is an opt-in scan variant).
+        """
+        if self.fused:
+            raise ValueError("extended() does not support fused mode — "
+                             "rebuild the fused index instead")
+        b = int(new_rows.shape[0])
+        n = self._size
+        # pad the batch to the growth quantum's divisors (pow2) so the
+        # write program compiles once per size class, padding rows inert
+        # (+inf norms).
+        bp = 1 << max(0, (b - 1)).bit_length()
+        nf = new_rows.astype(jnp.float32)
+        rnorms = jnp.sum(nf * nf, axis=-1)
+        if self.compute_dtype == "int8":
+            rows, rscales = quantize_rows_int8(new_rows)
+        elif self.compute_dtype == "float32":
+            rows, rscales = nf, None
+        else:
+            rows = new_rows.astype(jnp.dtype(self.compute_dtype))
+            rscales = None
+        if bp != b:
+            rows = jnp.pad(rows, ((0, bp - b), (0, 0)))
+            rnorms = jnp.pad(rnorms, (0, bp - b),
+                             constant_values=jnp.inf)
+            if rscales is not None:
+                rscales = jnp.pad(rscales, (0, bp - b))
+        table, norms, scales = self._table, self._norms, self._scales
+        cap = int(table.shape[0])
+        if n + bp > cap:
+            q = self._GROW_QUANTUM
+            new_cap = max(2 * cap, n + bp)
+            new_cap = ((new_cap + q - 1) // q) * q
+            table, norms = _grow_buffers(table, norms, new_cap=new_cap)
+            if scales is not None:
+                scales = _grow_scales(scales, new_cap=new_cap)
+        start = jnp.int32(n)
+        table, norms = _write_rows(table, norms, rows, rnorms, start)
+        if scales is not None:
+            scales = _write_scales(scales, rscales, start)
+        return ExactIndex(full_vectors, self.compute_dtype,
+                          approx=self.approx, fused=False,
+                          _prebuilt=(table, norms, scales, None, n + b))
 
     def search(self, queries: Array, k: int, *, approx: bool | None = None
                ) -> tuple[Array, Array]:

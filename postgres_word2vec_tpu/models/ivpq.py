@@ -534,14 +534,142 @@ def _ivpq_round_budget(queries: Array, coarse_centroids: Array,
     return vals, ids, found, exhausted, predicted
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _round_status(retrieved: Array, exhausted: Array, k: int
-                  ) -> tuple[Array, Array]:
-    """(resolved mask, all-done scalar) for one join round — jitted so the
-    per-chunk status check is ONE dispatch instead of three eager ops
-    (each eager op pays its own ~30 ms tunnel round trip, CLAUDE.md)."""
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "alpha", "pvf", "method", "use_double",
+                     "p_budget", "block_t", "use_pallas", "lut_dtype"))
+def _budget_round_program(queries: Array, coarse_centroids: Array,
+                          codebook_cent: Array, jt: JoinTiles,
+                          target_vecs: Array, target_ids: Array,
+                          statistics: Array, k: int, alpha: int, pvf: int,
+                          method: int, confidence: Array, use_double: bool,
+                          p_budget: int, block_t: int, use_pallas: bool,
+                          lut_dtype: str = "bf16"):
+    """One COMPLETE budget probe round — distance phase + local→global id
+    map + retirement status — as ONE compiled program. On the tunneled
+    chip every separate jitted call pays ~30 ms of transport RTT
+    (CLAUDE.md); the round-4 join issued three per chunk (round, id map,
+    status), which alone explained most of its fixed 0.5 s floor."""
+    vals, lids, retrieved, exhausted, predicted = _ivpq_round_budget(
+        queries, coarse_centroids, codebook_cent, jt, target_vecs,
+        statistics, k, alpha, pvf, method, confidence, use_double,
+        p_budget=p_budget, block_t=block_t, use_pallas=use_pallas,
+        lut_dtype=lut_dtype)
+    ids = jnp.where(lids >= 0, jnp.take(target_ids, jnp.maximum(lids, 0)),
+                    -1).astype(jnp.int32)
     resolved = retrieved >= k
-    return resolved, jnp.all(resolved | exhausted)
+    return (vals, ids, retrieved, exhausted, predicted, resolved,
+            jnp.all(resolved | exhausted))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "alpha", "pvf", "method", "use_double",
+                     "use_pallas"))
+def _dense_round_program(queries: Array, coarse_centroids: Array,
+                         codebook_cent: Array, target_codes: Array,
+                         target_cells: Array, target_ids: Array,
+                         target_mask: Array, statistics: Array,
+                         raw_target_vectors, k: int, alpha: int, pvf: int,
+                         method: int, confidence: Array, use_double: bool,
+                         use_pallas: bool):
+    """Dense-path twin of :func:`_budget_round_program`: full-T masked ADC
+    round + id mapping + retirement status in one compiled program."""
+    if method == PQ_PV_CALC:
+        # run with local ids 0..T-1 so post_verify gathers the (T, d)
+        # target block, then map back to global ids — inside the program.
+        local_ids = jnp.arange(target_ids.shape[0], dtype=jnp.int32)
+        vals, lids, retrieved, exhausted, predicted = _ivpq_round(
+            queries, coarse_centroids, codebook_cent, target_codes,
+            target_cells, local_ids, target_mask, statistics,
+            raw_target_vectors, k, alpha, pvf, method, confidence,
+            use_double, use_pallas)
+        ids = jnp.where(lids >= 0,
+                        jnp.take(target_ids, jnp.maximum(lids, 0)),
+                        -1).astype(jnp.int32)
+    else:
+        vals, ids, retrieved, exhausted, predicted = _ivpq_round(
+            queries, coarse_centroids, codebook_cent, target_codes,
+            target_cells, target_ids, target_mask, statistics,
+            raw_target_vectors, k, alpha, pvf, method, confidence,
+            use_double, use_pallas)
+    resolved = retrieved >= k
+    return (vals, ids, retrieved, exhausted, predicted, resolved,
+            jnp.all(resolved | exhausted))
+
+
+@jax.jit
+def _stack_done(dones: list) -> Array:
+    """Fold many chunks' done scalars into one — a single device read
+    instead of one blocking bool() round trip per chunk."""
+    return jnp.all(jnp.stack(dones))
+
+
+@functools.partial(jax.jit, static_argnames=("with_vecs",))
+def _gather_targets(codes: Array, cell_of: Array, vectors, target_ids: Array,
+                    with_vecs: bool):
+    """Gather a join call's target codes/cells(/raw rows) in ONE compiled
+    program. The round-4 path issued three EAGER ``jnp.take``s per
+    ``search_join`` call — three separate tunnel dispatches on every call
+    even when the tile layout was cached."""
+    t_ids = jnp.maximum(target_ids, 0)
+    tc = jnp.take(codes, t_ids, axis=0)
+    cells = jnp.take(cell_of, t_ids)
+    tv = (jnp.take(vectors, t_ids, axis=0).astype(jnp.float32)
+          if with_vecs else None)
+    return tc, cells, tv
+
+
+@dataclasses.dataclass
+class PreparedJoin:
+    """Reusable TARGET-SET handle for repeated kNN-joins.
+
+    The reference's serving pattern is many join calls against the same
+    restricted domain (the statistics-table use case,
+    freddy--0.0.1.sql:150-171); its per-call cost is one SPI fetch of the
+    probed cells. Round 4's ``search_join`` re-paid per call: three eager
+    target gathers, a content hash over T ids, and (on cache miss) the
+    tile sort+scatter. ``IVPQIndex.prepare_join`` hoists ALL of it into
+    this handle; a prepared ``search_join`` then issues exactly one fused
+    device program per query chunk.
+
+    ``tiles(with_vecs)`` lazily builds/caches the cell-aligned tiling per
+    layout (with_vecs=True only for method 1 exact distances).
+    """
+
+    target_ids: Array           # (T,) int32
+    target_mask: Array          # (T,) bool
+    target_codes: Array         # (T, m) storage dtype
+    target_cells: Array         # (T,) int32
+    target_vecs: Array | None   # (T, d) f32 raw rows (methods 1/2) or None
+    num_cells: int
+    block_t: int
+    build_s: float              # data-retrieval time paid at prepare time
+    _tiles: dict = dataclasses.field(default_factory=dict, repr=False)
+
+    @property
+    def size(self) -> int:
+        return int(self.target_ids.shape[0])
+
+    def tiles(self, with_vecs: bool) -> JoinTiles:
+        jt = self._tiles.get(bool(with_vecs))
+        if jt is None:
+            if with_vecs and self.target_vecs is None:
+                raise ValueError(
+                    "prepare_join was called without vectors — method=1 "
+                    "(exact distances) needs raw target rows")
+            tv = (self.target_vecs if self.target_vecs is not None else
+                  jnp.zeros((self.size, 1), jnp.float32))
+            jt = build_join_tiles(self.target_codes, self.target_cells,
+                                  self.target_mask, tv,
+                                  block_t=self.block_t,
+                                  num_cells=self.num_cells,
+                                  with_vecs=bool(with_vecs))
+            jt = jt._replace(
+                block_t=self.block_t,
+                inf_tile=int(jt.codes_t.shape[1]) // self.block_t - 1)
+            self._tiles[bool(with_vecs)] = jt
+        return jt
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -619,7 +747,64 @@ class IVPQIndex:
                    PQCodebook(fres.centroids, fres.counts), codes, cell_of)
 
     # ------------------------------------------------------------- search
-    def search_join(self, queries: Array, k: int, target_ids: Array, *,
+    def prepare_join(self, target_ids: Array, *,
+                     target_mask: Array | None = None,
+                     vectors: Array | None = None,
+                     block_t: int | None = None,
+                     with_tiles: bool = True,
+                     vecs_pregathered: bool = False) -> PreparedJoin:
+        """Build a reusable :class:`PreparedJoin` handle for a target set.
+
+        Pays the join's entire per-target-set cost ONCE — the code/cell
+        (/raw-row) gathers and the cell-aligned tile layout (the SPI-fetch
+        analog, ivpq_search_in.c:355-405) — so every subsequent
+        ``search_join(..., prepared=handle)`` issues exactly one fused
+        device program per query chunk. Pass ``vectors`` (the store table)
+        if you will run methods 1/2 (exact / ADC+post-verify).
+
+        ``vecs_pregathered=True`` declares that ``vectors`` is ALREADY the
+        (T, d) target-row matrix aligned with ``target_ids`` (e.g. the
+        whole store when the target set is every row in order) — the
+        handle aliases it instead of materializing a gathered copy, which
+        at capacity scale (3M×300 f32 = 3.6 GB) would double the table's
+        HBM footprint.
+        """
+        target_ids = jnp.asarray(target_ids, jnp.int32)
+        if target_mask is None:
+            target_mask = jnp.ones(target_ids.shape, dtype=bool)
+        t = int(target_ids.shape[0])
+        bt = block_t if block_t is not None else (256 if t >= 50_000
+                                                  else 128)
+        t0 = time.perf_counter()
+        if vecs_pregathered:
+            if vectors is None or int(vectors.shape[0]) != t:
+                raise ValueError(
+                    "vecs_pregathered=True needs vectors with one row per "
+                    "target id")
+            tc, cells, _ = _gather_targets(self.codes, self.cell_of,
+                                           self.cell_of, target_ids,
+                                           with_vecs=False)
+            tv = vectors
+        else:
+            tc, cells, tv = _gather_targets(self.codes, self.cell_of,
+                                            self.cell_of if vectors is None
+                                            else vectors,
+                                            target_ids,
+                                            with_vecs=vectors is not None)
+        ph = PreparedJoin(target_ids=target_ids, target_mask=target_mask,
+                          target_codes=tc, target_cells=cells,
+                          target_vecs=tv, num_cells=self.num_cells,
+                          block_t=bt, build_s=0.0)
+        if with_tiles:
+            # default layout (methods 0/2); method-1 tiles build lazily.
+            jt = ph.tiles(with_vecs=False)
+            np.asarray(jt.t_real)  # materialize (CLAUDE.md timing rule)
+        ph.build_s = time.perf_counter() - t0
+        return ph
+
+    def search_join(self, queries: Array, k: int,
+                    target_ids: Array | None = None, *,
+                    prepared: PreparedJoin | None = None,
                     target_mask: Array | None = None,
                     vectors: Array | None = None,
                     statistics: Array | None = None,
@@ -628,12 +813,18 @@ class IVPQIndex:
                     long_codes_threshold: float = 1e7,
                     use_targetlists: bool = True,
                     max_rounds: int = 8,
-                    query_chunk: int = 1024,
+                    query_chunk: int | None = None,
                     impl: str | None = None,
                     budget_tiles: int | None = None,
                     lut_dtype: str = "bf16",
                     return_info: bool = False):
         """Batched kNN-join (``ivpq_search_in`` parity) → (sqdists, ids).
+
+        ``prepared``: a :meth:`prepare_join` handle — the repeated-target-
+        set fast path (one fused device program per query chunk; no
+        per-call gathers, hashing, or tile builds). When given,
+        ``target_ids``/``target_mask``/``vectors`` are taken from the
+        handle.
 
         ``impl``: "budget" (selectivity-proportional tiled probe — cost
         scales with alpha/confidence; default on TPU), "dense" (full-T ADC
@@ -642,6 +833,10 @@ class IVPQIndex:
         cell-sorted tiling IS the reference's per-query target-list
         buffering (ivpq_search_in.c:462-479) reorganized target-major;
         ``use_targetlists=False`` forces the dense path.
+
+        ``query_chunk``: queries per compiled chunk; None auto-selects
+        (2048 on the budget path — its intermediates are
+        B×budget-rows, not B×T — and 1024 on the dense path).
 
         ``lut_dtype``: "bf16" (default) or "int8" — the ADC LUT arithmetic
         of the budget path's grouped kernel (int8 MXU, measured ~1.2x bf16
@@ -652,11 +847,19 @@ class IVPQIndex:
         if lut_dtype not in ("bf16", "int8"):
             raise ValueError(f"lut_dtype must be 'bf16' or 'int8', "
                              f"got {lut_dtype!r}")
+        if prepared is not None:
+            target_ids = prepared.target_ids
+            target_mask = prepared.target_mask
+        elif target_ids is None:
+            raise ValueError("search_join needs target_ids or prepared=")
         if target_mask is None:
             target_mask = jnp.ones(target_ids.shape, dtype=bool)
         if statistics is None:
             statistics = uniform_statistics(self.coarse.cell_counts)
-        if method in (EXACT_CALC, PQ_PV_CALC) and vectors is None:
+        have_vecs = (vectors is not None or
+                     (prepared is not None and
+                      prepared.target_vecs is not None))
+        if method in (EXACT_CALC, PQ_PV_CALC) and not have_vecs:
             raise ValueError("methods 1/2 need raw vectors for exact "
                              "distances")
         if impl is None:
@@ -666,18 +869,28 @@ class IVPQIndex:
             impl = "dense"
         if impl != "budget":
             lut_dtype = "bf16"   # avoid pointless static-arg cache splits
+        if query_chunk is None:
+            query_chunk = 2048 if impl == "budget" else 1024
 
-        t_ids = jnp.maximum(target_ids, 0)
-        target_codes = jnp.take(self.codes, t_ids, axis=0)
-        target_cells = jnp.take(self.cell_of, t_ids)
-        target_vecs = (jnp.take(vectors, t_ids, axis=0)
-                       if vectors is not None else
-                       jnp.zeros((target_ids.shape[0], queries.shape[1]),
-                                 jnp.float32))
+        if prepared is not None:
+            target_codes = prepared.target_codes
+            target_cells = prepared.target_cells
+            target_vecs = prepared.target_vecs
+        else:
+            target_codes, target_cells, target_vecs = _gather_targets(
+                self.codes, self.cell_of,
+                self.cell_of if vectors is None else vectors,
+                target_ids, with_vecs=vectors is not None)
+        if target_vecs is None:
+            # methods that never touch raw rows (0) still pass the arg;
+            # a host-side placeholder adds no device program.
+            target_vecs = np.zeros((1, 1), np.float32)
 
         jt = None
         data_retrieval_s = 0.0
-        if impl == "budget":
+        if impl == "budget" and prepared is not None:
+            jt = prepared.tiles(with_vecs=method == EXACT_CALC)
+        elif impl == "budget":
             t = target_ids.shape[0]
             block_t = 256 if t >= 50_000 else 128
             with_vecs = method == EXACT_CALC
@@ -705,7 +918,9 @@ class IVPQIndex:
                 # completion on the tunneled chip — CLAUDE.md).
                 t0 = time.perf_counter()
                 jt = build_join_tiles(
-                    target_codes, target_cells, target_mask, target_vecs,
+                    target_codes, target_cells, target_mask, target_vecs
+                    if with_vecs else jnp.zeros((target_ids.shape[0], 1),
+                                                jnp.float32),
                     block_t=block_t, num_cells=self.num_cells,
                     with_vecs=with_vecs)
                 np.asarray(jt.t_real)
@@ -747,14 +962,21 @@ class IVPQIndex:
                 long_codes_threshold, jt=jt, budget_tiles=budget_tiles,
                 lut_dtype=lut_dtype)
             chunks.append((pad_q, qc, state))
-        # Phase 2: resolve each chunk (escalation rounds are rare; the
-        # common path is one bool() on an already-computed scalar).
+        # Phase 2: resolve each chunk. Multi-chunk calls first read ONE
+        # combined all-chunks-done scalar (one device round trip instead
+        # of one blocking bool() per chunk); only when some chunk isn't
+        # done does the per-chunk escalation path pay its own read.
+        all_done = None
+        if len(chunks) > 1:
+            all_done = bool(np.asarray(_stack_done(
+                [st["done"] for (_p, _q, st) in chunks])))
         out_vals, out_ids, infos = [], [], []
         for pad_q, qc, state in chunks:
             vals, ids, info = self._join_escalate(
                 qc, state, *shared, k, alpha, pvf, method, confidence,
                 long_codes_threshold, max_rounds, jt=jt,
-                budget_tiles=budget_tiles, lut_dtype=lut_dtype)
+                budget_tiles=budget_tiles, lut_dtype=lut_dtype,
+                done_hint=True if all_done else None)
             out_vals.append(vals)
             out_ids.append(ids)
             infos.append((pad_q, info))
@@ -822,11 +1044,11 @@ class IVPQIndex:
         # requested neighbor count (parity: ivpq_search_in.c:262
         # "alpha * k > double_threshold").
         use_double = alpha * k > long_codes_threshold
-        vals, ids, retrieved, exhausted, predicted = self._run_round(
+        (vals, ids, retrieved, exhausted, predicted, resolved,
+         done) = self._run_round(
             queries, target_codes, target_cells, target_ids, target_mask,
             target_vecs, statistics, k, int(alpha), pvf, method, conf_arr,
             use_double, jt, budget_tiles, lut_dtype)
-        resolved, done = _round_status(retrieved, exhausted, k=k)
         return dict(vals=vals, ids=ids, retrieved=retrieved,
                     exhausted=exhausted, predicted=predicted,
                     resolved=resolved, done=done)
@@ -835,10 +1057,12 @@ class IVPQIndex:
                        target_ids, target_mask, target_vecs, statistics, k,
                        alpha, pvf, method, confidence, long_codes_threshold,
                        max_rounds, jt=None, budget_tiles=None,
-                       lut_dtype="bf16"):
+                       lut_dtype="bf16", done_hint: bool | None = None):
         """Alpha-escalation loop over fixed-shape rounds
         (ivpq_search_in.c:639-684), continuing from a ``_join_round1``
-        state."""
+        state. ``done_hint=True`` means the caller already read a combined
+        all-chunks-done scalar (one device read for the whole batch), so
+        the per-chunk blocking bool() is skipped."""
         conf_arr = jnp.float32(confidence)
         cur_alpha = int(alpha)
         best_vals, best_ids = state["vals"], state["ids"]
@@ -846,11 +1070,13 @@ class IVPQIndex:
         resolved, done = state["resolved"], state["done"]
         rounds = 1
         for _ in range(max_rounds - 1):
-            if bool(done):
+            if done_hint if done_hint is not None else bool(done):
                 break
+            done_hint = None    # only valid for the round-1 state
             cur_alpha += cur_alpha  # alpha += alpha (ivpq_search_in.c:682)
             use_double = cur_alpha * k > long_codes_threshold
-            vals, ids, retrieved, exhausted, predicted = self._run_round(
+            (vals, ids, retrieved, exhausted, predicted, _resolved,
+             _done) = self._run_round(
                 queries, target_codes, target_cells, target_ids, target_mask,
                 target_vecs, statistics, k, cur_alpha, pvf, method, conf_arr,
                 use_double, jt, budget_tiles, lut_dtype)
@@ -876,31 +1102,18 @@ class IVPQIndex:
                    target_mask, target_vecs, statistics, k, alpha, pvf,
                    method, confidence, use_double, jt=None,
                    budget_tiles=None, lut_dtype="bf16"):
+        """One probe round as ONE fused device program (distance phase +
+        id map + retirement status) → 7-tuple
+        (vals, gids, retrieved, exhausted, predicted, resolved, done)."""
         if jt is not None:
             p = self._budget_for(jt, k, alpha, budget_tiles)
-            vals, lids, retrieved, exhausted, predicted = _ivpq_round_budget(
+            return _budget_round_program(
                 queries, self.coarse.centroids, self.codebook.centroids,
-                jt, target_vecs, statistics, k, alpha, pvf, method,
-                confidence, use_double, p_budget=p, block_t=jt.block_t,
-                use_pallas=_use_pallas(), lut_dtype=lut_dtype)
-            ids = jnp.where(lids >= 0,
-                            jnp.take(target_ids, jnp.maximum(lids, 0)),
-                            -1).astype(jnp.int32)
-            return vals, ids, retrieved, exhausted, predicted
-        if method == PQ_PV_CALC:
-            # run with local ids 0..T-1 so post_verify gathers the (T, d)
-            # target block, then map back to global ids.
-            local_ids = jnp.arange(target_ids.shape[0], dtype=jnp.int32)
-            vals, lids, retrieved, exhausted, predicted = _ivpq_round(
-                queries, self.coarse.centroids, self.codebook.centroids,
-                target_codes, target_cells, local_ids, target_mask,
-                statistics, target_vecs, k, alpha, pvf, method, confidence,
-                use_double, _use_pallas())
-            ids = jnp.where(lids >= 0,
-                            jnp.take(target_ids, jnp.maximum(lids, 0)),
-                            -1).astype(jnp.int32)
-            return vals, ids, retrieved, exhausted, predicted
-        return _ivpq_round(
+                jt, target_vecs, target_ids, statistics, k, alpha, pvf,
+                method, confidence, use_double, p_budget=p,
+                block_t=jt.block_t, use_pallas=_use_pallas(),
+                lut_dtype=lut_dtype)
+        return _dense_round_program(
             queries, self.coarse.centroids, self.codebook.centroids,
             target_codes, target_cells, target_ids, target_mask, statistics,
             target_vecs, k, alpha, pvf, method, confidence, use_double,

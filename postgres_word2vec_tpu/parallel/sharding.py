@@ -119,7 +119,8 @@ def _use_pallas_default(use_pallas: bool | None) -> bool:
 
 def _shard_adc_top_k_local(l: Array, c_shard: Array, k_eff: int,
                            use_pallas: bool, interpret: bool,
-                           block_n: int = 2048) -> tuple[Array, Array]:
+                           block_n: int = 2048, lut_dtype: str = "bf16"
+                           ) -> tuple[Array, Array]:
     """Per-shard exhaustive ADC top-k: the one-hot matmul-scan kernel on
     TPU (the gather formulation measured ~6× slower on-chip — ROOFLINE),
     the XLA gather twin elsewhere. Runs INSIDE shard_map: the (S, m) →
@@ -132,20 +133,24 @@ def _shard_adc_top_k_local(l: Array, c_shard: Array, k_eff: int,
     pad = (-s) % block_n
     ct = jnp.pad(c_shard, ((0, pad), (0, 0))).T
     return pk.adc_top_k_pallas(l, ct, k_eff, valid_n=s, block_n=block_n,
-                               approx=False, interpret=interpret)
+                               approx=False, lut_dtype=lut_dtype,
+                               interpret=interpret)
 
 
 def sharded_adc_top_k(mesh: Mesh, luts: Array, codes: Array, k: int, *,
                       valid_rows: int | None = None,
                       use_pallas: bool | None = None,
+                      lut_dtype: str = "bf16",
                       interpret: bool = False) -> tuple[Array, Array]:
     """Exhaustive PQ ADC top-k over a rows-sharded ``(N, m)`` code table
     (the multi-chip ``pq_search``). LUTs are per-query and replicated over
     rows; the 36 MB/3M code shard stays put, only k ids/device move.
 
     ``use_pallas`` (None = auto by backend) selects the one-hot matmul-scan
-    kernel per shard; ``interpret`` runs that kernel in interpret mode so
-    the mesh+kernel composition is CPU-testable."""
+    kernel per shard; ``lut_dtype="int8"`` selects its int8-MXU LUT
+    arithmetic per shard (no-op on the XLA twin, which has no quantized
+    variant); ``interpret`` runs the kernel in interpret mode so the
+    mesh+kernel composition is CPU-testable."""
     n = codes.shape[0]
     n_valid = n if valid_rows is None else valid_rows
     n_rows_shards = mesh.shape[ROWS_AXIS]
@@ -160,7 +165,8 @@ def sharded_adc_top_k(mesh: Mesh, luts: Array, codes: Array, k: int, *,
         out_specs=(P(Q_AXIS), P(Q_AXIS)), check_vma=False)
     def run(l, c_shard):
         d, i = _shard_adc_top_k_local(l, c_shard, min(k, shard_size),
-                                      use_pl, interpret)
+                                      use_pl, interpret,
+                                      lut_dtype=lut_dtype)
         offset = lax.axis_index(ROWS_AXIS) * shard_size
         d = jnp.where(i + offset < n_valid, d, jnp.inf)
         return _merge_global(d, i, k, shard_size)
@@ -240,12 +246,14 @@ def sharded_exact_in(mesh: Mesh, queries: Array, vectors: Array,
 def sharded_adc_in(mesh: Mesh, luts: Array, codes: Array,
                    target_ids: Array, target_mask: Array, k: int, *,
                    use_pallas: bool | None = None,
+                   lut_dtype: str = "bf16",
                    interpret: bool = False) -> tuple[Array, Array]:
     """PQ ADC in-set top-k over a rows-sharded code table (multi-chip
     ``pq_search_in`` / ``pq_search_in_batch``): same owner-partitioned
     layout as :func:`sharded_exact_in`; the gathered target codes are
     scored with the one-hot matmul-scan kernel on TPU (``use_pallas``
-    auto) and the XLA gather twin elsewhere."""
+    auto, ``lut_dtype="int8"`` for its int8-MXU LUT arithmetic) and the
+    XLA gather twin elsewhere."""
     use_pl = _use_pallas_default(use_pallas)
 
     def dist(l, rows):
@@ -256,7 +264,7 @@ def sharded_adc_in(mesh: Mesh, luts: Array, codes: Array,
         bn = min(2048, _round_up_int(t, 512))
         pad = (-t) % bn
         ct = jnp.pad(rows, ((0, pad), (0, 0))).T
-        return pk.adc_scan_pallas(l, ct, block_n=bn,
+        return pk.adc_scan_pallas(l, ct, block_n=bn, lut_dtype=lut_dtype,
                                   interpret=interpret)[:, :t]
 
     return _sharded_in_topk(mesh, luts, codes, target_ids, target_mask, k,

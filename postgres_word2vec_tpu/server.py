@@ -11,7 +11,10 @@ Endpoints (POST JSON unless noted):
     /knn          {"query": word|vector, "k": int}
     /knn_in       {"query": …, "k": int, "targets": [words|ids]}
     /knn_batch    {"queries": [words], "k": int}
-    /knn_join     {"queries": [words], "k": int, "targets": [words|ids]}
+    /knn_join     {"queries": [words], "k": int,
+                   "targets": [words|ids] | "registered-name"}
+    /prepare_targets {"name": "...", "targets": [words|ids]} — register a
+                   persistent-tile target set for repeated /knn_join calls
     /analogy      {"w1": w, "w2": w, "w3": w}
     /analogy_in   {…, "targets": [words]}
     /groups       {"tokens": [...], "group_tokens": [...]}
@@ -396,8 +399,15 @@ class QueryServer:
             if path == "/knn_batch":
                 return eng.knn_batch(body["queries"], int(body.get("k", 5)))
             if path == "/knn_join":
+                # "targets" may be a list OR the name of a target set
+                # registered via /prepare_targets (persistent-tile reuse).
                 return eng.knn_join(body["queries"], int(body.get("k", 5)),
                                     body["targets"])
+            if path == "/prepare_targets":
+                ph = eng.prepare_targets(body["targets"],
+                                         name=body["name"])
+                return {"prepared": body["name"], "size": ph.size,
+                        "build_s": round(ph.build_s, 4)}
             if path == "/analogy":
                 return eng.analogy(body["w1"], body["w2"], body["w3"])
             if path == "/analogy_in":

@@ -28,6 +28,15 @@ from postgres_word2vec_tpu.ops.vector_ops import vec_normalize
 Array = jax.Array
 
 
+@jax.jit
+def _extend_tables(vectors, vectors_norm, new_raw):
+    """Append new rows to both tables in ONE compiled program (raw concat
+    + normalize-and-concat) — one device dispatch per insert batch."""
+    nv = new_raw.astype(jnp.float32)
+    return (jnp.concatenate([vectors, nv], axis=0),
+            jnp.concatenate([vectors_norm, vec_normalize(nv)], axis=0))
+
+
 @dataclasses.dataclass
 class VectorStore:
     """Vocabulary + device-resident vector tables.
@@ -138,6 +147,30 @@ class VectorStore:
         for i, w in enumerate(words, start=len(self.words)):
             w2i[w] = i
         return VectorStore(new_words, w2i, new_vecs, new_norm)
+
+    def extend_inplace(self, words: Sequence[str], vectors) -> "VectorStore":
+        """O(batch) insert-path variant of :meth:`extend`: mutates THIS
+        store and returns it.
+
+        :meth:`extend`'s copy semantics duplicate the whole vocabulary per
+        call (a 3M-entry dict copy is ~100s of ms on a 1-core host —
+        O(N) host work per insert, where the reference's insert is
+        O(batch), freddy.c:1403-1658). Here the host side is a pure append
+        (list.extend + dict update) and the device side is ONE fused
+        concat program (two table memcpys — bandwidth, no per-row
+        recompute of existing rows). Duplicate checks happen BEFORE any
+        mutation, so a raise leaves the store untouched."""
+        for w in words:
+            if w in self.word_to_id:
+                raise ValueError(f"word already present: {w!r}")
+        vecs = jnp.asarray(vectors, dtype=jnp.float32)
+        self.vectors, self.vectors_norm = _extend_tables(
+            self.vectors, self.vectors_norm, vecs)
+        start = len(self.words)
+        self.words.extend(words)
+        for i, w in enumerate(words, start=start):
+            self.word_to_id[w] = i
+        return self
 
     # --------------------------------------------------------- persistence
     def save(self, path: str | Path) -> None:

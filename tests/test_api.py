@@ -397,3 +397,44 @@ def test_autotune_join_no_apply(engine):
                          apply=False)
     assert engine.dispatch == before
     assert engine.params.alpha == alpha_before
+
+
+def test_prepare_targets_handle_and_name(engine):
+    """Engine-level prepared target sets: handle and registered-name calls
+    must match the ad-hoc join exactly, for every join family."""
+    targets = [f"w{i}" for i in range(4, 304)]
+    adhoc = engine.knn_in_ivpq_batch(["w10", "w20"], 3, targets)
+    ph = engine.prepare_targets(targets, name="dom")
+    assert ph.size == len(targets)
+    via_handle = engine.knn_in_ivpq_batch(["w10", "w20"], 3, ph)
+    via_name = engine.knn_in_ivpq_batch(["w10", "w20"], 3, "dom")
+    assert adhoc == via_handle == via_name
+    # exact + PQ joins accept the handle too (id reuse)
+    ex1 = engine.knn_search_in_batch(["w10"], 3, targets)
+    ex2 = engine.knn_search_in_batch(["w10"], 3, "dom")
+    assert ex1 == ex2
+    pq1 = engine.knn_in_pq_batch(["w10"], 3, targets)
+    pq2 = engine.knn_in_pq_batch(["w10"], 3, ph)
+    assert pq1 == pq2
+    with pytest.raises(KeyError, match="no prepared target set"):
+        engine.knn_in_ivpq_batch(["w10"], 3, "unknown-name")
+
+
+def test_insert_batch_incremental_exact_int8():
+    """insert_batch with the production int8 exact index: O(batch)
+    extension must keep the new terms searchable and never leak capacity
+    padding rows; repeated inserts reuse capacity (amortized growth)."""
+    store = _make_store(400)
+    eng = Freddy.build(store, seed=0, with_pq=False, with_ivfadc=False,
+                       with_ivpq=False, exact_dtype="int8",
+                       exact_approx=False)
+    assert eng.insert_batch(["w10 w20"]) == 1
+    cap1 = eng.exact._table.shape[0]
+    res = eng.knn("w10 w20", 3)
+    assert res[0][0] == "w10 w20"
+    assert eng.insert_batch(["w11 w21", "w12 w22"]) == 2
+    assert eng.exact._table.shape[0] == cap1      # no regrow
+    assert eng.exact._size == 403
+    # all results map to real vocab rows (no padding leakage)
+    for w, _s in eng.knn("w12 w22", 5):
+        assert w in eng.store

@@ -1,5 +1,6 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from postgres_word2vec_tpu.models.exact import ExactIndex
 
@@ -133,3 +134,45 @@ def test_exact_top_k_snapped_chunk_matches_unchunked(rng):
     np.testing.assert_array_equal(np.asarray(want_i), np.asarray(got_i))
     np.testing.assert_allclose(np.asarray(want_v), np.asarray(got_v),
                                rtol=1e-5)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16", "int8"])
+def test_extended_matches_fresh_build(dtype):
+    """O(batch) extended() must search exactly like an index built from
+    scratch on the concatenated table (per-row quantization makes int8
+    bitwise identical)."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(500, 32)).astype(np.float32)
+    extra = rng.normal(size=(37, 32)).astype(np.float32)
+    full = jnp.asarray(np.concatenate([base, extra], 0))
+    idx = ExactIndex(jnp.asarray(base), dtype)
+    idx2 = idx.extended(full, jnp.asarray(extra))
+    fresh = ExactIndex(full, dtype)
+    q = jnp.asarray(rng.normal(size=(6, 32)).astype(np.float32))
+    d_e, i_e = idx2.search(q, 7)
+    d_f, i_f = fresh.search(q, 7)
+    np.testing.assert_array_equal(np.asarray(i_e), np.asarray(i_f))
+    np.testing.assert_allclose(np.asarray(d_e), np.asarray(d_f),
+                               rtol=1e-5, atol=1e-5)
+    # capacity padding rows never leak into results
+    assert (np.asarray(i_e) < 537).all()
+    # repeated extension reuses capacity (amortized growth)
+    idx3 = idx2.extended(full, jnp.asarray(extra[:4]))  # ids alias test only
+    assert idx3._size == 537 + 4
+    assert idx3._table.shape[0] == idx2._table.shape[0]  # no regrow
+    # search_in gathers from the aliased full table
+    tids = jnp.asarray(np.arange(500, 537, dtype=np.int32))
+    d_in, i_in = idx2.search_in(q, 3, tids)
+    assert (np.asarray(i_in) >= 500).all()
+
+
+def test_extended_rejects_fused():
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.normal(size=(256, 16)).astype(np.float32))
+    idx = ExactIndex(v, "float32")
+    idx._size = 256
+    import dataclasses as dc
+    fused_like = dc.replace(idx)   # plain copy, then mark fused
+    fused_like.fused = True
+    with pytest.raises(ValueError, match="fused"):
+        fused_like.extended(v, v[:2])

@@ -361,3 +361,65 @@ def test_budget_join_matches_dense_bench_regime():
                                atol=1e-4)
     for a, b in zip(np.asarray(idn), np.asarray(idb)):
         assert set(a.tolist()) == set(b.tolist())
+
+
+@pytest.mark.parametrize("method", [PQ_CALC, EXACT_CALC, PQ_PV_CALC])
+def test_prepared_join_matches_unprepared(idx, dataset, method):
+    """search_join(prepared=handle) must reproduce the ad-hoc call bit for
+    bit on both impls — the handle only hoists gathers/tiling, never
+    changes the computation."""
+    T = 1400
+    tids = jnp.arange(T, dtype=jnp.int32)
+    q = jnp.asarray(dataset[:10])
+    v = jnp.asarray(dataset)
+    ph = idx.prepare_join(tids, vectors=v)
+    assert ph.size == T and ph.build_s >= 0.0
+    for impl in ("budget", "dense"):
+        kw = dict(alpha=20, method=method, confidence=0.8, impl=impl,
+                  budget_tiles=64)
+        vd, idn = idx.search_join(q, 5, tids, vectors=v, **kw)
+        vp, idp = idx.search_join(q, 5, prepared=ph, **kw)
+        np.testing.assert_allclose(np.asarray(vp), np.asarray(vd),
+                                   rtol=1e-4, atol=1e-4)
+        for a, b in zip(np.asarray(idn), np.asarray(idp)):
+            assert set(a.tolist()) == set(b.tolist()), (impl, method)
+
+
+def test_prepared_join_tile_layouts_cached(idx, dataset):
+    """tiles() builds each layout once; method 1 without vectors raises."""
+    tids = jnp.arange(900, dtype=jnp.int32)
+    ph = idx.prepare_join(tids)   # no vectors
+    jt1 = ph.tiles(with_vecs=False)
+    assert ph.tiles(with_vecs=False) is jt1
+    with pytest.raises(ValueError, match="vectors"):
+        ph.tiles(with_vecs=True)
+    with pytest.raises(ValueError, match="raw vectors"):
+        idx.search_join(jnp.asarray(dataset[:2]), 3, prepared=ph,
+                        method=PQ_PV_CALC)
+    # with vectors: the method-1 layout builds lazily and is cached
+    ph2 = idx.prepare_join(tids, vectors=jnp.asarray(dataset))
+    jt2 = ph2.tiles(with_vecs=True)
+    assert ph2.tiles(with_vecs=True) is jt2
+
+
+def test_prepared_join_respects_mask_and_chunking(idx, dataset):
+    T = 1100
+    tids = jnp.arange(T, dtype=jnp.int32)
+    mask = np.ones(T, bool)
+    mask[300:] = False
+    ph = idx.prepare_join(tids, target_mask=jnp.asarray(mask))
+    q = jnp.asarray(dataset[:20])
+    v1, i1 = idx.search_join(q, 5, prepared=ph, impl="budget",
+                             budget_tiles=64, alpha=30)
+    assert (np.asarray(i1) < 300).all()
+    # multi-chunk prepared call merges exactly like the single chunk
+    v2, i2 = idx.search_join(q, 5, prepared=ph, impl="budget",
+                             budget_tiles=64, alpha=30, query_chunk=8)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+
+
+def test_search_join_requires_targets_or_prepared(idx, dataset):
+    with pytest.raises(ValueError, match="target_ids or prepared"):
+        idx.search_join(jnp.asarray(dataset[:2]), 3)

@@ -276,3 +276,18 @@ def test_knn_in_microbatch_mixed_targets_and_bad_items(server):
             server.engine.set_knn_in_function("knn_in_exact")
     finally:
         srv.stop()
+
+
+def test_prepare_targets_endpoint(server):
+    targets = [f"w{i}" for i in range(50)]
+    code, r = _post(server, "/prepare_targets",
+                    {"name": "dom", "targets": targets})
+    assert code == 200 and r["result"]["size"] == 50
+    code, adhoc = _post(server, "/knn_join",
+                        {"queries": ["w1", "w2"], "k": 3,
+                         "targets": targets})
+    code2, named = _post(server, "/knn_join",
+                         {"queries": ["w1", "w2"], "k": 3,
+                          "targets": "dom"})
+    assert code == code2 == 200
+    assert adhoc["result"] == named["result"]

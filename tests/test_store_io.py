@@ -90,3 +90,24 @@ def test_native_long_slowpath_token(sample, tmp_path):
     np.testing.assert_allclose(np.asarray(s.vectors),
                                [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]],
                                atol=1e-6)
+
+
+def test_extend_inplace_matches_extend(sample):
+    words, vecs, _ = sample
+    s1 = VectorStore.from_arrays(words, vecs)
+    s2 = VectorStore.from_arrays(words, vecs)
+    out_copy = s1.extend(["n1", "n2"], vecs[:2] * 3)
+    ret = s2.extend_inplace(["n1", "n2"], vecs[:2] * 3)
+    assert ret is s2
+    assert s2.words == out_copy.words
+    assert s2.word_to_id == out_copy.word_to_id
+    np.testing.assert_allclose(np.asarray(s2.vectors),
+                               np.asarray(out_copy.vectors), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2.vectors_norm),
+                               np.asarray(out_copy.vectors_norm), rtol=1e-6)
+    # duplicate check fires BEFORE mutation
+    n0 = s2.size
+    import pytest
+    with pytest.raises(ValueError, match="already present"):
+        s2.extend_inplace(["fresh", "n1"], vecs[:2])
+    assert s2.size == n0 and "fresh" not in s2
