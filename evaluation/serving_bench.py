@@ -105,12 +105,85 @@ def client_proc(cid, port, n, k, seconds, q):
     q.put((my_lat, err))
 
 
-def run_window(port, n, k, clients, seconds):
+def client_proc_raw(cid, port, n, k, seconds, q, check=True):
+    """Minimal raw-socket closed-loop client: prebuilt request bytes and a
+    content-length body reader instead of http.client's full response
+    machinery. On the 1-core bench host the CLIENT fleet shares the
+    server's core, so client-side parsing cost directly depresses the
+    measured server QPS — this keeps the measurement about the server.
+    Every 64th response is json-decoded and sanity-checked so correctness
+    stays verified without paying decode per request."""
+    import socket
+
+    r = np.random.default_rng(cid)
+
+    def connect():
+        s = socket.create_connection(("127.0.0.1", port), timeout=60)
+        s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        return s
+
+    sock = connect()
+    buf = b""
+    my_lat = []
+    err = 0
+    i = 0
+    stop_t = time.time() + seconds
+    while time.time() < stop_t:
+        w = f"w{int(r.integers(0, n))}"
+        body = ('{"query": "%s", "k": %d}' % (w, k)).encode()
+        req = (b"POST /knn HTTP/1.1\r\nHost: l\r\n"
+               b"Content-Type: application/json\r\nContent-Length: "
+               + str(len(body)).encode() + b"\r\n\r\n" + body)
+        t0 = time.perf_counter()
+        try:
+            sock.sendall(req)
+            while b"\r\n\r\n" not in buf:
+                chunk = sock.recv(65536)
+                if not chunk:
+                    raise ConnectionError("closed")
+                buf += chunk
+            head, _, buf = buf.partition(b"\r\n\r\n")
+            cl = int(head.lower().split(b"content-length:")[1]
+                     .split(b"\r\n")[0])
+            while len(buf) < cl:
+                chunk = sock.recv(65536)
+                if not chunk:
+                    raise ConnectionError("closed")
+                buf += chunk
+            payload, buf = buf[:cl], buf[cl:]
+            if head.startswith(b"HTTP/1.1 200"):
+                my_lat.append(time.perf_counter() - t0)
+                if check and i % 64 == 0:   # periodic correctness check
+                    rows = json.loads(payload)["result"]
+                    assert rows and rows[0][0] == w, rows[:1]
+            else:
+                err += 1
+        except Exception:
+            err += 1
+            try:
+                sock.close()
+            except Exception:
+                pass
+            buf = b""
+            try:
+                sock = connect()
+            except Exception:
+                break
+        i += 1
+    q.put((my_lat, err))
+
+
+def run_window(port, n, k, clients, seconds, client_kind="raw"):
     ctx = mp.get_context("fork")
     outq = ctx.Queue()
-    procs = [ctx.Process(target=client_proc,
-                         args=(i, port, n, k, seconds, outq))
-             for i in range(clients)]
+    if client_kind == "http":
+        mk = [(client_proc, (i, port, n, k, seconds, outq))
+              for i in range(clients)]
+    else:
+        check = client_kind != "raw_nocheck"
+        mk = [(client_proc_raw, (i, port, n, k, seconds, outq, check))
+              for i in range(clients)]
+    procs = [ctx.Process(target=fn, args=a) for fn, a in mk]
     t0 = time.perf_counter()
     for p in procs:
         p.start()
@@ -137,6 +210,54 @@ def run_window(port, n, k, clients, seconds):
             "latency_ms": {"p50": pct(50), "p95": pct(95), "p99": pct(99)}}
 
 
+def run_echo_floor(clients, seconds, k, client_kind):
+    """Measure the harness/transport floor: the SAME client fleet against
+    a canned-response aiohttp server (no engine, no device). The gap
+    between this and the engine sweep is the serving runtime's true cost;
+    the floor itself is what the 1-core host + HTTP transport can do at
+    all."""
+    import threading
+
+    import asyncio
+    from aiohttp import web
+
+    canned = {"result": [[f"w{i}", 0.5] for i in range(k)]}
+    payload = json.dumps(canned).encode()
+    ready = threading.Event()
+    port_box = {}
+    stop_box = {}
+
+    async def handler(request):
+        await request.read()
+        return web.Response(body=payload, content_type="application/json")
+
+    async def main_srv():
+        app = web.Application()
+        app.router.add_post("/{tail:.*}", handler)
+        runner = web.AppRunner(app, access_log=None)
+        await runner.setup()
+        site = web.TCPSite(runner, "127.0.0.1", 0)
+        await site.start()
+        port_box["port"] = site._server.sockets[0].getsockname()[1]
+        stop_box["ev"] = asyncio.Event()
+        stop_box["loop"] = asyncio.get_running_loop()
+        ready.set()
+        await stop_box["ev"].wait()
+        await runner.cleanup()
+
+    th = threading.Thread(target=lambda: asyncio.run(main_srv()),
+                          daemon=True)
+    th.start()
+    ready.wait(30)
+    # the echo payload has no per-word correctness; disable the raw
+    # client's periodic check by using the http client check-free path
+    w = run_window(port_box["port"], 10, k, clients, seconds,
+                   client_kind="http" if client_kind == "http" else "raw_nocheck")
+    stop_box["loop"].call_soon_threadsafe(stop_box["ev"].set)
+    th.join(timeout=10)
+    return w
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=3_072_000)
@@ -149,6 +270,11 @@ def main():
     ap.add_argument("--families", default="exact,pq_pv,ivfadc_pv",
                     help="comma list of " + ",".join(FAMILY_IMPL))
     ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--server", choices=("threaded", "async"),
+                    default="async")
+    ap.add_argument("--client", choices=("raw", "http"), default="raw")
+    ap.add_argument("--echo-floor", action="store_true",
+                    help="also measure the no-engine transport floor")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "reports",
         "serving_3M.json"))
@@ -177,15 +303,21 @@ def main():
     log(f"engine up in {time.perf_counter() - t0:.1f}s "
         f"(pq={need_pq} ivfadc={need_ivf})")
 
-    srv = QueryServer(eng, port=0, max_batch=args.max_batch,
-                      batch_window_ms=args.window_ms)
+    if args.server == "async":
+        from postgres_word2vec_tpu.server_async import AsyncQueryServer
+        srv = AsyncQueryServer(eng, port=0, max_batch=args.max_batch,
+                               batch_window_ms=args.window_ms)
+    else:
+        srv = QueryServer(eng, port=0, max_batch=args.max_batch,
+                          batch_window_ms=args.window_ms)
     srv.start()
-    log(f"server on :{srv.port}")
+    log(f"{args.server} server on :{srv.port}")
 
     results = {
         "n": args.n, "clients": args.clients, "seconds": args.seconds,
         "k": args.k, "max_batch": args.max_batch,
         "window_ms": args.window_ms, "host_cpus": os.cpu_count(),
+        "server": args.server, "client": args.client,
         "families": {},
         "note": "concurrent single-query /knn clients; server coalesces "
                 "into device batches (micro-batching); one window per knn "
@@ -194,6 +326,13 @@ def main():
                 "share one core, so QPS is host-CPU-bound and varies 2-3x "
                 "run to run — compare medians across repeats.",
     }
+
+    if args.echo_floor:
+        w = run_echo_floor(args.clients, args.seconds, args.k, args.client)
+        results["echo_floor"] = w
+        log(f"[echo-floor] qps={w['qps']:.0f} "
+            f"p50={w['latency_ms']['p50']:.1f}ms (no engine — harness + "
+            f"transport ceiling on this host)")
 
     for fam in families:
         eng.dispatch["knn"] = FAMILY_IMPL[fam]
@@ -207,7 +346,7 @@ def main():
         trials = []
         for rep in range(args.repeats):
             w = run_window(srv.port, args.n, args.k, args.clients,
-                           args.seconds)
+                           args.seconds, client_kind=args.client)
             trials.append(w)
             log(f"[{fam}] trial {rep}: qps={w['qps']:.0f} "
                 f"p50={w['latency_ms']['p50']:.1f}ms "

@@ -133,28 +133,17 @@ class _MicroBatcher:
                 s["event"].set()
 
 
-class QueryServer:
-    """Wraps an engine with a threaded HTTP server."""
+class EngineRunner:
+    """Engine-execution core shared by the threaded and async servers:
+    query resolution, pow2-padded gathers, the coalesced batch runners,
+    and the device lock. Front ends differ only in how they parse HTTP
+    and coalesce requests."""
 
-    def __init__(self, engine: Freddy, host: str = "127.0.0.1",
-                 port: int = 8765, batch_window_ms: float = 2.0,
-                 max_batch: int = 64):
+    def __init__(self, engine: Freddy):
         self.engine = engine
         self.stage_s = {"resolve": 0.0, "gather": 0.0, "search": 0.0,
                         "format": 0.0}
         self._lock = threading.Lock()
-        self._requests = 0
-        self._started = time.time()
-        self._knn_batcher = _MicroBatcher(self._run_knn_batch,
-                                          max_batch=max_batch,
-                                          window_ms=batch_window_ms)
-        self._knn_in_batcher = _MicroBatcher(self._run_knn_in_batch,
-                                             max_batch=max_batch,
-                                             window_ms=batch_window_ms)
-        handler = self._make_handler()
-        self.httpd = ThreadingHTTPServer((host, port), handler)
-        self.port = self.httpd.server_address[1]
-        self._thread: threading.Thread | None = None
 
     # -------------------------------------------------- knn micro-batching
     def _resolve_queries(self, entries, out: list
@@ -338,6 +327,29 @@ class QueryServer:
                     out[j] = e
         return out
 
+class QueryServer:
+    """Wraps an engine with a threaded HTTP server."""
+
+    def __init__(self, engine: Freddy, host: str = "127.0.0.1",
+                 port: int = 8765, batch_window_ms: float = 2.0,
+                 max_batch: int = 64):
+        self.engine = engine
+        self.runner = EngineRunner(engine)
+        self.stage_s = self.runner.stage_s
+        self._lock = self.runner._lock
+        self._requests = 0
+        self._started = time.time()
+        self._knn_batcher = _MicroBatcher(self.runner._run_knn_batch,
+                                          max_batch=max_batch,
+                                          window_ms=batch_window_ms)
+        self._knn_in_batcher = _MicroBatcher(self.runner._run_knn_in_batch,
+                                             max_batch=max_batch,
+                                             window_ms=batch_window_ms)
+        handler = self._make_handler()
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
     # ------------------------------------------------------------- control
     DEFAULT_K = 5   # the /knn handler's default k
 
@@ -355,7 +367,7 @@ class QueryServer:
         top = 1 << (self._knn_batcher._max_batch - 1).bit_length()
         b = 1
         while b <= top:
-            self._run_knn_batch([(w0, kk)] * b)
+            self.runner._run_knn_batch([(w0, kk)] * b)
             b *= 2
 
     def start(self) -> "QueryServer":

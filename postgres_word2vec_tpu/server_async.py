@@ -1,0 +1,324 @@
+"""Async serving runtime — single-event-loop HTTP front end (aiohttp).
+
+Same endpoints and semantics as :mod:`postgres_word2vec_tpu.server` (the
+threaded front end); only the HTTP/concurrency machinery differs. On a
+small host the threaded server spends most of its CPU *around* the engine:
+one OS thread per connection, pure-Python request parsing
+(BaseHTTPRequestHandler readline loops), and two condition-variable
+handoffs per micro-batched item — measured as the dominant cost at 64
+concurrent clients on the 1-core bench host (reports/serving profile).
+This front end removes all three:
+
+- aiohttp parses HTTP in C (llhttp) on ONE event loop — no per-connection
+  threads, no per-request thread wakeups;
+- /knn and /knn_in micro-batches coalesce directly on the loop (a plain
+  list + one timer), with per-item asyncio futures instead of
+  cross-thread Events;
+- engine calls run in a single executor thread (jax dispatch + host-side
+  waits release the GIL, so the loop keeps parsing while the device
+  works) — which also serializes device access, the same discipline the
+  threaded server enforces with its lock.
+
+The engine-execution core (resolution, pow2-padded gathers, coalesced
+batch runners) is shared: :class:`postgres_word2vec_tpu.server.EngineRunner`.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from postgres_word2vec_tpu.api import Freddy
+from postgres_word2vec_tpu.server import EngineRunner, UnknownEndpoint
+
+
+class _LoopBatcher:
+    """Coalesce concurrent single-item requests ON the event loop.
+
+    ``submit(item)`` appends to a plain list and awaits a future; a single
+    drainer coroutine sleeps ``window_ms`` after the first arrival, then
+    runs everything queued (in ``max_batch`` slices) through ``fn`` in the
+    executor. While a batch executes, the next one collects — the same
+    double-buffering the threaded server gets from its worker thread, with
+    zero cross-thread handoffs per item.
+    """
+
+    def __init__(self, fn, executor, *, max_batch: int = 64,
+                 window_ms: float = 2.0):
+        self._fn = fn
+        self._executor = executor
+        self._max = max_batch
+        self._win = window_ms / 1e3
+        self._items: list = []
+        self._futs: list = []
+        self._wake: asyncio.Event | None = None
+        self.batched_calls = 0
+        self.items_done = 0
+        self.busy_s = 0.0
+        self.max_coalesced = 0
+
+    def start(self) -> None:
+        """Create loop-bound state; call from inside the running loop."""
+        self._wake = asyncio.Event()
+        asyncio.ensure_future(self._drainer())
+
+    async def submit(self, item):
+        fut = asyncio.get_running_loop().create_future()
+        self._items.append(item)
+        self._futs.append(fut)
+        self._wake.set()
+        return await fut
+
+    async def _drainer(self):
+        loop = asyncio.get_running_loop()
+        while True:
+            await self._wake.wait()
+            if self._win > 0:
+                await asyncio.sleep(self._win)   # coalescing window
+            items, futs = self._items, self._futs
+            self._items, self._futs = [], []
+            self._wake.clear()
+            for s in range(0, len(items), self._max):
+                chunk = items[s:s + self._max]
+                cfuts = futs[s:s + self._max]
+                t0 = time.perf_counter()
+                try:
+                    results = await loop.run_in_executor(
+                        self._executor, self._fn, chunk)
+                except Exception as e:  # noqa: BLE001 — batch-level failure
+                    for f in cfuts:
+                        if not f.done():
+                            f.set_exception(e)
+                    continue
+                self.busy_s += time.perf_counter() - t0
+                self.batched_calls += 1
+                self.items_done += len(chunk)
+                self.max_coalesced = max(self.max_coalesced, len(chunk))
+                for f, r in zip(cfuts, results):
+                    if f.done():
+                        continue
+                    if isinstance(r, Exception):
+                        f.set_exception(r)
+                    else:
+                        f.set_result(r)
+
+
+class AsyncQueryServer:
+    """aiohttp front end over a shared :class:`EngineRunner`.
+
+    Same constructor/endpoints as :class:`QueryServer`; ``start()`` runs
+    the event loop on a daemon thread so sync callers (tests, benches)
+    drive it exactly like the threaded server.
+    """
+
+    DEFAULT_K = 5
+
+    def __init__(self, engine: Freddy, host: str = "127.0.0.1",
+                 port: int = 0, batch_window_ms: float = 2.0,
+                 max_batch: int = 64):
+        self.engine = engine
+        self.runner = EngineRunner(engine)
+        self._host = host
+        self._port0 = port
+        self.port: int | None = None
+        self._window_ms = batch_window_ms
+        self._max_batch = max_batch
+        self._executor = ThreadPoolExecutor(max_workers=1,
+                                            thread_name_prefix="engine")
+        self._requests = 0
+        self._started = time.time()
+        self._thread: threading.Thread | None = None
+        self._ready = threading.Event()
+        self._loop: asyncio.AbstractEventLoop | None = None
+        self._stop_ev: asyncio.Event | None = None
+        self._knn_batcher: _LoopBatcher | None = None
+        self._knn_in_batcher: _LoopBatcher | None = None
+
+    # ------------------------------------------------------------- control
+    def warmup(self, k: int | None = None) -> None:
+        """Precompile every pow2 coalesced batch shape (see
+        QueryServer.warmup)."""
+        w0 = self.engine.store.words[0]
+        kk = self.DEFAULT_K if k is None else k
+        top = 1 << (self._max_batch - 1).bit_length()
+        b = 1
+        while b <= top:
+            self.runner._run_knn_batch([(w0, kk)] * b)
+            b *= 2
+
+    def start(self) -> "AsyncQueryServer":
+        self._thread = threading.Thread(target=self._run_loop, daemon=True)
+        self._thread.start()
+        if not self._ready.wait(timeout=60):
+            raise RuntimeError("async server failed to start")
+        return self
+
+    def stop(self) -> None:
+        if self._loop is not None:
+            self._loop.call_soon_threadsafe(self._stop_ev.set)
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+        self._executor.shutdown(wait=False)
+
+    def serve_forever(self) -> None:
+        if self._thread is None:
+            self.start()
+        self._thread.join()
+
+    def _run_loop(self) -> None:
+        asyncio.run(self._main())
+
+    async def _main(self) -> None:
+        from aiohttp import web
+
+        self._loop = asyncio.get_running_loop()
+        self._stop_ev = asyncio.Event()
+        self._knn_batcher = _LoopBatcher(
+            self.runner._run_knn_batch, self._executor,
+            max_batch=self._max_batch, window_ms=self._window_ms)
+        self._knn_in_batcher = _LoopBatcher(
+            self.runner._run_knn_in_batch, self._executor,
+            max_batch=self._max_batch, window_ms=self._window_ms)
+        self._knn_batcher.start()
+        self._knn_in_batcher.start()
+
+        app = web.Application()
+        app.router.add_get("/health", self._get_health)
+        app.router.add_post("/{tail:.*}", self._post)
+        runner = web.AppRunner(app, access_log=None)
+        await runner.setup()
+        site = web.TCPSite(runner, self._host, self._port0)
+        await site.start()
+        self.port = site._server.sockets[0].getsockname()[1]
+        self._ready.set()
+        await self._stop_ev.wait()
+        await runner.cleanup()
+
+    # ------------------------------------------------------------ handlers
+    async def _get_health(self, request):
+        from aiohttp import web
+
+        import jax
+
+        h = {
+            "status": "ok",
+            "vocab": self.engine.store.size,
+            "dim": self.engine.store.dim,
+            "indexes": {
+                "pq": self.engine.pq is not None,
+                "ivfadc": self.engine.ivfadc is not None,
+                "ivpq": self.engine.ivpq is not None,
+            },
+            "device": str(jax.devices()[0]),
+            "requests": self._requests,
+            "knn_stage_s": {k: round(v, 3)
+                            for k, v in self.runner.stage_s.items()},
+            "uptime_s": round(time.time() - self._started, 1),
+        }
+        for name, b in (("knn", self._knn_batcher),
+                        ("knn_in", self._knn_in_batcher)):
+            h[f"{name}_batched_calls"] = b.batched_calls
+            h[f"{name}_busy_s"] = round(b.busy_s, 3)
+            h[f"{name}_items_done"] = b.items_done
+            h[f"{name}_max_coalesced"] = b.max_coalesced
+        return web.json_response(h)
+
+    async def _post(self, request):
+        from aiohttp import web
+
+        path = request.path
+        self._requests += 1
+        try:
+            raw = await request.read()
+            body = json.loads(raw) if raw else {}
+            if path == "/knn":
+                q = body.get("query")
+                q = q if isinstance(q, str) else np.asarray(q, np.float32)
+                result = await self._knn_batcher.submit(
+                    (q, int(body.get("k", self.DEFAULT_K))))
+            elif path == "/knn_in":
+                q = body.get("query")
+                q = q if isinstance(q, str) else np.asarray(q, np.float32)
+                result = await self._knn_in_batcher.submit(
+                    (q, int(body.get("k", 5)), tuple(body["targets"])))
+            else:
+                loop = asyncio.get_running_loop()
+                result = await loop.run_in_executor(
+                    self._executor, self._run_plain, path, body)
+            return web.json_response({"result": result})
+        except UnknownEndpoint as e:
+            return web.json_response({"error": str(e)}, status=404)
+        except Exception as e:  # noqa: BLE001 — serve errors as 400
+            return web.json_response(
+                {"error": f"{type(e).__name__}: {e}"}, status=400)
+
+    def _run_plain(self, path: str, body: dict):
+        """Non-micro-batched endpoints (runs on the engine executor
+        thread — same routing table as the threaded server)."""
+        eng = self.engine
+        with self.runner._lock:
+            if path == "/knn_batch":
+                return eng.knn_batch(body["queries"], int(body.get("k", 5)))
+            if path == "/knn_join":
+                return eng.knn_join(body["queries"], int(body.get("k", 5)),
+                                    body["targets"])
+            if path == "/prepare_targets":
+                ph = eng.prepare_targets(body["targets"], name=body["name"])
+                return {"prepared": body["name"], "size": ph.size,
+                        "build_s": round(ph.build_s, 4)}
+            if path == "/analogy":
+                return eng.analogy(body["w1"], body["w2"], body["w3"])
+            if path == "/analogy_in":
+                return eng.analogy_in(body["w1"], body["w2"], body["w3"],
+                                      body["targets"])
+            if path == "/groups":
+                return eng.groups(body["tokens"], body["group_tokens"])
+            if path == "/cluster":
+                return eng.cluster(body["tokens"], int(body.get("k", 5)))
+            if path == "/tokenize":
+                fn = eng.tokenize_raw if body.get("raw") else eng.tokenize
+                v = fn(body["text"])
+                return None if v is None else v.tolist()
+            if path == "/insert":
+                return {"inserted": eng.insert_batch(body["terms"])}
+            if path == "/statistics":
+                eng.create_statistics(body["name"], body["domain"])
+                return {"created": body["name"]}
+            if path == "/config":
+                applied = {}
+                for key, val in body.items():
+                    if not key.startswith("set_") or not hasattr(eng, key):
+                        raise UnknownEndpoint(f"unknown setting {key!r}")
+                    getattr(eng, key)(val)
+                    applied[key] = val
+                return {"applied": applied}
+            raise UnknownEndpoint(f"unknown endpoint {path}")
+
+
+def main() -> None:
+    """CLI: ``python -m postgres_word2vec_tpu.server_async <engine_dir>
+    [port]`` — serve a previously saved engine."""
+    import sys
+
+    from postgres_word2vec_tpu.utils.config import apply_platform_from_env
+    apply_platform_from_env()
+    if len(sys.argv) < 2:
+        print(__doc__)
+        raise SystemExit(1)
+    engine = Freddy.load(sys.argv[1])
+    engine.warmup()
+    port = int(sys.argv[2]) if len(sys.argv) > 2 else 8765
+    server = AsyncQueryServer(engine, port=port)
+    server.warmup()
+    server.start()
+    print(f"serving {engine.store.size} vectors on :{server.port} (async)")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -168,7 +168,7 @@ def test_knn_microbatch_honors_dispatch(server):
 def test_malformed_vector_fails_only_its_slot(server):
     """A wrong-dimension vector query must 400 alone, not poison the
     coalesced batch (cross-client isolation)."""
-    out = server._run_knn_batch([("w5", 2), ([0.1, 0.2], 2), ("w6", 2)])
+    out = server.runner._run_knn_batch([("w5", 2), ([0.1, 0.2], 2), ("w6", 2)])
     assert not isinstance(out[0], Exception)
     assert isinstance(out[1], Exception)
     assert not isinstance(out[2], Exception)
