@@ -755,11 +755,22 @@ def main():
         # compact per-family highlights (recall@5 vs reference bars
         # 0.38 / 0.87 / 0.35 / 0.65; full detail in BENCH_LOCAL_latest.json)
         "pq_r5": _r5("pq_scan"), "pq_pv20_r5": _r5("pq_pv_20"),
+        # the engine's DEFAULT build applies OPQ at the same 12x256 shape
+        # (preset="reference" keeps the raw quantizer; pq_r5 above is that
+        # raw-parity ablation control)
+        "pq_opq_r5": _r5("pq_opq_scan"),
         "ivfadc_r5": _r5("ivfadc_batch_w3"), "ivfadc_pv_r5": _r5("ivfadc_pv"),
         "best_quality_r5": _r5("pq4bit_opq_pv_20"),
         "join_pv_a200_qps": round(
             results.get("ivpq_join_pv_a200", {}).get("qps", 0.0), 0),
         "join_pv_a200_r5": _r5("ivpq_join_pv_a200"),
+        # selectivity crossover: prepared-tile probe vs exact at full-store
+        # targets (the regime ivpq_search_in exists for)
+        "join_3M_qps": round(
+            results.get("ivpq_join_pv_a600_3M", {}).get("qps", 0.0), 0),
+        "join_3M_r5": _r5("ivpq_join_pv_a600_3M"),
+        "join_exact_3M_qps": round(
+            results.get("join_exact_in_3M", {}).get("qps", 0.0), 0),
     }
     out = json.dumps(line)
     assert len(out) < 2048, f"bench line too long ({len(out)} B)"

@@ -57,6 +57,17 @@ def main(config_path: str) -> None:
     if plot_path:
         from postgres_word2vec_tpu.evaluation.plots import plot_time_precision
         plot_time_precision(records, plot_path)
+        # interactive twin (reference evaluation_utils.py:240-344 emits
+        # plotly-offline HTML; ours is the self-contained SVG report)
+        from postgres_word2vec_tpu.evaluation.html_report import (
+            figure_from_records, write_html_report)
+        html_path = str(Path(plot_path).with_suffix(".html"))
+        write_html_report(
+            html_path,
+            [figure_from_records(records)],
+            title="kNN-join time / precision trade-off",
+            subtitle=f"k={k}, {len(targets)} targets — one curve per "
+                     "method; hover for the per-point config")
     print(json.dumps(records, indent=2))
 
 

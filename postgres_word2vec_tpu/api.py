@@ -178,13 +178,18 @@ class Freddy:
         self.mesh = mesh
 
     # ------------------------------------------------------------- builders
-    #: ``build(preset=...)`` bundles. "reference" is the shipped-config
-    #: parity point; "quality" is this framework's best measured operating
-    #: regime at 3M (reports/opq4bit_3M.json, reports/ivfadc4bit_3M.json):
-    #: OPQ rotation + 4-bit 60×16 codes for PQ, 4-bit residuals for
-    #: IVFADC, kmeans++ Lloyd. Requires d divisible by 60.
+    #: ``build(preset=...)`` bundles. The DEFAULT build applies the OPQ
+    #: rotation to the PQ family (measured at 3M×300, 12×256:
+    #: recall@5 0.57 vs 0.446 raw at the same scan latency — the rotation
+    #: is invisible at the API level: same m/k/code shapes, L2 distances
+    #: invariant). "reference" pins the reference's own quantizer (no
+    #: rotation, sampled init) for apples-to-apples parity measurements;
+    #: "quality" is this framework's best measured operating regime at 3M
+    #: (reports/opq4bit_3M.json, reports/ivfadc4bit_3M.json): OPQ + 4-bit
+    #: 60×16 codes for PQ, 4-bit residuals for IVFADC, kmeans++ Lloyd —
+    #: requires d divisible by 60.
     PRESETS = {
-        "reference": {},
+        "reference": dict(opq_iters=0),
         "quality": dict(pq_m=60, pq_k=16, opq_iters=10, ivfadc_m=60,
                         ivfadc_k=16, ivpq_m=60, ivpq_k=16, iters=25,
                         init="kmeans++"),
@@ -221,7 +226,7 @@ class Freddy:
         multi-chip mode (see :meth:`enable_sharding`)."""
         base = dict(pq_m=12, pq_k=256, ivfadc_m=12, ivfadc_k=256,
                     ivpq_m=30, ivpq_k=32, iters=10, init="sample",
-                    opq_iters=0)
+                    opq_iters=10)
         if preset is not None:
             if preset not in cls.PRESETS:
                 raise ValueError(f"unknown preset {preset!r}; "

@@ -56,3 +56,50 @@ def test_plots_render(tmp_path):
     out3 = plots.plot_measurement_bars({"exact": 1.0, "pq": 0.2},
                                        tmp_path / "bars.png")
     assert out3.exists()
+
+
+def test_html_report_structure(tmp_path):
+    """Self-contained interactive report: embedded JSON payload, one host
+    div per figure, escaped titles, series capped at the validated
+    palette, no external resources."""
+    import json as _json
+
+    from postgres_word2vec_tpu.evaluation.html_report import (
+        Figure, Series, figure_from_records, write_html_report)
+
+    recs = [{"method": 0, "alpha": 50, "pvf": 10, "time_s": 0.05,
+             "precision": 0.6},
+            {"method": 0, "alpha": 100, "pvf": 10, "time_s": 0.08,
+             "precision": 0.8},
+            {"method": 2, "alpha": 50, "pvf": 10, "time_s": 0.07,
+             "precision": 0.9}]
+    fig = figure_from_records(recs)
+    assert len(fig.series) == 2
+    f2 = Figure(title="<qps> & targets", xlabel="targets", ylabel="QPS",
+                xlog=True,
+                series=[Series("exact", [1e5, 1e6], [24000, 9900])])
+    out = write_html_report(tmp_path / "r.html", [fig, f2],
+                            title="demo <title>", subtitle="sub")
+    html = out.read_text()
+    # titles are escaped in the markup (the JSON payload may carry raw
+    # text — it is data, inserted via textContent, with "</" escaped)
+    assert "demo &lt;title&gt;" in html
+    assert "&lt;qps&gt; &amp; targets" in html
+    assert "<h2><qps>" not in html
+    assert "fig-0" in html and "fig-1" in html
+    # embedded payload parses and round-trips the series
+    payload = html.split("id='viz-data'>")[1].split("</script>")[0]
+    data = _json.loads(payload.replace("<\\/", "</"))
+    assert len(data["figures"]) == 2
+    assert data["figures"][1]["xlog"] is True
+    assert data["figures"][0]["series"][0]["light"].startswith("#")
+    # self-contained: no external scripts/styles/CDN fetches (the SVG
+    # namespace URI inside createElementNS is an identifier, not a fetch)
+    assert "<script src" not in html and "<link" not in html
+    assert "cdn" not in html.lower()
+    # series cap enforced
+    import pytest
+    with pytest.raises(ValueError, match="palette"):
+        Figure(title="t", xlabel="x", ylabel="y",
+               series=[Series(f"s{i}", [0], [0]) for i in range(9)]
+               ).to_json()
