@@ -1434,27 +1434,35 @@ class Freddy:
         """Online insertion (freddy.c:1403-1658): tokenize unseen terms,
         skip existing words and all-OOV terms, append vectors, update every
         built index's codebooks incrementally (running-mean k-means step).
-        Returns the number of inserted terms."""
-        new_words, norm_rows, raw_rows = [], [], []
+        Returns the number of inserted terms.
+
+        The whole batch's term vectors (normalized + raw centroids)
+        resolve in ONE device program — per-term ``tokenize()`` calls are
+        several eager dispatches plus a host sync each (~tens of ms apiece
+        on the tunneled chip), which made a 256-term insert scale O(terms ×
+        RTT) instead of O(batch)."""
+        new_words: list[str] = []
+        id_lists: list[list[int]] = []
         seen: set[str] = set()
         for term in terms:
             if term in self.store or term in seen:
                 continue  # freddy.c:1498-1514 skips existing words
             seen.add(term)
-            v_norm = self.tokenize(term)
-            if v_norm is None:
+            ids = [self.store.word_to_id[w] for w in term.split(" ")
+                   if w in self.store]
+            if not ids:
                 continue  # every word OOV → NULL vector in the reference
             new_words.append(term)
-            norm_rows.append(v_norm)
-            raw_rows.append(self.tokenize_raw(term))
+            id_lists.append(ids)
         if not new_words:
             return 0
-        norm_new = jnp.asarray(np.stack(norm_rows))
+        norm_rows, raw_rows = _tokenize_terms_batch(
+            self.store.vectors, self.store.vectors_norm, id_lists)
+        norm_new = jnp.asarray(norm_rows)
         # extend_inplace: O(batch) host append + one fused device concat —
         # extend()'s copy semantics duplicate the 3M-entry vocab dict per
         # insert on a 1-core host.
-        self.store = self.store.extend_inplace(new_words,
-                                               np.stack(raw_rows))
+        self.store = self.store.extend_inplace(new_words, raw_rows)
         # O(batch) device work: append-quantize only the new rows into the
         # exact index's capacity buffers (freddy.c:1631-1655 — the
         # reference's insert appends, never rebuilds). Fused-scan engines
@@ -1478,6 +1486,47 @@ class Freddy:
             # which tracks pq.size, would unmask padding rows).
             self.enable_sharding(self.mesh)
         return len(new_words)
+
+
+@functools.partial(jax.jit, static_argnames=("n_seg",))
+def _tokenize_segments(vectors: Array, vectors_norm: Array, flat_ids: Array,
+                       seg_ids: Array, n_seg: int) -> tuple[Array, Array]:
+    """Per-term centroids (normalized + raw) for a whole insert batch in
+    one program: gather member rows, segment-mean per term, re-normalize
+    the normalized-space centroid (tokenize semantics, sql:1513-1536)."""
+    w = (flat_ids >= 0).astype(jnp.float32)
+    safe = jnp.maximum(flat_ids, 0)
+    vn = jnp.take(vectors_norm, safe, axis=0) * w[:, None]
+    vr = jnp.take(vectors, safe, axis=0) * w[:, None]
+    sum_n = jax.ops.segment_sum(vn, seg_ids, num_segments=n_seg)
+    sum_r = jax.ops.segment_sum(vr, seg_ids, num_segments=n_seg)
+    cnt = jnp.maximum(jax.ops.segment_sum(w, seg_ids, num_segments=n_seg),
+                      1.0)
+    return (vo.vec_normalize(sum_n / cnt[:, None]),
+            sum_r / cnt[:, None])
+
+
+def _tokenize_terms_batch(vectors: Array, vectors_norm: Array,
+                          id_lists: Sequence[Sequence[int]]
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Host wrapper: flatten the per-term word-id lists (pow2-padded so
+    the program compiles once per size class) and run ONE
+    :func:`_tokenize_segments` dispatch for the whole batch."""
+    n = len(id_lists)
+    total = sum(len(ids) for ids in id_lists)
+    np2 = 1 << max(0, (n - 1)).bit_length()
+    tp2 = 1 << max(0, (total - 1)).bit_length()
+    flat = np.full((tp2,), -1, np.int32)
+    seg = np.full((tp2,), np2 - 1, np.int32)   # padding → last segment
+    pos = 0
+    for i, ids in enumerate(id_lists):
+        flat[pos:pos + len(ids)] = ids
+        seg[pos:pos + len(ids)] = i
+        pos += len(ids)
+    norm_c, raw_c = _tokenize_segments(vectors, vectors_norm,
+                                       jnp.asarray(flat), jnp.asarray(seg),
+                                       n_seg=np2)
+    return np.asarray(norm_c)[:n], np.asarray(raw_c)[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("n_tokens",))

@@ -534,6 +534,15 @@ def _ivpq_round_budget(queries: Array, coarse_centroids: Array,
     return vals, ids, found, exhausted, predicted
 
 
+#: queries per device-side block inside one budget-round program. The
+#: budget kernel's per-query tile list is a scalar-prefetch operand living
+#: in SMEM, padded to ~512 B/query — blocks beyond ~1024 queries overflow
+#: scoped SMEM (measured: RESOURCE_EXHAUSTED at 2048×16 tiles). Large
+#: query batches therefore run as a lax.map over ≤this many queries INSIDE
+#: the compiled program (zero extra host dispatches), not as host chunks.
+_BUDGET_SCAN_BLOCK = 512
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "alpha", "pvf", "method", "use_double",
@@ -549,14 +558,33 @@ def _budget_round_program(queries: Array, coarse_centroids: Array,
     map + retirement status — as ONE compiled program. On the tunneled
     chip every separate jitted call pays ~30 ms of transport RTT
     (CLAUDE.md); the round-4 join issued three per chunk (round, id map,
-    status), which alone explained most of its fixed 0.5 s floor."""
-    vals, lids, retrieved, exhausted, predicted = _ivpq_round_budget(
-        queries, coarse_centroids, codebook_cent, jt, target_vecs,
-        statistics, k, alpha, pvf, method, confidence, use_double,
-        p_budget=p_budget, block_t=block_t, use_pallas=use_pallas,
-        lut_dtype=lut_dtype)
-    ids = jnp.where(lids >= 0, jnp.take(target_ids, jnp.maximum(lids, 0)),
-                    -1).astype(jnp.int32)
+    status), which alone explained most of its fixed 0.5 s floor. Batches
+    beyond :data:`_BUDGET_SCAN_BLOCK` stream through a device-side
+    ``lax.map`` over query blocks (the SMEM-safe kernel shape) — still one
+    dispatch."""
+    B = queries.shape[0]
+
+    def one(qb):
+        vals, lids, retrieved, exhausted, predicted = _ivpq_round_budget(
+            qb, coarse_centroids, codebook_cent, jt, target_vecs,
+            statistics, k, alpha, pvf, method, confidence, use_double,
+            p_budget=p_budget, block_t=block_t, use_pallas=use_pallas,
+            lut_dtype=lut_dtype)
+        ids = jnp.where(lids >= 0,
+                        jnp.take(target_ids, jnp.maximum(lids, 0)),
+                        -1).astype(jnp.int32)
+        return vals, ids, retrieved, exhausted, predicted
+
+    sb = _BUDGET_SCAN_BLOCK
+    if B > sb:
+        pad = (-B) % sb
+        qp = jnp.pad(queries, ((0, pad), (0, 0))) if pad else queries
+        qs = qp.reshape((B + pad) // sb, sb, queries.shape[1])
+        outs = jax.lax.map(one, qs)
+        vals, ids, retrieved, exhausted, predicted = (
+            o.reshape(B + pad, *o.shape[2:])[:B] for o in outs)
+    else:
+        vals, ids, retrieved, exhausted, predicted = one(queries)
     resolved = retrieved >= k
     return (vals, ids, retrieved, exhausted, predicted, resolved,
             jnp.all(resolved | exhausted))
@@ -834,9 +862,12 @@ class IVPQIndex:
         buffering (ivpq_search_in.c:462-479) reorganized target-major;
         ``use_targetlists=False`` forces the dense path.
 
-        ``query_chunk``: queries per compiled chunk; None auto-selects
-        (2048 on the budget path — its intermediates are
-        B×budget-rows, not B×T — and 1024 on the dense path).
+        ``query_chunk``: queries per compiled host chunk; None
+        auto-selects (8192 on the budget path — the round program streams
+        ≥512-query blocks through a device-side lax.map, so one dispatch
+        covers the whole batch and intermediates stay
+        block×budget-rows — and 1024 on the dense path, whose
+        intermediates are B×T).
 
         ``lut_dtype``: "bf16" (default) or "int8" — the ADC LUT arithmetic
         of the budget path's grouped kernel (int8 MXU, measured ~1.2x bf16
@@ -870,7 +901,7 @@ class IVPQIndex:
         if impl != "budget":
             lut_dtype = "bf16"   # avoid pointless static-arg cache splits
         if query_chunk is None:
-            query_chunk = 2048 if impl == "budget" else 1024
+            query_chunk = 8192 if impl == "budget" else 1024
 
         if prepared is not None:
             target_codes = prepared.target_codes

@@ -423,3 +423,26 @@ def test_prepared_join_respects_mask_and_chunking(idx, dataset):
 def test_search_join_requires_targets_or_prepared(idx, dataset):
     with pytest.raises(ValueError, match="target_ids or prepared"):
         idx.search_join(jnp.asarray(dataset[:2]), 3)
+
+
+def test_budget_round_device_scan_matches_direct(idx, dataset, monkeypatch):
+    """Batches above _BUDGET_SCAN_BLOCK stream through a device-side
+    lax.map inside ONE program (the SMEM-safe kernel shape). Shrink the
+    block so a small batch exercises the mapped path — incl. a ragged
+    final block — and require bit-parity with the direct path."""
+    T = 1000
+    tids = jnp.arange(T, dtype=jnp.int32)
+    q = jnp.asarray(dataset[:22])
+    v = jnp.asarray(dataset)
+    kw = dict(impl="budget", budget_tiles=32, method=PQ_PV_CALC,
+              vectors=v, confidence=0.8, pvf=10)
+    # alpha values unseen by other tests: static args force fresh traces,
+    # so the patched block size actually applies.
+    vd, idn = idx.search_join(q, 5, tids, alpha=21, **kw)
+    monkeypatch.setattr(ivpq_mod, "_BUDGET_SCAN_BLOCK", 4)
+    vm, idm = idx.search_join(q, 5, tids, alpha=22, **kw)
+    # alpha 21 vs 22 picks identical cell prefixes here (ample coverage at
+    # T=1000, k=5), so results must agree exactly.
+    np.testing.assert_allclose(np.asarray(vm), np.asarray(vd),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idm), np.asarray(idn))
