@@ -671,13 +671,20 @@ def main():
                     log(f"prepare_join({ntN}) in {prepN:.3f}s")
                     results[f"ivpq_join_prepare_{tag}"] = {
                         "build_s": prepN, "targets": ntN}
-                    alphas = ((200, 600) if tag == "1M"
-                              else (200, 600, 1200))
-                    for a in alphas:
-                        join_cfg(f"ivpq_join_pv_a{a}_{tag}", prepared=phN,
+                    cfgs = ([(200, 20), (600, 20)] if tag == "1M"
+                            # 3M: ladder up past recall@5 0.90 (the
+                            # crossover claim's quality bar) — both more
+                            # scanned rows (alpha) and a wider exact
+                            # re-rank (pvf) push recall at ~2x-QPS margin
+                            else [(200, 20), (600, 20), (1200, 20),
+                                  (1200, 50), (2400, 20), (2400, 50)])
+                    for a, pvf_ in cfgs:
+                        nm = (f"ivpq_join_pv_a{a}_{tag}" if pvf_ == 20
+                              else f"ivpq_join_pv_a{a}_pvf{pvf_}_{tag}")
+                        join_cfg(nm, prepared=phN,
                                  gt_=gtN, stats_=statsN, nt_=ntN,
                                  alpha=a, method=2, confidence=0.8,
-                                 pvf=20)
+                                 pvf=pvf_)
                     del phN
             except Exception as e:  # pragma: no cover
                 log(f"large-target join bench failed: {e!r}")
@@ -819,6 +826,16 @@ def main():
         c = results.get(name, {})
         return round(c.get("recall5", 0.0), 3) if c else None
 
+    # the quality-bar row: fastest 3M join config at recall@5 >= 0.90
+    _hi = sorted(((n_, c_) for n_, c_ in results.items()
+                  if n_.startswith("ivpq_join_pv_") and n_.endswith("_3M")
+                  and c_.get("recall5", 0.0) >= 0.90),
+                 key=lambda kv: -kv[1]["qps"])
+    _hi_join = ({"join_3M_hi": _hi[0][0],
+                 "join_3M_hi_qps": round(_hi[0][1]["qps"], 0),
+                 "join_3M_hi_r5": round(_hi[0][1]["recall5"], 3)}
+                if _hi else {})
+
     line = {
         "metric": f"batch_knn_p50_per_query_ms[{name}]",
         "value": round(value, 4),
@@ -843,6 +860,7 @@ def main():
         "join_3M_qps": round(
             results.get("ivpq_join_pv_a600_3M", {}).get("qps", 0.0), 0),
         "join_3M_r5": _r5("ivpq_join_pv_a600_3M"),
+        **_hi_join,
         "join_exact_3M_qps": round(
             results.get("join_exact_in_3M", {}).get("qps", 0.0), 0),
         "insert_tps": round(

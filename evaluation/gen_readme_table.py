@@ -102,6 +102,44 @@ def main():
     print(f"| IVPQ kNN-join 5k×100k (method 2, α=200) | **{j['total_s']:.2f}"
           f" s total ({j['qps']:,.0f} QPS), recall@5 {j['recall5']:.2f}**"
           + tail + " | figure only | — |")
+
+    # selectivity crossover rows: the probe vs the exact f32 in-set scan
+    # at 1M and whole-store targets (the regime ivpq_search_in exists
+    # for — cost ∝ selectivity, ivpq_search_in.c:355-401)
+    def _hi_row(suffix, bar=0.90):
+        rows = [(n, cfg) for n, cfg in c.items()
+                if n.startswith("ivpq_join_pv_") and n.endswith(suffix)
+                and cfg.get("recall5", 0.0) >= bar]
+        if not rows:   # fall back to the best recall available
+            rows = [(n, cfg) for n, cfg in c.items()
+                    if n.startswith("ivpq_join_pv_") and n.endswith(suffix)]
+            return max(rows, key=lambda kv: kv[1]["recall5"]) if rows \
+                else None
+        return max(rows, key=lambda kv: kv[1]["qps"])
+
+    for suffix, label in (("_1M", "5k×1M"), ("_3M", "5k×3M (whole store)")):
+        ex = c.get("join_exact_in" + suffix)
+        hi = _hi_row(suffix)
+        if not (ex and hi):
+            continue
+        hcfg = hi[1]
+
+        def th(v):   # thousands with thin spaces, md-table safe
+            return f"{v:,.0f}".replace(",", " ")
+
+        print(f"| IVPQ kNN-join {label}, prepared targets "
+              f"| **{th(hcfg['qps'])} QPS @ recall@5 {hcfg['recall5']:.2f}"
+              f"** (α={hcfg.get('alpha', '?')}, pvf={hcfg.get('pvf', '?')},"
+              f" ~{th(hcfg.get('scanned_rows_mean', 0))} rows scanned/q)"
+              f" | exact f32 scan: {th(ex['qps'])} QPS @ 1.00 "
+              f"| {hcfg['qps'] / ex['qps']:.1f}× vs exact |")
+    ins = c.get("insert_batch")
+    if ins:
+        tps = f"{ins['terms_per_s']:,.0f}".replace(",", " ")
+        print(f"| insert_batch (online insert at 3M) "
+              f"| {tps} terms/s "
+              f"({ins['batch_size']}-term batches; device work O(batch)) "
+              f"| no published number | — |")
     print()
     print(f"(generated from {os.path.basename(path)}, dataset "
           f"{data.get('dataset', {})})")

@@ -126,6 +126,7 @@ def client_proc_raw(cid, port, n, k, seconds, q, check=True):
     buf = b""
     my_lat = []
     err = 0
+    err_kinds: dict = {}
     i = 0
     stop_t = time.time() + seconds
     while time.time() < stop_t:
@@ -158,8 +159,17 @@ def client_proc_raw(cid, port, n, k, seconds, q, check=True):
                     assert rows and rows[0][0] == w, rows[:1]
             else:
                 err += 1
-        except Exception:
+                # classify by status + first bytes of the error body —
+                # without this, a server-side batch failure reads as
+                # anonymous client errors (round-5 TPU sweep, 64 errors,
+                # zero diagnosis)
+                kind = ("status:" + head.split(b" ", 2)[1].decode()
+                        + ":" + payload[:80].decode(errors="replace"))
+                err_kinds[kind] = err_kinds.get(kind, 0) + 1
+        except Exception as e:
             err += 1
+            kind = type(e).__name__
+            err_kinds[kind] = err_kinds.get(kind, 0) + 1
             try:
                 sock.close()
             except Exception:
@@ -170,7 +180,7 @@ def client_proc_raw(cid, port, n, k, seconds, q, check=True):
             except Exception:
                 break
         i += 1
-    q.put((my_lat, err))
+    q.put((my_lat, err, err_kinds))
 
 
 def run_window(port, n, k, clients, seconds, client_kind="raw"):
@@ -189,12 +199,17 @@ def run_window(port, n, k, clients, seconds, client_kind="raw"):
         p.start()
     lat: list[float] = []
     errors = 0
+    err_kinds: dict = {}
     for _ in procs:
         try:
-            my_lat, err = outq.get(timeout=seconds + 180)
+            got = outq.get(timeout=seconds + 180)
         except Exception:
             errors += 1   # a client died without reporting
+            err_kinds["client_died"] = err_kinds.get("client_died", 0) + 1
             continue
+        my_lat, err = got[0], got[1]
+        for kk, vv in (got[2] if len(got) > 2 else {}).items():
+            err_kinds[kk] = err_kinds.get(kk, 0) + vv
         lat.extend(my_lat)
         errors += err
     for p in procs:
@@ -205,9 +220,12 @@ def run_window(port, n, k, clients, seconds, client_kind="raw"):
     def pct(p):
         return float(np.percentile(lat_ms, p)) if lat_ms.size else None
 
-    return {"completed": int(lat_ms.size), "errors": errors,
-            "wall_s": wall, "qps": lat_ms.size / wall,
-            "latency_ms": {"p50": pct(50), "p95": pct(95), "p99": pct(99)}}
+    out = {"completed": int(lat_ms.size), "errors": errors,
+           "wall_s": wall, "qps": lat_ms.size / wall,
+           "latency_ms": {"p50": pct(50), "p95": pct(95), "p99": pct(99)}}
+    if err_kinds:
+        out["error_kinds"] = err_kinds
+    return out
 
 
 def run_echo_floor(clients, seconds, k, client_kind):
@@ -330,9 +348,10 @@ def main():
     if args.echo_floor:
         w = run_echo_floor(args.clients, args.seconds, args.k, args.client)
         results["echo_floor"] = w
+        p50e = w["latency_ms"]["p50"]
         log(f"[echo-floor] qps={w['qps']:.0f} "
-            f"p50={w['latency_ms']['p50']:.1f}ms (no engine — harness + "
-            f"transport ceiling on this host)")
+            f"p50={p50e if p50e is None else round(p50e, 1)}ms (no engine "
+            f"— harness + transport ceiling on this host)")
 
     for fam in families:
         eng.dispatch["knn"] = FAMILY_IMPL[fam]
@@ -344,18 +363,37 @@ def main():
         post(srv.port, "/knn", {"query": "w0", "k": args.k}, timeout=600)
         log(f"[{fam}] warm in {time.perf_counter() - t0:.1f}s")
         trials = []
+        fail_health = None
         for rep in range(args.repeats):
             w = run_window(srv.port, args.n, args.k, args.clients,
                            args.seconds, client_kind=args.client)
             trials.append(w)
+            p50, p95 = (w["latency_ms"]["p50"], w["latency_ms"]["p95"])
             log(f"[{fam}] trial {rep}: qps={w['qps']:.0f} "
-                f"p50={w['latency_ms']['p50']:.1f}ms "
-                f"p95={w['latency_ms']['p95']:.1f}ms "
-                f"errors={w['errors']}")
+                f"p50={p50 if p50 is None else round(p50, 1)}ms "
+                f"p95={p95 if p95 is None else round(p95, 1)}ms "
+                f"errors={w['errors']}"
+                + (f" kinds={w['error_kinds']}" if w.get("error_kinds")
+                   else ""))
+            if w["completed"] == 0:
+                # server (or engine executor) is wedged — grab the health
+                # counters for the post-mortem and stop hammering it
+                try:
+                    h = json.loads(urllib.request.urlopen(
+                        f"http://127.0.0.1:{srv.port}/health",
+                        timeout=10).read())
+                    log(f"[{fam}] zero completions; health={h}")
+                    fail_health = h
+                except Exception as he:  # noqa: BLE001
+                    log(f"[{fam}] zero completions; health probe failed: "
+                        f"{he!r}")
+                break
         results["families"][fam] = {
             "impl": FAMILY_IMPL[fam], "trials": trials,
             "qps_median": float(np.median([t["qps"] for t in trials])),
         }
+        if fail_health is not None:
+            results["families"][fam]["health_at_failure"] = fail_health
 
     health = json.loads(urllib.request.urlopen(
         f"http://127.0.0.1:{srv.port}/health", timeout=10).read())

@@ -61,6 +61,8 @@ class _LoopBatcher:
         self.items_done = 0
         self.busy_s = 0.0
         self.max_coalesced = 0
+        self.batch_errors = 0
+        self.last_error: str | None = None
 
     def start(self) -> None:
         """Create loop-bound state; call from inside the running loop."""
@@ -91,6 +93,17 @@ class _LoopBatcher:
                     results = await loop.run_in_executor(
                         self._executor, self._fn, chunk)
                 except Exception as e:  # noqa: BLE001 — batch-level failure
+                    # surface server-side: items get per-request 400s, but
+                    # an operator (and the bench) must be able to see WHAT
+                    # failed — a silent converter turned a round-5 TPU
+                    # failure into unexplained client errors.
+                    self.batch_errors += 1
+                    self.last_error = f"{type(e).__name__}: {e}"
+                    if self.batch_errors <= 3 or self.batch_errors % 100 == 0:
+                        import sys
+                        print(f"[batcher] batch failure "
+                              f"#{self.batch_errors}: {self.last_error}",
+                              file=sys.stderr, flush=True)
                     for f in cfuts:
                         if not f.done():
                             f.set_exception(e)
@@ -226,6 +239,9 @@ class AsyncQueryServer:
             h[f"{name}_busy_s"] = round(b.busy_s, 3)
             h[f"{name}_items_done"] = b.items_done
             h[f"{name}_max_coalesced"] = b.max_coalesced
+            h[f"{name}_batch_errors"] = b.batch_errors
+            if b.last_error:
+                h[f"{name}_last_error"] = b.last_error
         return web.json_response(h)
 
     async def _post(self, request):

@@ -37,6 +37,26 @@ def _extend_tables(vectors, vectors_norm, new_raw):
             jnp.concatenate([vectors_norm, vec_normalize(nv)], axis=0))
 
 
+@jax.jit
+def _append_rows(table, new_rows):
+    return jnp.concatenate([table, new_rows.astype(jnp.float32)], axis=0)
+
+
+@jax.jit
+def _append_rows_norm(table, new_raw):
+    return jnp.concatenate(
+        [table, vec_normalize(new_raw.astype(jnp.float32))], axis=0)
+
+
+#: above this combined table size the insert concat splits into two
+#: sequential per-table programs: the fused program holds old+new of BOTH
+#: tables at once (4x one table — 14.4 GB at 3M x 300 f32), which
+#: RESOURCE_EXHAUSTs a 16 GB chip with anything else resident. The split
+#: caps the transient at 3x one table (old pair + one new) for one extra
+#: dispatch.
+_FUSED_EXTEND_BYTES = 2 << 30
+
+
 @dataclasses.dataclass
 class VectorStore:
     """Vocabulary + device-resident vector tables.
@@ -164,8 +184,16 @@ class VectorStore:
             if w in self.word_to_id:
                 raise ValueError(f"word already present: {w!r}")
         vecs = jnp.asarray(vectors, dtype=jnp.float32)
-        self.vectors, self.vectors_norm = _extend_tables(
-            self.vectors, self.vectors_norm, vecs)
+        if (self.vectors.nbytes + self.vectors_norm.nbytes
+                > _FUSED_EXTEND_BYTES):
+            # capacity regime: two sequential programs — rebinding
+            # self.vectors first lets the allocator free the old raw
+            # table before the norm concat's output allocates.
+            self.vectors = _append_rows(self.vectors, vecs)
+            self.vectors_norm = _append_rows_norm(self.vectors_norm, vecs)
+        else:
+            self.vectors, self.vectors_norm = _extend_tables(
+                self.vectors, self.vectors_norm, vecs)
         start = len(self.words)
         self.words.extend(words)
         for i, w in enumerate(words, start=start):

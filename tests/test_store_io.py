@@ -111,3 +111,21 @@ def test_extend_inplace_matches_extend(sample):
     with pytest.raises(ValueError, match="already present"):
         s2.extend_inplace(["fresh", "n1"], vecs[:2])
     assert s2.size == n0 and "fresh" not in s2
+
+
+def test_extend_inplace_split_path_matches_fused(sample, monkeypatch):
+    """Above _FUSED_EXTEND_BYTES the insert concat runs as two sequential
+    per-table programs (the fused program's old+new transient of BOTH
+    tables RESOURCE_EXHAUSTs a 16 GB chip at 3M x 300 f32). Force the
+    split on a small store and require parity with the fused path."""
+    from postgres_word2vec_tpu import store as store_mod
+    words, vecs, _ = sample
+    s_fused = VectorStore.from_arrays(words, vecs)
+    s_split = VectorStore.from_arrays(words, vecs)
+    s_fused.extend_inplace(["n1", "n2"], vecs[:2] * 3)
+    monkeypatch.setattr(store_mod, "_FUSED_EXTEND_BYTES", 0)
+    s_split.extend_inplace(["n1", "n2"], vecs[:2] * 3)
+    np.testing.assert_allclose(np.asarray(s_split.vectors),
+                               np.asarray(s_fused.vectors), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_split.vectors_norm),
+                               np.asarray(s_fused.vectors_norm), rtol=1e-6)
