@@ -671,7 +671,8 @@ def main():
                     log(f"prepare_join({ntN}) in {prepN:.3f}s")
                     results[f"ivpq_join_prepare_{tag}"] = {
                         "build_s": prepN, "targets": ntN}
-                    cfgs = ([(200, 20), (600, 20)] if tag == "1M"
+                    cfgs = ([(200, 20), (600, 20), (1200, 20), (2400, 20)]
+                            if tag == "1M"
                             # 3M: ladder up past recall@5 0.90 (the
                             # crossover claim's quality bar) — both more
                             # scanned rows (alpha) and a wider exact
