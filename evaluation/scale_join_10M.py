@@ -52,7 +52,13 @@ def main() -> None:
                     help="timed query-batch size")
     ap.add_argument("--eval-q", type=int, default=256,
                     help="queries scored against host ground truth")
-    ap.add_argument("--alphas", default="200,600,1200")
+    ap.add_argument("--alphas", default="600,1200,2400,4800")
+    # 10M rows need a finer coarse grid than the 3M bench's 1024 cells:
+    # at 1024 cells a cell holds ~10k rows, so an alpha-bounded probe
+    # reaches only 1-2 cells and recall@5 collapsed to 0.16-0.58 in the
+    # first run (reports/scale_join_10M_kc1024.json); 4096 cells restore
+    # the ~2.5k rows/cell granularity the 3M operating points have.
+    ap.add_argument("--k-coarse", type=int, default=4096)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "reports",
         "scale_join_10M.json"))
@@ -68,7 +74,8 @@ def main() -> None:
 
     N, D, NQ = args.n, args.d, args.nq
     log(f"scale_join: N={N} D={D} nq={NQ} devices={jax.devices()}")
-    results: dict = {"n": N, "d": D, "nq": NQ, "k": 5}
+    results: dict = {"n": N, "d": D, "nq": NQ, "k": 5,
+                     "ivpq": {"m": 30, "k": 32, "k_coarse": args.k_coarse}}
 
     # ---------------------------------------------- chunked generation
     import functools as _functools
@@ -109,7 +116,7 @@ def main() -> None:
     # ------------------------------------------- IVPQ build (before GT)
     t0 = time.perf_counter()
     ivpq = IVPQIndex.build(jax.random.PRNGKey(3), table, m=30, k=32,
-                           k_coarse=1024, coarse_positions=1,
+                           k_coarse=args.k_coarse, coarse_positions=1,
                            train_size=100_000, iters=25, init="kmeans++")
     jax.block_until_ready(ivpq.codes)
     log(f"IVPQ built in {time.perf_counter() - t0:.1f}s "

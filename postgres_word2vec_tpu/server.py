@@ -198,15 +198,14 @@ class EngineRunner:
             q = q_np
         return q, b
 
-    def _run_knn_batch(self, items: list[tuple]) -> list:
-        """One device call for a coalesced batch of (query, k) items.
-
-        Queries group by k (usually one group); each group stacks into a
-        (B, d) matrix and runs through ``Freddy.knn_matrix`` — the engine's
-        own dispatched batch path (incl. mesh-sharded routing) — then
-        formats per query. A bad item (unknown word, malformed vector)
-        fails only its own slot, not the whole coalesced batch.
-        """
+    def dispatch_knn_batch(self, items: list[tuple]):
+        """Enqueue one coalesced batch of (query, k) items on the device
+        and return an opaque pending state for
+        :meth:`complete_knn_batch`. Dispatch is async (jax returns
+        unmaterialized device arrays), so this returns in host time — the
+        device + tunnel round trip is paid by the completion phase, which
+        a pipelined front end runs on a separate thread while the NEXT
+        batch dispatches here (see ``server_async._LoopBatcher``)."""
         eng = self.engine
         tmr = self.stage_s
         t0 = time.perf_counter()
@@ -220,12 +219,12 @@ class EngineRunner:
         tmr["resolve"] += time.perf_counter() - t0
         pending = []
         for k, idxs in groups.items():
-            # DOUBLE-BUFFERED DISPATCH: the lock covers only the enqueue
-            # (gather + search dispatch — jax dispatch is async); the
-            # materializing np.asarray waits OUTSIDE the lock, so the next
-            # coalesced batch enqueues while this one executes on device.
-            # jax serializes queued computations, so ordering is preserved;
-            # the lock prevents interleaved multi-group enqueues only.
+            # The lock covers only the enqueue (gather + search dispatch —
+            # jax dispatch is async); the materializing np.asarray waits in
+            # complete_knn_batch, so the next coalesced batch enqueues
+            # while this one executes on device. jax serializes queued
+            # computations, so ordering is preserved; the lock prevents
+            # interleaved multi-group enqueues only.
             with self._lock:
                 t0 = time.perf_counter()
                 q, b = self._gather_group(idxs, wid, raw)
@@ -234,6 +233,15 @@ class EngineRunner:
                 d, i = eng.knn_matrix(q, k)
                 tmr["search"] += time.perf_counter() - t0
             pending.append((idxs, b, d, i))
+        return out, pending
+
+    def complete_knn_batch(self, state) -> list:
+        """Materialize + format a batch dispatched by
+        :meth:`dispatch_knn_batch`. Blocks until the device results land
+        on host; safe to run on a different thread than the dispatcher."""
+        eng = self.engine
+        tmr = self.stage_s
+        out, pending = state
         for idxs, b, d, i in pending:
             t0 = time.perf_counter()
             # materialize the PADDED arrays and slice on host: an eager
@@ -250,6 +258,19 @@ class EngineRunner:
             for j, r in zip(idxs, rows):
                 out[j] = r
         return out
+
+    def _run_knn_batch(self, items: list[tuple]) -> list:
+        """One device call for a coalesced batch of (query, k) items —
+        dispatch + completion back to back (the threaded front end's
+        path; the async front end pipelines the two phases).
+
+        Queries group by k (usually one group); each group stacks into a
+        (B, d) matrix and runs through ``Freddy.knn_matrix`` — the engine's
+        own dispatched batch path (incl. mesh-sharded routing) — then
+        formats per query. A bad item (unknown word, malformed vector)
+        fails only its own slot, not the whole coalesced batch.
+        """
+        return self.complete_knn_batch(self.dispatch_knn_batch(items))
 
     # ------------------------------------------------ knn_in micro-batching
     def _run_knn_in_batch(self, items: list[tuple]) -> list:

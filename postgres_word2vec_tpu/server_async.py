@@ -43,15 +43,29 @@ class _LoopBatcher:
     ``submit(item)`` appends to a plain list and awaits a future; a single
     drainer coroutine sleeps ``window_ms`` after the first arrival, then
     runs everything queued (in ``max_batch`` slices) through ``fn`` in the
-    executor. While a batch executes, the next one collects — the same
-    double-buffering the threaded server gets from its worker thread, with
-    zero cross-thread handoffs per item.
+    executor.
+
+    Pipelined mode (``complete_fn`` given): ``fn`` is the DISPATCH phase —
+    it resolves + gathers + enqueues the batch on the device and returns
+    pending state in host time (jax dispatch is async) — and
+    ``complete_fn(state)`` materializes + formats on the separate
+    ``completer`` executor thread. Up to ``depth`` batches are in flight,
+    so batch N+1's host work and device enqueue overlap batch N's device
+    execution + tunnel round trip instead of idling behind it. Without the
+    split, each coalesced /knn batch held the engine thread for the full
+    ~4 ms device scan + ~30 ms tunnel RTT + host-starvation wait
+    (~105 ms/batch measured at 64 clients, reports/serving_3M_r5.json)
+    with the device idle between batches.
     """
 
     def __init__(self, fn, executor, *, max_batch: int = 64,
-                 window_ms: float = 2.0):
+                 window_ms: float = 2.0, complete_fn=None, completer=None,
+                 depth: int = 2):
         self._fn = fn
         self._executor = executor
+        self._complete = complete_fn
+        self._completer = completer
+        self._depth = max(1, depth)
         self._max = max_batch
         self._win = window_ms / 1e3
         self._items: list = []
@@ -76,8 +90,49 @@ class _LoopBatcher:
         self._wake.set()
         return await fut
 
+    def _fail(self, cfuts, e: Exception) -> None:
+        # surface server-side: items get per-request 400s, but an operator
+        # (and the bench) must be able to see WHAT failed — a silent
+        # converter turned a round-5 TPU failure into unexplained client
+        # errors.
+        self.batch_errors += 1
+        self.last_error = f"{type(e).__name__}: {e}"
+        if self.batch_errors <= 3 or self.batch_errors % 100 == 0:
+            import sys
+            print(f"[batcher] batch failure #{self.batch_errors}: "
+                  f"{self.last_error}", file=sys.stderr, flush=True)
+        for f in cfuts:
+            if not f.done():
+                f.set_exception(e)
+
+    def _deliver(self, cfuts, results, t0: float, n: int) -> None:
+        self.busy_s += time.perf_counter() - t0
+        self.batched_calls += 1
+        self.items_done += n
+        self.max_coalesced = max(self.max_coalesced, n)
+        for f, r in zip(cfuts, results):
+            if f.done():
+                continue
+            if isinstance(r, Exception):
+                f.set_exception(r)
+            else:
+                f.set_result(r)
+
+    async def _finish(self, loop, state, cfuts, t0: float, n: int) -> None:
+        """Completion phase of one in-flight batch (pipelined mode only);
+        never raises — a batch-level failure 400s its own items."""
+        try:
+            results = await loop.run_in_executor(
+                self._completer, self._complete, state)
+        except Exception as e:  # noqa: BLE001 — batch-level failure
+            self._fail(cfuts, e)
+            return
+        self._deliver(cfuts, results, t0, n)
+
     async def _drainer(self):
         loop = asyncio.get_running_loop()
+        from collections import deque
+        inflight: deque = deque()
         while True:
             await self._wake.wait()
             if self._win > 0:
@@ -89,36 +144,28 @@ class _LoopBatcher:
                 chunk = items[s:s + self._max]
                 cfuts = futs[s:s + self._max]
                 t0 = time.perf_counter()
-                try:
-                    results = await loop.run_in_executor(
-                        self._executor, self._fn, chunk)
-                except Exception as e:  # noqa: BLE001 — batch-level failure
-                    # surface server-side: items get per-request 400s, but
-                    # an operator (and the bench) must be able to see WHAT
-                    # failed — a silent converter turned a round-5 TPU
-                    # failure into unexplained client errors.
-                    self.batch_errors += 1
-                    self.last_error = f"{type(e).__name__}: {e}"
-                    if self.batch_errors <= 3 or self.batch_errors % 100 == 0:
-                        import sys
-                        print(f"[batcher] batch failure "
-                              f"#{self.batch_errors}: {self.last_error}",
-                              file=sys.stderr, flush=True)
-                    for f in cfuts:
-                        if not f.done():
-                            f.set_exception(e)
-                    continue
-                self.busy_s += time.perf_counter() - t0
-                self.batched_calls += 1
-                self.items_done += len(chunk)
-                self.max_coalesced = max(self.max_coalesced, len(chunk))
-                for f, r in zip(cfuts, results):
-                    if f.done():
+                if self._complete is None:     # unsplit: dispatch+complete
+                    try:
+                        results = await loop.run_in_executor(
+                            self._executor, self._fn, chunk)
+                    except Exception as e:  # noqa: BLE001 — batch failure
+                        self._fail(cfuts, e)
                         continue
-                    if isinstance(r, Exception):
-                        f.set_exception(r)
-                    else:
-                        f.set_result(r)
+                    self._deliver(cfuts, results, t0, len(chunk))
+                    continue
+                # pipelined: bound in-flight depth, dispatch, then hand the
+                # pending state to the completion task and keep draining.
+                while len(inflight) >= self._depth:
+                    await inflight.popleft()
+                t0 = time.perf_counter()
+                try:
+                    state = await loop.run_in_executor(
+                        self._executor, self._fn, chunk)
+                except Exception as e:  # noqa: BLE001 — dispatch failure
+                    self._fail(cfuts, e)
+                    continue
+                inflight.append(loop.create_task(
+                    self._finish(loop, state, cfuts, t0, len(chunk))))
 
 
 class AsyncQueryServer:
@@ -143,6 +190,11 @@ class AsyncQueryServer:
         self._max_batch = max_batch
         self._executor = ThreadPoolExecutor(max_workers=1,
                                             thread_name_prefix="engine")
+        # completion thread for the pipelined /knn path: materializes +
+        # formats batch N while the engine thread dispatches batch N+1
+        # (one worker — completions keep device-result order).
+        self._completer = ThreadPoolExecutor(max_workers=1,
+                                             thread_name_prefix="complete")
         self._requests = 0
         self._started = time.time()
         self._thread: threading.Thread | None = None
@@ -177,6 +229,7 @@ class AsyncQueryServer:
         if self._thread is not None:
             self._thread.join(timeout=10)
         self._executor.shutdown(wait=False)
+        self._completer.shutdown(wait=False)
 
     def serve_forever(self) -> None:
         if self._thread is None:
@@ -192,8 +245,10 @@ class AsyncQueryServer:
         self._loop = asyncio.get_running_loop()
         self._stop_ev = asyncio.Event()
         self._knn_batcher = _LoopBatcher(
-            self.runner._run_knn_batch, self._executor,
-            max_batch=self._max_batch, window_ms=self._window_ms)
+            self.runner.dispatch_knn_batch, self._executor,
+            max_batch=self._max_batch, window_ms=self._window_ms,
+            complete_fn=self.runner.complete_knn_batch,
+            completer=self._completer)
         self._knn_in_batcher = _LoopBatcher(
             self.runner._run_knn_in_batch, self._executor,
             max_batch=self._max_batch, window_ms=self._window_ms)
