@@ -18,9 +18,13 @@ def _engine(n=300, d=24, seed=3):
     vecs = rng.normal(size=(n, d)).astype(np.float32)
     words = [f"word{i}" for i in range(n)]
     store = VectorStore.from_arrays(words, vecs)
+    # opq_iters=0: FREDDY dumps cannot represent a rotation stage (the
+    # reference has none), so export_engine raises on the OPQ default —
+    # the migration fixture pins the reference-representable quantizer.
     eng = Freddy.build(store, seed=0, pq_m=6, pq_k=16, ivfadc_m=6,
                        ivfadc_k=16, k_coarse=8, ivpq_m=6, ivpq_k=8,
-                       ivpq_k_coarse=4, train_size=None, iters=6)
+                       ivpq_k_coarse=4, train_size=None, iters=6,
+                       opq_iters=0)
     eng.create_statistics("stat_google_vecs_norm_word",
                           [f"word{i}" for i in range(0, n, 2)])
     return eng
