@@ -273,16 +273,19 @@ class EngineRunner:
         return self.complete_knn_batch(self.dispatch_knn_batch(items))
 
     # ------------------------------------------------ knn_in micro-batching
-    def _run_knn_in_batch(self, items: list[tuple]) -> list:
-        """Coalesced /knn_in: items are (query, k, targets-tuple). Requests
-        group by (k, target set) — the serving pattern is many clients
-        querying the SAME restricted domain (the reference's statistics-
-        table use case) — and each group runs as ONE batched in-set device
-        call through ``Freddy.knn_in_matrix``. Query batches pad to powers
-        of two and target sets to powers of two (mask-padded on HOST —
-        eager ``jnp.pad`` per batch is the jaxpr-rebuild pathology, see
+    def dispatch_knn_in_batch(self, items: list[tuple]):
+        """Dispatch phase of the coalesced /knn_in path: items are
+        (query, k, targets-tuple). Requests group by (k, target set) — the
+        serving pattern is many clients querying the SAME restricted
+        domain (the reference's statistics-table use case) — and each
+        group enqueues as ONE batched in-set device call through
+        ``Freddy.knn_in_matrix``. Query batches pad to powers of two and
+        target sets to powers of two (mask-padded on HOST — eager
+        ``jnp.pad`` per batch is the jaxpr-rebuild pathology, see
         CLAUDE.md), so compiled program count stays logarithmic. Dispatch
-        impls without a matrix core (IVPQ) fall back to per-item calls.
+        impls without a matrix core (IVPQ) fall back to per-item calls
+        (run to completion here — they cannot be split).
+        Returns pending state for :meth:`complete_knn_in_batch`.
         """
         import jax.numpy as jnp
 
@@ -304,14 +307,18 @@ class EngineRunner:
         # per item afterwards.
         has_core = eng.dispatch["knn_in"] in eng._KNN_IN_CORES
 
+        def _per_item(idxs, k, tgt):
+            with self._lock:
+                for j in idxs:
+                    try:
+                        out[j] = eng.knn_in(items[j][0], k, list(tgt))
+                    except Exception as e:  # noqa: BLE001
+                        out[j] = e
+
+        pending = []
         for (k, tgt), idxs in groups.items():
             if not has_core:
-                with self._lock:
-                    for j in idxs:
-                        try:
-                            out[j] = eng.knn_in(items[j][0], k, list(tgt))
-                        except Exception as e:  # noqa: BLE001
-                            out[j] = e
+                _per_item(idxs, k, tgt)
                 continue
             try:
                 # resolve + pow2-pad the target axis on HOST; one transfer.
@@ -328,25 +335,39 @@ class EngineRunner:
                 with self._lock:
                     q, b = self._gather_group(idxs, wid, raw)
                     d, i = eng.knn_in_matrix(q, k, tids, tmask)
-                d_np, i_np = np.asarray(d), np.asarray(i)   # outside lock
-                rows = eng._format_knn(d_np[:b], i_np[:b])
-                for j, r in zip(idxs, rows):
-                    out[j] = r
+                pending.append((idxs, b, d, i))
             except NoMatrixCore:
                 # no matrix core for the dispatched impl → per-item calls.
                 # Precise sentinel: a bare ``except KeyError`` used to
                 # swallow unrelated internal KeyErrors (e.g. incomplete
                 # mesh ``_shard`` state) and mask real bugs as fallbacks.
-                with self._lock:
-                    for j in idxs:
-                        try:
-                            out[j] = eng.knn_in(items[j][0], k, list(tgt))
-                        except Exception as e:  # noqa: BLE001
-                            out[j] = e
+                _per_item(idxs, k, tgt)
+            except Exception as e:  # noqa: BLE001 — group-level failure
+                for j in idxs:
+                    out[j] = e
+        return out, pending
+
+    def complete_knn_in_batch(self, state) -> list:
+        """Materialize + format groups dispatched by
+        :meth:`dispatch_knn_in_batch`; a failing group fails only its own
+        slots."""
+        eng = self.engine
+        out, pending = state
+        for idxs, b, d, i in pending:
+            try:
+                d_np, i_np = np.asarray(d), np.asarray(i)  # outside lock
+                rows = eng._format_knn(d_np[:b], i_np[:b])
+                for j, r in zip(idxs, rows):
+                    out[j] = r
             except Exception as e:  # noqa: BLE001 — group-level failure
                 for j in idxs:
                     out[j] = e
         return out
+
+    def _run_knn_in_batch(self, items: list[tuple]) -> list:
+        """Dispatch + completion back to back (threaded front end; the
+        async front end pipelines the phases)."""
+        return self.complete_knn_in_batch(self.dispatch_knn_in_batch(items))
 
 class QueryServer:
     """Wraps an engine with a threaded HTTP server."""

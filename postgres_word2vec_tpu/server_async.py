@@ -250,8 +250,10 @@ class AsyncQueryServer:
             complete_fn=self.runner.complete_knn_batch,
             completer=self._completer)
         self._knn_in_batcher = _LoopBatcher(
-            self.runner._run_knn_in_batch, self._executor,
-            max_batch=self._max_batch, window_ms=self._window_ms)
+            self.runner.dispatch_knn_in_batch, self._executor,
+            max_batch=self._max_batch, window_ms=self._window_ms,
+            complete_fn=self.runner.complete_knn_in_batch,
+            completer=self._completer)
         self._knn_batcher.start()
         self._knn_in_batcher.start()
 
