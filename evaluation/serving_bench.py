@@ -74,15 +74,22 @@ def post(port, path, payload, timeout=60):
         return json.loads(r.read())
 
 
-def client_proc(cid, port, n, k, seconds, q):
+def client_proc(cid, port, n, k, seconds, q, ready_q=None, go_ev=None):
     """Single-query closed-loop client on a persistent keep-alive
     connection (separate PROCESS: in-process threads would share the
     server's GIL, and a fresh TCP connection per request measures socket
-    churn, not the engine — observed 13 QPS from harness overhead)."""
+    churn, not the engine — observed 13 QPS from harness overhead).
+    ``ready_q``/``go_ev``: ramp barrier — connect, report ready, then wait
+    for the collective go before the timed window opens (forking 64
+    processes on the 1-core host takes seconds; without the barrier that
+    ramp sat INSIDE the measured window, wall_s 24.7 for a 20 s window)."""
     r = np.random.default_rng(cid)
     conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
     my_lat = []
     err = 0
+    if ready_q is not None:
+        ready_q.put(cid)
+        go_ev.wait()
     stop_t = time.time() + seconds
     while time.time() < stop_t:
         w = f"w{int(r.integers(0, n))}"
@@ -105,7 +112,8 @@ def client_proc(cid, port, n, k, seconds, q):
     q.put((my_lat, err))
 
 
-def client_proc_raw(cid, port, n, k, seconds, q, check=True):
+def client_proc_raw(cid, port, n, k, seconds, q, check=True,
+                    ready_q=None, go_ev=None):
     """Minimal raw-socket closed-loop client: prebuilt request bytes and a
     content-length body reader instead of http.client's full response
     machinery. On the 1-core bench host the CLIENT fleet shares the
@@ -128,6 +136,9 @@ def client_proc_raw(cid, port, n, k, seconds, q, check=True):
     err = 0
     err_kinds: dict = {}
     i = 0
+    if ready_q is not None:   # ramp barrier (see client_proc)
+        ready_q.put(cid)
+        go_ev.wait()
     stop_t = time.time() + seconds
     while time.time() < stop_t:
         w = f"w{int(r.integers(0, n))}"
@@ -186,17 +197,25 @@ def client_proc_raw(cid, port, n, k, seconds, q, check=True):
 def run_window(port, n, k, clients, seconds, client_kind="raw"):
     ctx = mp.get_context("fork")
     outq = ctx.Queue()
+    ready_q = ctx.Queue()
+    go_ev = ctx.Event()
     if client_kind == "http":
-        mk = [(client_proc, (i, port, n, k, seconds, outq))
+        mk = [(client_proc, (i, port, n, k, seconds, outq, ready_q, go_ev))
               for i in range(clients)]
     else:
         check = client_kind != "raw_nocheck"
-        mk = [(client_proc_raw, (i, port, n, k, seconds, outq, check))
+        mk = [(client_proc_raw,
+               (i, port, n, k, seconds, outq, check, ready_q, go_ev))
               for i in range(clients)]
     procs = [ctx.Process(target=fn, args=a) for fn, a in mk]
-    t0 = time.perf_counter()
     for p in procs:
         p.start()
+    # ramp barrier: wait until every client has forked + connected, then
+    # open the timed window for all of them at once.
+    for _ in procs:
+        ready_q.get(timeout=120)
+    t0 = time.perf_counter()
+    go_ev.set()
     lat: list[float] = []
     errors = 0
     err_kinds: dict = {}
@@ -285,6 +304,8 @@ def main():
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--max-batch", type=int, default=128)
     ap.add_argument("--window-ms", type=float, default=2.0)
+    ap.add_argument("--depth", type=int, default=2,
+                    help="async server pipeline depth (in-flight batches)")
     ap.add_argument("--families", default="exact,pq_pv,ivfadc_pv",
                     help="comma list of " + ",".join(FAMILY_IMPL))
     ap.add_argument("--repeats", type=int, default=1)
@@ -324,7 +345,8 @@ def main():
     if args.server == "async":
         from postgres_word2vec_tpu.server_async import AsyncQueryServer
         srv = AsyncQueryServer(eng, port=0, max_batch=args.max_batch,
-                               batch_window_ms=args.window_ms)
+                               batch_window_ms=args.window_ms,
+                               pipeline_depth=args.depth)
     else:
         srv = QueryServer(eng, port=0, max_batch=args.max_batch,
                           batch_window_ms=args.window_ms)
@@ -334,7 +356,8 @@ def main():
     results = {
         "n": args.n, "clients": args.clients, "seconds": args.seconds,
         "k": args.k, "max_batch": args.max_batch,
-        "window_ms": args.window_ms, "host_cpus": os.cpu_count(),
+        "window_ms": args.window_ms, "pipeline_depth": args.depth,
+        "host_cpus": os.cpu_count(),
         "server": args.server, "client": args.client,
         "families": {},
         "note": "concurrent single-query /knn clients; server coalesces "

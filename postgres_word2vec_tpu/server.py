@@ -44,18 +44,7 @@ import numpy as np
 
 from postgres_word2vec_tpu.api import Freddy
 
-
-def _gather_rows_jit():
-    # lazily-built jitted row gather: EAGER jnp ops on the tunneled TPU pay
-    # a full per-op dispatch round trip (~0.5-1 s measured — the same
-    # pathology as the eager sim map _format_knn used to have); one jitted
-    # program keeps the whole serve path at dispatch cost.
-    import jax
-    import jax.numpy as jnp
-
-    return jax.jit(lambda table, ids: jnp.take(table, ids, axis=0))
-
-
+#: lazily-built jitted row gather for the serve path (one program, cached)
 _GATHER_ROWS = None
 
 
@@ -141,9 +130,18 @@ class EngineRunner:
 
     def __init__(self, engine: Freddy):
         self.engine = engine
+        # "search" = jitted dispatch (enqueue, host time); "fetch" = the
+        # blocking device_get in the completion phase (device + tunnel RTT)
         self.stage_s = {"resolve": 0.0, "gather": 0.0, "search": 0.0,
-                        "format": 0.0}
+                        "fetch": 0.0, "format": 0.0}
         self._lock = threading.Lock()
+        # device-resident (tids, tmask) per /knn_in target set: the serving
+        # pattern is many clients querying the SAME restricted domain, and
+        # re-uploading the id set every coalesced batch was one blocking
+        # tunnel transfer per batch. Bounded FIFO (drop-oldest) — target
+        # sets are client-controlled input.
+        self._tid_cache: dict[tuple, tuple] = {}
+        self._tid_cache_max = 32
 
     # -------------------------------------------------- knn micro-batching
     def _resolve_queries(self, entries, out: list
@@ -173,29 +171,36 @@ class EngineRunner:
         return wid, raw
 
     def _gather_group(self, idxs: list[int], wid: dict, raw: dict):
-        """One pow2-padded query matrix for a coalesced group (call under
-        the device lock). Padding to the next power of two bounds the
-        compiled-program count at log2(max_batch)+1 — coalescing produces
-        every batch size, and each distinct shape is a fresh XLA compile
-        (seconds each on a cold server). Raw-vector queries merge on HOST
-        (an eager .at[].set scatter would rebuild a jaxpr per call, the
-        GIL-bound pathology this path was rebuilt to avoid)."""
-        import jax.numpy as jnp
+        """One pow2-padded query matrix for a coalesced group. Padding to
+        the next power of two bounds the compiled-program count at
+        log2(max_batch)+1 — coalescing produces every batch size, and each
+        distinct shape is a fresh XLA compile (seconds each on a cold
+        server).
 
+        Word-id groups gather rows ON DEVICE: a jitted dispatch is async
+        (~0.2 ms host time measured on the tunnel, chaining into the search
+        dispatch for free — only a host FETCH pays the ~40 ms round trip,
+        scratch/tunnel_rtt_probe.py). Raw-vector groups stack their rows on
+        host and ship the small (B, d) matrix as a dispatch operand
+        (~1.7 ms) — the groups are split by the caller precisely so neither
+        path ever needs the old fetch-mutate-reupload merge."""
         b = len(idxs)
         bp = 1 << (b - 1).bit_length()
+        if idxs[0] in raw:   # raw-vector group (host rows, dim-checked)
+            rows = [raw[j] for j in idxs]
+            rows.extend([rows[0]] * (bp - b))
+            return np.ascontiguousarray(np.stack(rows)), b
         pad_j = idxs[0]
         ids = np.asarray([wid.get(j, 0) for j in idxs]
                          + [wid.get(pad_j, 0)] * (bp - b), np.int32)
         global _GATHER_ROWS
         if _GATHER_ROWS is None:
-            _GATHER_ROWS = _gather_rows_jit()
-        q = _GATHER_ROWS(self.engine.store.vectors_norm, jnp.asarray(ids))
-        rpos = [p for p, j in enumerate(idxs) if j in raw]
-        if rpos:
-            q_np = np.array(q)   # writable host copy
-            q_np[rpos] = np.stack([raw[idxs[p]] for p in rpos])
-            q = q_np
+            import jax
+            import jax.numpy as jnp
+
+            _GATHER_ROWS = jax.jit(
+                lambda table, ids_: jnp.take(table, ids_, axis=0))
+        q = _GATHER_ROWS(self.engine.store.vectors_norm, ids)
         return q, b
 
     def dispatch_knn_batch(self, items: list[tuple]):
@@ -212,15 +217,17 @@ class EngineRunner:
         out: list = [None] * len(items)
         wid, raw = self._resolve_queries(
             [(j, query) for j, (query, _k) in enumerate(items)], out)
-        groups: dict[int, list[int]] = {}
+        # raw-vector queries group apart from word queries: word groups
+        # gather on device, raw groups ship host rows (see _gather_group)
+        groups: dict[tuple, list[int]] = {}
         for j, (_query, k) in enumerate(items):
             if out[j] is None:
-                groups.setdefault(int(k), []).append(j)
+                groups.setdefault((int(k), j in raw), []).append(j)
         tmr["resolve"] += time.perf_counter() - t0
         pending = []
-        for k, idxs in groups.items():
+        for (k, _is_raw), idxs in groups.items():
             # The lock covers only the enqueue (gather + search dispatch —
-            # jax dispatch is async); the materializing np.asarray waits in
+            # jax dispatch is async); the materializing device_get waits in
             # complete_knn_batch, so the next coalesced batch enqueues
             # while this one executes on device. jax serializes queued
             # computations, so ordering is preserved; the lock prevents
@@ -244,14 +251,16 @@ class EngineRunner:
         out, pending = state
         for idxs, b, d, i in pending:
             t0 = time.perf_counter()
-            # materialize the PADDED arrays and slice on host: an eager
-            # device slice (d[:b]) rebuilds a jaxpr per call — pure-Python
-            # work that collapses under the handler threads' GIL
-            # contention (measured ~0.7 s/call at 128 concurrent clients
-            # vs ~1 ms for the host slice).
-            d_np = np.asarray(d)
-            i_np = np.asarray(i)
-            tmr["search"] += time.perf_counter() - t0
+            # materialize the PADDED arrays in ONE device_get and slice on
+            # host: an eager device slice (d[:b]) rebuilds a jaxpr per call
+            # — pure-Python work that collapses under the handler threads'
+            # GIL contention (measured ~0.7 s/call at 128 concurrent
+            # clients vs ~1 ms for the host slice) — and two sequential
+            # np.asarray fetches paid two tunnel round trips per batch.
+            import jax
+
+            d_np, i_np = jax.device_get((d, i))
+            tmr["fetch"] += time.perf_counter() - t0
             t0 = time.perf_counter()
             rows = eng._format_knn(d_np[:b], i_np[:b])
             tmr["format"] += time.perf_counter() - t0
@@ -298,7 +307,8 @@ class EngineRunner:
         groups: dict[tuple, list[int]] = {}
         for j, (_query, k, tgt) in enumerate(items):
             if out[j] is None:
-                groups.setdefault((int(k), tgt), []).append(j)
+                # raw-vector queries group apart (see _gather_group)
+                groups.setdefault((int(k), tgt, j in raw), []).append(j)
 
         # impls without a batched matrix core (e.g. IVPQ's data-dependent
         # rounds) go straight to per-item calls — resolving + padding +
@@ -316,22 +326,30 @@ class EngineRunner:
                         out[j] = e
 
         pending = []
-        for (k, tgt), idxs in groups.items():
+        for (k, tgt, _is_raw), idxs in groups.items():
             if not has_core:
                 _per_item(idxs, k, tgt)
                 continue
             try:
-                # resolve + pow2-pad the target axis on HOST; one transfer.
-                tid_list = (eng.store.get_ids(list(tgt), strict=False)
-                            if isinstance(tgt[0], str)
-                            else [int(t) for t in tgt])
-                t = len(tid_list)
-                tp = 1 << (t - 1).bit_length()
-                tids_np = np.zeros((tp,), np.int32)
-                tids_np[:t] = tid_list
-                tmask_np = np.zeros((tp,), bool)
-                tmask_np[:t] = True
-                tids, tmask = jnp.asarray(tids_np), jnp.asarray(tmask_np)
+                # resolve + pow2-pad the target axis on HOST; uploaded ONCE
+                # per distinct target set (cached device-resident — the
+                # serving pattern is many batches against the same domain).
+                cached = self._tid_cache.get(tgt)
+                if cached is None:
+                    tid_list = (eng.store.get_ids(list(tgt), strict=False)
+                                if isinstance(tgt[0], str)
+                                else [int(t) for t in tgt])
+                    t = len(tid_list)
+                    tp = 1 << (t - 1).bit_length()
+                    tids_np = np.zeros((tp,), np.int32)
+                    tids_np[:t] = tid_list
+                    tmask_np = np.zeros((tp,), bool)
+                    tmask_np[:t] = True
+                    cached = (jnp.asarray(tids_np), jnp.asarray(tmask_np))
+                    if len(self._tid_cache) >= self._tid_cache_max:
+                        self._tid_cache.pop(next(iter(self._tid_cache)))
+                    self._tid_cache[tgt] = cached
+                tids, tmask = cached
                 with self._lock:
                     q, b = self._gather_group(idxs, wid, raw)
                     d, i = eng.knn_in_matrix(q, k, tids, tmask)
@@ -355,7 +373,9 @@ class EngineRunner:
         out, pending = state
         for idxs, b, d, i in pending:
             try:
-                d_np, i_np = np.asarray(d), np.asarray(i)  # outside lock
+                import jax
+
+                d_np, i_np = jax.device_get((d, i))  # one fetch, no lock
                 rows = eng._format_knn(d_np[:b], i_np[:b])
                 for j, r in zip(idxs, rows):
                     out[j] = r

@@ -180,7 +180,7 @@ class AsyncQueryServer:
 
     def __init__(self, engine: Freddy, host: str = "127.0.0.1",
                  port: int = 0, batch_window_ms: float = 2.0,
-                 max_batch: int = 64):
+                 max_batch: int = 64, pipeline_depth: int = 2):
         self.engine = engine
         self.runner = EngineRunner(engine)
         self._host = host
@@ -188,13 +188,23 @@ class AsyncQueryServer:
         self.port: int | None = None
         self._window_ms = batch_window_ms
         self._max_batch = max_batch
+        # in-flight coalesced batches: 2 overlaps dispatch with the device
+        # + fetch of the previous batch; 3 lets dispatch / device / fetch
+        # run as three overlapping stages (fetch serializes on the one
+        # completer thread either way).
+        self._depth = pipeline_depth
         self._executor = ThreadPoolExecutor(max_workers=1,
                                             thread_name_prefix="engine")
-        # completion thread for the pipelined /knn path: materializes +
-        # formats batch N while the engine thread dispatches batch N+1
-        # (one worker — completions keep device-result order).
-        self._completer = ThreadPoolExecutor(max_workers=1,
-                                             thread_name_prefix="complete")
+        # completion pool for the pipelined paths: each worker blocks in
+        # one batch's device_get. The tunnel's fetch cost is pure round-trip
+        # LATENCY (~40 ms regardless of payload, scratch/tunnel_rtt_probe),
+        # so concurrent fetches overlap on the wire — one worker per
+        # in-flight batch. Safe: device execution is serialized by jax
+        # regardless of which thread fetches, and each batch delivers to
+        # its own per-item futures (no cross-batch ordering requirement).
+        self._completer = ThreadPoolExecutor(
+            max_workers=max(1, pipeline_depth),
+            thread_name_prefix="complete")
         self._requests = 0
         self._started = time.time()
         self._thread: threading.Thread | None = None
@@ -248,12 +258,12 @@ class AsyncQueryServer:
             self.runner.dispatch_knn_batch, self._executor,
             max_batch=self._max_batch, window_ms=self._window_ms,
             complete_fn=self.runner.complete_knn_batch,
-            completer=self._completer)
+            completer=self._completer, depth=self._depth)
         self._knn_in_batcher = _LoopBatcher(
             self.runner.dispatch_knn_in_batch, self._executor,
             max_batch=self._max_batch, window_ms=self._window_ms,
             complete_fn=self.runner.complete_knn_in_batch,
-            completer=self._completer)
+            completer=self._completer, depth=self._depth)
         self._knn_batcher.start()
         self._knn_in_batcher.start()
 

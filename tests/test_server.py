@@ -165,6 +165,19 @@ def test_knn_microbatch_honors_dispatch(server):
         eng.dispatch["knn"] = old
 
 
+def test_mixed_word_and_vector_coalesced_batch(server):
+    """Word-id and raw-vector queries coalesced into one micro-batch run
+    as SEPARATE device groups (word group: device gather; raw group: host
+    rows shipped with the dispatch) and each slot gets its own answer."""
+    v5 = np.asarray(server.engine.store.vector_for("w5")).tolist()
+    out = server.runner._run_knn_batch([("w3", 2), (np.asarray(v5), 2),
+                                        ("w9", 2), (np.asarray(v5), 3)])
+    assert out[0][0][0] == "w3"
+    assert out[1][0][0] == "w5"      # raw vector of w5 → w5 is its own NN
+    assert out[2][0][0] == "w9"
+    assert out[3][0][0] == "w5" and len(out[3]) == 3
+
+
 def test_malformed_vector_fails_only_its_slot(server):
     """A wrong-dimension vector query must 400 alone, not poison the
     coalesced batch (cross-client isolation)."""
